@@ -1,0 +1,1125 @@
+"""Reference-parity queries (SURVEY.md §2.12), remapped per FIXTURES.md §2.
+
+Every query here mirrors one statement of
+/root/reference/SQL_file.sql (cited as ref:LINE) with the Chinook
+tables role-mapped onto the driver's TPC-H-ish tables:
+
+  customer->customer, invoice->orders, invoice_line->lineitem,
+  track->part, genre->part.p_type, album/artist->part.p_brand,
+  country->nation.n_name (USA -> 'NATION_0').
+
+Conventions (see functions.compat): money aggregates flow through exact
+DECIMAL and are rounded before the final double cast; ranks are INT on
+both engines; date math uses explicit calendar arithmetic so Spark and
+the DuckDB oracle agree bit-for-bit.
+
+Scale notes appear per query: each plan is written so the same logical
+shape survives 100 TB (filters pushed below joins, bounded broadcasts,
+aggregation before windows, no driver-side collects).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    SQL_REVENUE,
+    day_diff,
+    money,
+    money_sum,
+    month_diff,
+    ratio2,
+    revenue_expr,
+    round2,
+    sql_day_diff,
+    sql_month_diff,
+)
+from ..sources import load_tables
+from .registry import register
+from .views import NATION0, SQL_NATION0_TYPE_SALES, nation0_type_sales
+
+#: First-purchase-year threshold splitting "old" vs "new" customers
+#: (ref:320 uses <=2017 on Chinook; the driver data spans 1995-2001).
+OLD_YEAR = 1997
+
+#: DuckDB text of the 5-way star join, shared by several oracles.
+SQL_STAR_N0 = f"""
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = '{NATION0}'
+"""
+
+
+def _star_n0(t: dict[str, DataFrame]) -> DataFrame:
+    """lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation, filtered to NATION_0.
+
+    The reference's flagship join shape (ref:32-42).  The nation filter
+    is declared after the joins but Catalyst pushes it below them and
+    into the Parquet scans of ``nation``; ``nation`` (25 rows) is an
+    explicit broadcast, the rest is left to AQE (part/customer scale
+    with SF — broadcast only when runtime stats allow).
+    """
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == NATION0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q01 — data quality (ref:4-22)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_dupes",
+    oracle="""
+    SELECT c_custkey, COUNT(*) AS n_rows
+    FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1
+    """,
+)
+def q01_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-PK probe (ref:4-9): GROUP BY pk HAVING count>1.
+
+    Scale: partial-agg (map-side combine) makes this a near-free scan;
+    the shuffled key space is the PK domain but the HAVING filter keeps
+    output tiny.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+_ORDER_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "q01_nulls",
+    oracle="SELECT * FROM orders WHERE "
+    + " OR ".join(f"{c} IS NULL" for c in _ORDER_COLS),
+)
+def q01_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value scan (ref:12-22): N-way IS NULL disjunction.
+
+    Scale: pure scan+filter, no shuffle; Parquet null-count statistics
+    let row groups with zero nulls be skipped entirely.
+    """
+    t = load_tables(spark, sf_dir)
+    cond = reduce(or_, [F.col(c).isNull() for c in _ORDER_COLS])
+    return t["orders"].filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# q02 — flagship: top parts in NATION_0 (ref:25-46)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_top_parts_nation0",
+    oracle=f"""
+    WITH s AS (
+      SELECT p.p_partkey, p.p_name,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_d,
+             SUM({SQL_REVENUE}) AS rev_d
+      {SQL_STAR_N0}
+      GROUP BY p.p_partkey, p.p_name
+    ), r AS (
+      SELECT p_name,
+             CAST(ROUND(qty_d, 2) AS DOUBLE) AS total_qty,
+             CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+             CAST(RANK() OVER (ORDER BY rev_d DESC, qty_d DESC) AS INTEGER) AS rnk
+      FROM s
+    )
+    SELECT * FROM r WHERE rnk <= 5
+    """,
+)
+def q02_top_parts_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts by revenue in NATION_0 (ref:25-46, the flagship).
+
+    Shape: 5-way star join -> hash agg -> global RANK (multi-key ties,
+    ref:31) -> rank filter.  The rank-filter (not LIMIT) keeps the
+    result deterministic under ties.
+
+    Scale: aggregation reduces to |part| rows before the windowing; the
+    single-partition global window is applied to that reduced relation,
+    which is the standard top-k-after-agg pattern.
+    """
+    t = load_tables(spark, sf_dir)
+    s = (
+        _star_n0(t)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.sum(money("l_quantity")).alias("qty_d"),
+            F.sum(revenue_expr()).alias("rev_d"),
+        )
+    )
+    w = Window.orderBy(F.col("rev_d").desc(), F.col("qty_d").desc())
+    return (
+        s.select(
+            "p_name",
+            round2(F.col("qty_d")).alias("total_qty"),
+            round2(F.col("rev_d")).alias("revenue"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 / q04 — geo demographics and revenue (ref:50-68)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_demographics",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers per region/nation (ref:50-57; geo hierarchy remap).
+
+    Scale: two broadcast joins (nation 25 rows, region 5 rows — bounded
+    dims at any SF) then a low-cardinality hash agg.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q04_rev_by_geo",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q04_rev_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and order count per nation (ref:60-68).
+
+    Scale: orders⋈customer shuffles on o_custkey (or broadcasts customer
+    when small); the nation dim is broadcast; partial aggregation
+    collapses to 25 groups before the final exchange.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            round2(money_sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 / q06 — top-k per group (ref:71-114)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_top5_cust_per_nation",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_name, c.c_custkey, c.c_name,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend_d
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey, c.c_name
+    )
+    SELECT n_name, c_name,
+           CAST(ROUND(spend_d, 2) AS DOUBLE) AS spend,
+           CAST(DENSE_RANK() OVER (PARTITION BY n_name ORDER BY spend_d DESC) AS INTEGER) AS rnk
+    FROM s QUALIFY rnk <= 5
+    """,
+)
+def q05_top5_cust_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by spend per nation (ref:71-89, DENSE_RANK W2).
+
+    Scale: per-(nation, customer) hash agg first, then the window
+    partitions by nation — the window input is one row per customer,
+    already heavily reduced.  Skew note: a hot nation means a hot window
+    partition; at 100 TB pre-aggregate is what bounds it (rows, not raw
+    lineitems, flow into the sort).
+    """
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(money_sum("o_totalprice").alias("spend_d"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spend_d").desc())
+    return (
+        s.select(
+            "n_name",
+            "c_name",
+            round2(F.col("spend_d")).alias("spend"),
+            F.dense_rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "q06_top_part_per_cust",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_custkey, c.c_name, p.p_partkey, p.p_name,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty_d
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY c.c_custkey, c.c_name, p.p_partkey, p.p_name
+    )
+    SELECT c_custkey, c_name, p_name,
+           CAST(ROUND(qty_d, 2) AS DOUBLE) AS total_qty
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY c_custkey ORDER BY qty_d DESC, p_partkey) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """,
+)
+def q06_top_part_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's most-bought part (ref:92-114, ROW_NUMBER W3).
+
+    The reference's ROW_NUMBER is tie-nondeterministic (SURVEY §7.4.1);
+    the engine adds ``p_partkey`` as a deterministic tie-break.
+
+    Scale: agg to (customer, part) grain before the window; window
+    partitions by customer so state per partition is tiny.
+    """
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("c_custkey", "c_name", "p_partkey", "p_name")
+        .agg(F.sum(money("l_quantity")).alias("qty_d"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("qty_d").desc(), F.col("p_partkey"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "p_name", round2(F.col("qty_d")).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 / q08 — purchase trends and churn (ref:117-144)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_purchase_trends",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice,
+             {dd} AS gap_days
+      FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice,
+               LAG(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+        FROM orders
+      )
+    )
+    SELECT ROUND(CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(gap_days) AS DOUBLE), 2)
+             AS avg_days_between_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 2) AS avg_order_value
+    FROM g
+    """.format(dd=sql_day_diff("prev_date", "o_orderdate")),
+)
+def q07_purchase_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avg days between orders + avg order value (ref:117-133, LAG W4).
+
+    LAG runs over raw orders partitioned by customer with a
+    deterministic (date, orderkey) sort.  NULL first-gaps are skipped by
+    COUNT(col) on both engines.
+
+    Scale: the only shuffle is the window exchange on o_custkey; the
+    final global aggregate is a partial-agg reduction to one row.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = t["orders"].select(
+        "o_totalprice",
+        day_diff(F.lag("o_orderdate").over(w), F.col("o_orderdate")).alias("gap_days"),
+    )
+    return g.agg(
+        F.round(F.sum("gap_days").cast("double") / F.count("gap_days").cast("double"), 2).alias(
+            "avg_days_between_orders"
+        ),
+        ratio2(money_sum("o_totalprice"), F.count(F.lit(1))).alias("avg_order_value"),
+    )
+
+
+@register(
+    "q08_churn_rate",
+    oracle="""
+    WITH last AS (
+      SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY o_custkey
+    ), anchor AS (
+      SELECT MAX(o_orderdate) AS anchor_ts FROM orders
+    )
+    SELECT COUNT(*) AS total_customers,
+           CAST(SUM(CASE WHEN CAST(last_order AS DATE)
+                              < CAST(CAST(anchor_ts AS DATE) - INTERVAL 6 MONTH AS DATE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS churned_customers,
+           ROUND(100.0 * CAST(SUM(CASE WHEN CAST(last_order AS DATE)
+                              < CAST(CAST(anchor_ts AS DATE) - INTERVAL 6 MONTH AS DATE)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+             AS churn_rate_pct
+    FROM last, anchor
+    """,
+)
+def q08_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """% of customers inactive >= 6 months vs dataset MAX date (ref:136-144).
+
+    The anchor is MAX(o_orderdate) — never wall clock (SURVEY §7.4.4) —
+    computed as a 1-row aggregate and cross-joined (the DataFrame-API
+    equivalent of the reference's uncorrelated scalar subquery C4).
+
+    Scale: the 1-row anchor broadcast is free; per-customer MAX is a
+    partial-aggregated shuffle on the customer key.
+    """
+    t = load_tables(spark, sf_dir)
+    last = t["orders"].groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order"))
+    anchor = t["orders"].agg(F.max("o_orderdate").alias("anchor_ts"))
+    cutoff = F.add_months(F.to_date("anchor_ts"), -6)
+    churned = F.sum(F.when(F.to_date("last_order") < cutoff, 1).otherwise(0))
+    return (
+        last.crossJoin(F.broadcast(anchor))
+        .agg(
+            F.count(F.lit(1)).alias("total_customers"),
+            churned.alias("churned_customers"),
+            F.round(
+                F.lit(100.0) * churned.cast("double") / F.count(F.lit(1)).cast("double"), 2
+            ).alias("churn_rate_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 / q09b / q11 — the view and its consumers (ref:148-222)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_type_pct_nation0",
+    oracle=f"WITH {SQL_NATION0_TYPE_SALES} SELECT * FROM nation0_type_sales",
+)
+def q09_type_pct_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation0_type_sales view itself (ref:148-168): revenue share +
+    rank per part type inside NATION_0."""
+    return nation0_type_sales(spark, sf_dir)
+
+
+@register(
+    "q11_type_rank_nation0",
+    oracle=f"WITH {SQL_NATION0_TYPE_SALES} SELECT p_type, rnk FROM nation0_type_sales",
+)
+def q11_type_rank_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View consumer projecting the rank only (ref:217-222, view scan S4)."""
+    return nation0_type_sales(spark, sf_dir).select("p_type", "rnk")
+
+
+@register(
+    "q09b_top_brands_top_types",
+    oracle=f"""
+    WITH {SQL_NATION0_TYPE_SALES},
+    top_types AS (
+      SELECT p_type FROM nation0_type_sales WHERE rnk <= 3
+    ), s AS (
+      SELECT p.p_type, p.p_brand, SUM({SQL_REVENUE}) AS rev_d
+      {SQL_STAR_N0}
+        AND p.p_type IN (SELECT p_type FROM top_types)
+      GROUP BY p.p_type, p.p_brand
+    )
+    SELECT p_type, p_brand,
+           CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY p_type ORDER BY rev_d DESC, p_brand) AS INTEGER) AS brand_rank
+    FROM s QUALIFY brand_rank <= 3
+    """,
+)
+def q09b_top_brands_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 brands within the top-3 part types of NATION_0 (ref:171-197).
+
+    The type restriction is the reference's IN-subquery (P7/C6),
+    expressed as a left-semi join against the view's rnk<=3 rows.
+
+    Scale: the semi-join side is <= 3 rows — broadcast; everything else
+    is the standard star-join-then-agg pipeline.
+    """
+    t = load_tables(spark, sf_dir)
+    top_types = nation0_type_sales(spark, sf_dir).filter(F.col("rnk") <= 3).select("p_type")
+    s = (
+        _star_n0(t)
+        .join(F.broadcast(top_types), "p_type", "left_semi")
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(revenue_expr()).alias("rev_d"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("rev_d").desc(), F.col("p_brand"))
+    return (
+        s.select(
+            "p_type",
+            "p_brand",
+            round2(F.col("rev_d")).alias("revenue"),
+            F.row_number().over(w).alias("brand_rank"),
+        )
+        .filter(F.col("brand_rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 / q12 — multi-genre customers, inactive customers (ref:202-239)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_multi_type_cust",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(DISTINCT p.p_type) AS n_types
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING COUNT(DISTINCT p.p_type) > 2
+    """,
+)
+def q10_multi_type_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers buying more than 2 distinct part types (ref:202-214).
+
+    Exact COUNT(DISTINCT) — Spark plans the expand + two-phase
+    aggregate; at 100 TB this stays shuffle-bound on (custkey, type)
+    pairs, which is the exact-semantics floor.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.countDistinct("p_type").alias("n_types"))
+        .filter(F.col("n_types") > 2)
+    )
+
+
+@register(
+    "q12_inactive_3mo",
+    oracle="""
+    WITH last AS (
+      SELECT o.o_custkey, c.c_name, MAX(o.o_orderdate) AS last_order
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, c.c_name
+    ), anchor AS (SELECT MAX(o_orderdate) AS anchor_ts FROM orders)
+    SELECT o_custkey AS c_custkey, c_name, last_order,
+           {md} AS months_inactive
+    FROM last, anchor
+    WHERE {md} >= 3
+    """.format(md=sql_month_diff("last_order", "anchor_ts")),
+)
+def q12_inactive_3mo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers inactive >= 3 months (ref:226-239, TIMESTAMPDIFF-MONTH F8).
+
+    Month arithmetic uses the explicit day-anchored formula shared with
+    the oracle (functions.compat.month_diff).
+    """
+    t = load_tables(spark, sf_dir)
+    last = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_name")
+        .agg(F.max("o_orderdate").alias("last_order"))
+    )
+    anchor = t["orders"].agg(F.max("o_orderdate").alias("anchor_ts"))
+    mi = month_diff(F.col("last_order"), F.col("anchor_ts"))
+    return (
+        last.crossJoin(F.broadcast(anchor))
+        .withColumn("months_inactive", mi)
+        .filter(F.col("months_inactive") >= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "c_name", "last_order", "months_inactive")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s01 / s02 — promo and international top-k (ref:248-300)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s01_brand_promo",
+    oracle=f"""
+    WITH {SQL_NATION0_TYPE_SALES},
+    s AS (
+      SELECT p.p_type, p.p_brand, SUM({SQL_REVENUE}) AS rev_d
+      {SQL_STAR_N0}
+        AND p.p_type IN (SELECT p_type FROM nation0_type_sales WHERE rnk <= 3)
+      GROUP BY p.p_type, p.p_brand
+    )
+    SELECT p_type, p_brand,
+           CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_type ORDER BY rev_d DESC) AS INTEGER) AS rnk
+    FROM s QUALIFY rnk IN (1, 2)
+    """,
+)
+def s01_brand_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 brands (DENSE_RANK, IN-list P6) within top-3 NATION_0 types
+    (ref:248-273)."""
+    t = load_tables(spark, sf_dir)
+    top_types = nation0_type_sales(spark, sf_dir).filter(F.col("rnk") <= 3).select("p_type")
+    s = (
+        _star_n0(t)
+        .join(F.broadcast(top_types), "p_type", "left_semi")
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(revenue_expr()).alias("rev_d"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("rev_d").desc())
+    return (
+        s.select(
+            "p_type",
+            "p_brand",
+            round2(F.col("rev_d")).alias("revenue"),
+            F.dense_rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk").isin(1, 2))
+    )
+
+
+@register(
+    "s02_intl_types",
+    oracle=f"""
+    WITH s AS (
+      SELECT n.n_name, p.p_type, SUM({SQL_REVENUE}) AS rev_d
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_name <> '{NATION0}'
+      GROUP BY n.n_name, p.p_type
+    )
+    SELECT n_name, p_type,
+           CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+           CAST(DENSE_RANK() OVER (PARTITION BY n_name ORDER BY rev_d DESC) AS INTEGER) AS rnk
+    FROM s QUALIFY rnk <= 2
+    """,
+)
+def s02_intl_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 part types per non-NATION_0 nation (ref:276-300, P3 + W2)."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") != NATION0)
+        .groupBy("n_name", "p_type")
+        .agg(F.sum(revenue_expr()).alias("rev_d"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("rev_d").desc())
+    return (
+        s.select(
+            "n_name",
+            "p_type",
+            round2(F.col("rev_d")).alias("revenue"),
+            F.dense_rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# s03 — old vs new customer behavior (ref:304-387, 5-CTE pipeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s03_old_vs_new",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    ), o AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS first_order
+      FROM orders
+    ), labeled AS (
+      SELECT o.*, li.n_items,
+             CASE WHEN EXTRACT(YEAR FROM o.first_order) <= {OLD_YEAR}
+                  THEN 'old' ELSE 'new' END AS status
+      FROM o JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT status,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spend,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), 2) AS avg_spend_per_cust,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), 2) AS avg_orders_per_cust,
+           ROUND(CAST(SUM(n_items) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_basket_size
+    FROM labeled
+    GROUP BY status
+    """,
+)
+def s03_old_vs_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old vs new customer behavior (ref:304-387).
+
+    The reference's correlated scalar subquery (first purchase date per
+    customer, ref:308) decorrelates into a window MIN over the customer
+    partition — exactly Catalyst's RewriteCorrelatedScalarSubquery
+    outcome, written directly (SURVEY §2.9 C5).
+
+    Scale: one window exchange on o_custkey, one join to per-order item
+    counts (pre-aggregated, so the join is order-grain), then a 2-group
+    aggregate.  No per-row subquery execution anywhere.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    w = Window.partitionBy("o_custkey")
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.min("o_orderdate").over(w).alias("first_order"),
+    )
+    labeled = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "status",
+        F.when(F.year("first_order") <= OLD_YEAR, "old").otherwise("new"),
+    )
+    n_cust = F.countDistinct("o_custkey")
+    n_orders = F.count(F.lit(1))
+    spend = money_sum("o_totalprice")
+    return labeled.groupBy("status").agg(
+        n_cust.alias("n_customers"),
+        n_orders.alias("n_orders"),
+        round2(spend).alias("total_spend"),
+        ratio2(spend, n_cust).alias("avg_spend_per_cust"),
+        ratio2(n_orders, n_cust).alias("avg_orders_per_cust"),
+        ratio2(F.sum("n_items"), n_orders).alias("avg_basket_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s04 — market-basket pair affinity (ref:392-454)
+# ---------------------------------------------------------------------------
+
+_SQL_PAIRS = """
+    WITH li AS (
+      SELECT l.l_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.l_orderkey ORDER BY l.l_linenumber, l.l_partkey) AS rid,
+             p.{col} AS v
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), pairs AS (
+      SELECT LEAST(a.v, b.v) AS v1, GREATEST(a.v, b.v) AS v2
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.rid < b.rid
+      WHERE a.v <> b.v
+    )
+    SELECT v1 AS {col}_1, v2 AS {col}_2, COUNT(*) AS n_pairs
+    FROM pairs GROUP BY v1, v2
+"""
+
+
+def _pairs_selfjoin(t: dict[str, DataFrame], col: str) -> DataFrame:
+    """Literal self-join pair formulation (ref:396-410, J3).
+
+    Equi-key on the order, non-equi ``<`` residual on a per-order row id
+    to canonicalize unordered line pairs, then LEAST/GREATEST to
+    canonicalize the attribute pair.  The reference's ``<`` runs on the
+    globally-unique invoice_line_id (ref:399); the driver data's
+    ``l_linenumber`` repeats within an order, so a ROW_NUMBER id stands
+    in — pair counts are invariant to the tie order because every
+    unordered row pair is enumerated exactly once either way.
+
+    The rid sort includes ``l_partkey`` (which determines ``v``): a
+    self-join evaluates its two subtrees independently, and parallel
+    scans can present ties in different orders per evaluation.  Ordering
+    by a v-determining key makes any residual tie scramble harmless —
+    on Spark AND on the DuckDB oracle, whose inlined CTE has the same
+    double-evaluation hazard.
+    """
+    rid = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    li = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", rid.alias("rid"), F.col(col).alias("v"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .filter(F.col("a.v") != F.col("b.v"))
+        .select(
+            F.least("a.v", "b.v").alias(f"{col}_1"),
+            F.greatest("a.v", "b.v").alias(f"{col}_2"),
+        )
+        .groupBy(f"{col}_1", f"{col}_2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register("s04_affinity_types", oracle=_SQL_PAIRS.format(col="p_type"))
+def s04_affinity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-type pair purchase counts (genre affinity, ref:392-410)."""
+    return _pairs_selfjoin(load_tables(spark, sf_dir), "p_type")
+
+
+@register("s04_affinity_brands", oracle=_SQL_PAIRS.format(col="p_brand"))
+def s04_affinity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand pair purchase counts (artist/album affinity, ref:412-454)."""
+    return _pairs_selfjoin(load_tables(spark, sf_dir), "p_brand")
+
+
+@register("s04_affinity_types_scaled", oracle=_SQL_PAIRS.format(col="p_type"))
+def s04_affinity_types_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rewrite of s04_affinity_types — identical output, no
+    fact×fact shuffle join (SURVEY §4 "custom physical approach").
+
+    Collects each order's lines into an array (one shuffle, order-grain)
+    and enumerates pairs per basket with nested ``transform`` — the
+    quadratic blowup stays bounded per basket instead of materializing a
+    self-join of the whole fact table.  Hash-checked against the literal
+    self-join's oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    items = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", F.struct("l_linenumber", F.col("p_type").alias("v")).alias("it"))
+    )
+    grouped = items.groupBy("l_orderkey").agg(F.sort_array(F.collect_list("it")).alias("xs"))
+    pair_expr = F.expr(
+        """
+        flatten(transform(xs, (x, i) ->
+          transform(slice(xs, i + 2, size(xs)), y ->
+            struct(least(x.v, y.v) AS v1, greatest(x.v, y.v) AS v2, x.v <> y.v AS keep))))
+        """
+    )
+    return (
+        grouped.select(F.explode(pair_expr).alias("pr"))
+        .filter(F.col("pr.keep"))
+        .groupBy(
+            F.col("pr.v1").alias("p_type_1"),
+            F.col("pr.v2").alias("p_type_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# s05 — regional churn (ref:458-497)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s05_regional_churn",
+    oracle="""
+    WITH last AS (
+      SELECT o.o_custkey, n.n_name, MAX(o.o_orderdate) AS last_order
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY o.o_custkey, n.n_name
+    ), anchor AS (SELECT MAX(o_orderdate) AS anchor_ts FROM orders)
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN {md} >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS churned_customers,
+           ROUND(100.0 * CAST(SUM(CASE WHEN {md} >= 6 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 2) AS churn_rate_pct
+    FROM last, anchor
+    GROUP BY n_name
+    """.format(md=sql_month_diff("last_order", "anchor_ts")),
+)
+def s05_regional_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn rate per nation (ref:458-483, conditional aggregation A7)."""
+    t = load_tables(spark, sf_dir)
+    last = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("o_custkey", "n_name")
+        .agg(F.max("o_orderdate").alias("last_order"))
+    )
+    anchor = t["orders"].agg(F.max("o_orderdate").alias("anchor_ts"))
+    churned = F.sum(
+        F.when(month_diff(F.col("last_order"), F.col("anchor_ts")) >= 6, 1).otherwise(0)
+    )
+    return (
+        last.crossJoin(F.broadcast(anchor))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            churned.alias("churned_customers"),
+            F.round(
+                F.lit(100.0) * churned.cast("double") / F.count(F.lit(1)).cast("double"), 2
+            ).alias("churn_rate_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s06 / s07 — RFM risk and CLV segmentation (ref:501-645)
+# ---------------------------------------------------------------------------
+
+_SQL_RFM_BASE = """
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    ), per_cust AS (
+      SELECT o.o_custkey,
+             MAX(o.o_orderdate) AS last_order,
+             COUNT(DISTINCT o.o_orderkey) AS n_orders,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend_d,
+             SUM(li.n_items) AS n_items
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+      GROUP BY o.o_custkey
+    ), anchor AS (SELECT MAX(o_orderdate) AS anchor_ts FROM orders),
+    rfm AS (
+      SELECT p.*, {dd} AS recency_days
+      FROM per_cust p, anchor
+    )
+"""
+
+
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-customer RFM relation (ref:501-534 CTEs; reused by s06/s07).
+
+    recency = days since last order vs the dataset-max anchor;
+    frequency = distinct orders; monetary = exact decimal spend;
+    n_items for basket-size metrics.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    per_cust = (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            money_sum("o_totalprice").alias("spend_d"),
+            F.sum("n_items").alias("n_items"),
+        )
+    )
+    anchor = t["orders"].agg(F.max("o_orderdate").alias("anchor_ts"))
+    return per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", day_diff(F.col("last_order"), F.col("anchor_ts"))
+    )
+
+
+#: Risk ladder (ref:544-552, 4-level hierarchical CASE).
+_RISK_CASE_SQL = """
+    CASE WHEN recency_days >= 540 THEN 'high_risk'
+         WHEN recency_days >= 360 THEN 'medium_risk'
+         WHEN recency_days >= 180 THEN 'low_risk'
+         ELSE 'active' END
+"""
+
+
+@register(
+    "s06_risk_profile",
+    oracle=_SQL_RFM_BASE.format(dd=sql_day_diff("last_order", "anchor_ts"))
+    + f"""
+    SELECT {_RISK_CASE_SQL} AS risk_segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(recency_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+             AS avg_inactive_days,
+           ROUND(CAST(SUM(spend_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_spend,
+           ROUND(CAST(SUM(n_orders) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_orders
+    FROM rfm
+    GROUP BY 1
+    """,
+)
+def s06_risk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM risk segmentation (ref:501-558): per-segment customer counts
+    and average recency/spend/orders."""
+    rfm = _rfm_base(spark, sf_dir)
+    seg = (
+        F.when(F.col("recency_days") >= 540, "high_risk")
+        .when(F.col("recency_days") >= 360, "medium_risk")
+        .when(F.col("recency_days") >= 180, "low_risk")
+        .otherwise("active")
+    )
+    n = F.count(F.lit(1))
+    return rfm.groupBy(seg.alias("risk_segment")).agg(
+        n.alias("n_customers"),
+        ratio2(F.sum("recency_days"), n).alias("avg_inactive_days"),
+        ratio2(F.sum("spend_d"), n).alias("avg_spend"),
+        ratio2(F.sum("n_orders"), n).alias("avg_orders"),
+    )
+
+
+@register(
+    "s07_clv_segments",
+    oracle=_SQL_RFM_BASE.format(dd=sql_day_diff("last_order", "anchor_ts"))
+    + """
+    SELECT o_custkey AS c_custkey,
+           CAST(ROUND(spend_d, 2) AS DOUBLE) AS total_spend,
+           n_orders,
+           recency_days,
+           ROUND(CAST(n_items AS DOUBLE) / CAST(n_orders AS DOUBLE), 2) AS avg_basket_size,
+           CASE WHEN spend_d >= 500000 THEN 'platinum'
+                WHEN spend_d >= 250000 THEN 'gold'
+                WHEN spend_d >= 100000 THEN 'silver'
+                ELSE 'bronze' END AS value_segment,
+           CASE WHEN n_orders >= 15 THEN 'frequent'
+                WHEN n_orders >= 8 THEN 'regular'
+                ELSE 'occasional' END AS freq_segment,
+           CASE WHEN recency_days <= 180 THEN 'recent'
+                WHEN recency_days <= 365 THEN 'lapsing'
+                ELSE 'dormant' END AS recency_segment,
+           CASE WHEN ROUND(CAST(n_items AS DOUBLE) / CAST(n_orders AS DOUBLE), 2)
+                     BETWEEN 2 AND 5 THEN 'typical'
+                WHEN ROUND(CAST(n_items AS DOUBLE) / CAST(n_orders AS DOUBLE), 2) < 2
+                     THEN 'small'
+                ELSE 'large' END AS basket_segment
+    FROM rfm
+    """,
+)
+def s07_clv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLV segmentation (ref:562-645): four independent CASE dimensions
+    (value / frequency / recency / basket, incl. the BETWEEN predicate
+    P10 at ref:629) over the shared RFM base."""
+    rfm = _rfm_base(spark, sf_dir)
+    basket = F.round(F.col("n_items").cast("double") / F.col("n_orders").cast("double"), 2)
+    return rfm.select(
+        F.col("o_custkey").alias("c_custkey"),
+        round2(F.col("spend_d")).alias("total_spend"),
+        "n_orders",
+        "recency_days",
+        basket.alias("avg_basket_size"),
+        F.when(F.col("spend_d") >= 500000, "platinum")
+        .when(F.col("spend_d") >= 250000, "gold")
+        .when(F.col("spend_d") >= 100000, "silver")
+        .otherwise("bronze")
+        .alias("value_segment"),
+        F.when(F.col("n_orders") >= 15, "frequent")
+        .when(F.col("n_orders") >= 8, "regular")
+        .otherwise("occasional")
+        .alias("freq_segment"),
+        F.when(F.col("recency_days") <= 180, "recent")
+        .when(F.col("recency_days") <= 365, "lapsing")
+        .otherwise("dormant")
+        .alias("recency_segment"),
+        F.when(basket.between(2, 5), "typical")
+        .when(basket < 2, "small")
+        .otherwise("large")
+        .alias("basket_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s10 / s11 — schema evolution and geo behavior (ref:649-679)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s10_add_column",
+    oracle="SELECT *, CAST(NULL AS INTEGER) AS release_year FROM part",
+)
+def s10_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: ALTER TABLE ADD COLUMN analog (ref:649-650).
+
+    Spark-native equivalent is a projection extension re-registered as a
+    view (Delta's ALTER TABLE would do this on a real table format)."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].withColumn("release_year", F.lit(None).cast("int"))
+
+
+@register(
+    "s11_geo_behavior",
+    oracle="""
+    WITH items AS (
+      SELECT o.o_custkey, COUNT(*) AS n_items
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    ), spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_d
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(s.spend_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_spend,
+           ROUND(CAST(SUM(i.n_items) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_items
+    FROM spend s
+    JOIN items i ON s.o_custkey = i.o_custkey
+    JOIN customer c ON s.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def s11_geo_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation avg spend / items per customer (ref:654-679, two-level
+    aggregation A9: per-customer sums, then per-nation averages)."""
+    t = load_tables(spark, sf_dir)
+    items = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    spend = t["orders"].groupBy("o_custkey").agg(money_sum("o_totalprice").alias("spend_d"))
+    n = F.count(F.lit(1))
+    return (
+        spend.join(items, "o_custkey")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            n.alias("n_customers"),
+            ratio2(F.sum("spend_d"), n).alias("avg_spend"),
+            ratio2(F.sum("n_items"), n).alias("avg_items"),
+        )
+    )

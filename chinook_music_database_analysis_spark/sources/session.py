@@ -1,0 +1,124 @@
+"""Session + catalog layer.
+
+The reference binds a session to the ``chinook`` MySQL database
+(``SQL_file.sql:1``) and scans 7 base tables plus one named view.  Here
+the equivalent is a SparkSession whose catalog is populated with temp
+views over the driver-generated Parquet tables (TESTDATA.md), so every
+query can run either through the DataFrame API or ``spark.sql``.
+
+Scale notes (100 TB design point):
+  * AQE is enabled — runtime coalescing of shuffle partitions, skew-join
+    splitting, and dynamic broadcast conversion are the main levers that
+    keep the same logical plans healthy at 1000 executors.
+  * ``spark.sql.shuffle.partitions`` defaults low for local testing; on
+    a real cluster it should be ~2-3x total cores (AQE coalesces down).
+  * Facts (``orders``/``lineitem``/``events``) would be date-partitioned
+    and bucketed by join key at scale; the loaders read plain Parquet
+    directories, which is layout-agnostic — partition pruning kicks in
+    automatically when the underlying layout is partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every table the driver generates (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "chinook-spark") -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Config is chosen for local[N] testing but mirrors what a cluster
+    deployment would set: AQE on, Arrow on for any Pandas-UDF path,
+    UTC session timezone for deterministic date math.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no
+        # nanos timestamp type — read as long and convert on load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as nanos-since-epoch long (see nanosAsLong conf);
+        # the generator's values are microsecond-grained, so the
+        # nanos->micros conversion is lossless.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class _Tables(dict):
+    """Lazy table map: reads a Parquet footer only when a query actually
+    touches that table (keeps per-query planning minimal)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(name)
+        df = _load_one(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Lazy map of every driver table, keyed by name.
+
+    Reads are lazy in both senses: the footer is read on first access,
+    and Catalyst prunes columns / pushes filters into the Parquet scan
+    per consuming query.
+    """
+    return _Tables(spark, sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (the ``use chinook`` analog).
+
+    Also registers the engine's named derived view
+    ``nation0_type_sales`` — the analog of the reference's
+    ``usa_genre_sales`` view (SQL_file.sql:148-165) — so SQL-entry
+    queries can consume it like a catalog object.
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    # Deferred import: plans depends on functions only.
+    from ..plans.views import nation0_type_sales
+
+    nation0_type_sales(spark, sf_dir).createOrReplaceTempView("nation0_type_sales")
+    return dfs
