@@ -1,0 +1,164 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the reason these shapes were chosen for 100 TB):
+
+* **exact**: hash-groupBy on a content hash — one shuffle keyed by the
+  hash, perfectly parallel, no skew beyond true duplicate groups.
+* **minhash LSH**: per-doc signatures are a single groupBy over the
+  (doc, shingle) relation; candidate generation joins docs only within
+  equal (band, signature) buckets, so the quadratic pair blowup is
+  bounded per bucket instead of all-pairs.  b=4 bands x r=2 rows.
+* **simhash**: per-(doc, bit) partial sums — linear, shuffle keyed by
+  doc; near-dup lookup is then a bounded hamming-ball probe.
+* **n-gram jaccard**: exact verification ONLY on LSH candidate pairs
+  (never all pairs) — the canonical two-stage candidate/verify split.
+
+Hash function: md5 (identical output on Spark and DuckDB), salted per
+hash-slot.  Min-of-salted-md5 over a shingle set is a valid minhash
+family for set similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingles_expr, tokens_expr
+
+#: MinHash layout: N_HASHES salted hashes grouped into BANDS bands of
+#: ROWS_PER_BAND each (b=4, r=4 -> candidate if any band matches; the
+#: match threshold is roughly (1/b)^(1/r) ~ 0.7 Jaccard).  r=2 was
+#: measured far too permissive on shared-vocabulary corpora (~7% of
+#: all pairs became candidates at sf0.1 — an all-pairs blowup in
+#: disguise); r=4 keeps the candidate set near-linear.
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+
+#: SimHash width in bits (nibbles of the word-level md5).
+SIMHASH_BITS = 16
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the set representation used
+    by minhash and jaccard."""
+    return docs.select(
+        "doc_id", F.explode(shingles_expr()).alias("s")
+    ).distinct()
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by normalized-content hash: one
+    representative (min doc_id) + copy count per distinct content."""
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc minhash signature: min over the shingle set of md5
+    salted per hash slot (columns h0..h{N_HASHES-1})."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"h{h}")
+        for h in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig) — the LSH bucket keys."""
+    sig = minhash_signatures(docs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(
+                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("band_sig"),
+        )
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_sig")
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    The self-join is keyed on (band_id, band_sig) — only same-bucket
+    docs ever meet, which is what bounds the blowup at scale.
+    """
+    bands = minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Exact shingle-set Jaccard, verified only on LSH candidates
+    (candidate/verify split — never all-pairs)."""
+    sh = doc_shingles(docs)
+    cand = minhash_candidate_pairs(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        4,
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """Per-doc SimHash over the distinct word set.
+
+    Each word hashes to SIMHASH_BITS bits (md5 nibbles); per bit,
+    words vote +1/-1 and the sign of the tally sets the output bit.
+    Written as explode(words) x explode(bits) -> partial-sum groupBy,
+    which distributes with no UDFs; at 100 TB the (doc, bit) key space
+    is 16x the doc count — still a linear shuffle.
+    """
+    w = docs.select("doc_id", F.explode(tokens_expr()).alias("w")).distinct()
+    bits = w.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"), "w"
+    )
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', substring(md5(w), (j div 4) + 1, 1)) - 1,"
+        " j % 4) & 1"
+    )
+    score = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("score")
+    )
+    return score.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )

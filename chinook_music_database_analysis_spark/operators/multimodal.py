@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store payloads as
+``binary`` columns (or object-store URIs) beside typed metadata, and
+run decode / feature-extraction as Arrow-batched ``mapInPandas`` so
+each executor processes whole record batches without JVM<->Python
+per-row overhead.
+
+The decode step itself is STUBBED — this container has no image/audio
+libraries — with a deterministic fake (byte-length arithmetic) behind
+the same signature a real decoder would have (see ``_decode_batch``).
+Everything Spark-side (schema, batching, partitioning) is real and
+oracle-checkable because the fake is a pure function of byte length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Output schema of the decode stage.
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def with_media(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + media metadata to each doc.
+
+    Here the payload is the utf-8 text bytes standing in for an encoded
+    image; in production this column comes straight from the source
+    (parquet binary / object-store fetch)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("media_bytes"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _decode_media(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB decoder: deterministic fake dimensions from byte length.
+
+    A real implementation would be e.g.::
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(payload))
+        return len(payload), img.width, img.height, len(img.getbands())
+
+    but PIL is not available in this container; the fake keeps the
+    full pipeline testable (and oracle-checkable, since it is a pure
+    function of byte length).
+    """
+    n = len(payload)
+    return n, n % 512, (n * 7) % 512, 3
+
+
+def _decode_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import pandas as pd
+
+    for pdf in batches:
+        decoded = pdf["media_bytes"].map(_decode_media)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": decoded.map(lambda t: t[0]),
+                "width": decoded.map(lambda t: t[1]),
+                "height": decoded.map(lambda t: t[2]),
+                "channels": decoded.map(lambda t: t[3]),
+            }
+        )
+
+
+def media_features(docs: DataFrame) -> DataFrame:
+    """Binary -> features via Arrow-batched mapInPandas (the real
+    multimodal execution shape; only the innermost decode is faked)."""
+    media = with_media(docs)
+    return media.mapInPandas(_decode_batch, schema=MEDIA_FEATURES_SCHEMA)

@@ -1,0 +1,122 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All operators are pure DataFrame -> DataFrame, built from JVM-side
+``pyspark.sql.functions`` only (no Python UDFs in any hot path), so
+they stay inside whole-stage codegen and scale linearly with input
+partitions — the 100 TB path is embarrassingly parallel per document.
+
+Cross-engine determinism: every derived metric is integer/string math
+or an explicitly-ordered float formula, so the DuckDB oracles in
+plans/extensions.py reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: char-shingle width shared by dedup/fingerprint operators.
+SHINGLE_K = 5
+
+#: Tiny function-word lists for the language-ID heuristic.  The point
+#: is the operator shape (token-set overlap scoring), not lexicography.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "los", "y", "que", "en", "un", "es", "se"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def tokens_expr(col: str = "text") -> Column:
+    """Whitespace tokenization (the BPE-ish regex split)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def shingles_expr(col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Array of character k-gram shingles of ``col``.
+
+    ``substring`` is 1-based on both engines; texts shorter than k
+    yield one (short) shingle.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(char_length({col}) - {k - 1}, 1)),"
+        f" i -> substring({col}, i, {k}))"
+    )
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(toks, t -> t IN ({inlist})))")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/quality metrics (length, token count, average
+    token length, stopword ratio, and a composite quality score).
+
+    Quality heuristic: longer docs with a healthy stopword ratio score
+    higher — the standard cheap pre-filter in training-data pipelines.
+    """
+    toks = tokens_expr()
+    d = docs.select("doc_id", "text", toks.alias("toks"))
+    n_tokens = F.size("toks")
+    total_tok_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    sw = _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"])
+    n_chars = F.length("text")
+    stop_ratio = F.round(sw.cast("double") / n_tokens.cast("double"), 4)
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(total_tok_chars.cast("double") / n_tokens.cast("double"), 4).alias(
+            "avg_token_len"
+        ),
+        stop_ratio.alias("stopword_ratio"),
+        # score = min(1, tokens/100) * (0.5 + stopword share), rounded.
+        F.round(
+            F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0))
+            * (F.lit(0.5) + sw.cast("double") / n_tokens.cast("double")),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: score = count of tokens hitting
+    each language's function-word list; argmax with a fixed priority
+    tie-break (en > de > es > fr > zh) so the choice is deterministic.
+    """
+    d = docs.select("doc_id", "lang", tokens_expr().alias("toks"))
+    scores = {
+        lang: _stopword_hits(F.col("toks"), words) for lang, words in LANG_STOPWORDS.items()
+    }
+    c = {lang: F.col(f"c_{lang}") for lang in scores}
+    scored = d.select(
+        "doc_id", "lang", *[expr.alias(f"c_{lang}") for lang, expr in scores.items()]
+    )
+    pred = (
+        F.when(
+            (c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["zh"]),
+            "en",
+        )
+        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] >= c["zh"]), "de")
+        .when((c["es"] >= c["fr"]) & (c["es"] >= c["zh"]), "es")
+        .when(c["fr"] >= c["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: a full-content hash (exact-dup key over
+    whitespace-normalized text) and a min-shingle signature (stable
+    under small edits — the rolling-hash analog built from md5, which
+    both engines implement identically)."""
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    d = docs.select("doc_id", norm.alias("norm_text"), shingles_expr().alias("sh"))
+    return d.select(
+        "doc_id",
+        F.md5("norm_text").alias("content_hash"),
+        F.expr("array_min(transform(sh, s -> md5(s)))").alias("min_shingle_sig"),
+    )

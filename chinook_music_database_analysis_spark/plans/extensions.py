@@ -1,7 +1,489 @@
 """Extension queries: dedup, similarity search, text analysis,
 multimodal plumbing, and batch-equivalents of the streaming ops.
 
-Populated incrementally; see operators/ for the implementations.
+These are the training-data-pipeline operators mandated by the north
+star (SURVEY.md §2.11/BASELINE.json): each one is registered exactly
+like a parity query — Spark builder + DuckDB oracle — so the driver's
+hash gate covers them too.  The oracle SQL mirrors the Spark logic
+construct-for-construct (same hash = md5, same index-ordered float
+accumulation, same rounding), which is what makes exact comparison
+possible.
+
+Implementations live in operators/; this module is the registry glue.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.multimodal import media_features
+from ..operators.similarity import N_PLANES, cosine_topk, lsh_topk
+from ..operators.text import LANG_STOPWORDS, SHINGLE_K, fingerprint, lang_id, text_stats
+from ..functions import money_sum, round2
+from ..sources import load_tables
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (mirror operators/text.py + dedup.py)
+# ---------------------------------------------------------------------------
+
+#: distinct (doc_id, shingle) pairs — char 5-grams.
+_SQL_SHINGLES = f"""
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest([substring(text, i, {SHINGLE_K})
+                   for i in range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)]) AS s
+    FROM documents
+  )
+""".strip()
+
+_SQL_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{h}|' || s)) AS h{h}" for h in range(N_HASHES))
+    + " FROM sh GROUP BY doc_id)"
+)
+
+_SQL_BANDS = (
+    "bands AS (SELECT doc_id, unnest(["
+    + ", ".join(
+        "||".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        for b in range(BANDS)
+    )
+    + "]) AS band_sig, unnest(["
+    + ", ".join(str(b) for b in range(BANDS))
+    + "]) AS band_id FROM sig)"
+)
+
+_SQL_CAND = """
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+  )
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SW_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@register(
+    "tx_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+           ROUND(CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+           ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                 * (0.5 + CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)), 4) AS quality_score
+    FROM d
+    """,
+)
+def tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents (operators.text)."""
+    return text_stats(load_tables(spark, sf_dir)["documents"])
+
+
+def _sql_langid() -> str:
+    counts = ", ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), scored AS (SELECT doc_id, lang, {counts} FROM d)
+    SELECT doc_id, lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+    """
+
+
+@register("tx_langid", oracle=_sql_langid())
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (function-word overlap, deterministic
+    argmax)."""
+    return lang_id(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "tx_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
+           list_aggregate([md5(substring(text, i, {SHINGLE_K}))
+                           for i in range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)],
+                          'min') AS min_shingle_sig
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hash + min-shingle signature per document."""
+    return fingerprint(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_exact",
+    oracle="""
+    SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS rep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content."""
+    return exact_dedup(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dd_minhash_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND}
+    SELECT doc_a, doc_b FROM cand
+    """,
+)
+def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (b={BANDS} bands, r={ROWS}
+    rows).""".format(BANDS=BANDS, ROWS=ROWS_PER_BAND)
+    return minhash_candidate_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) >= 0.2
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the LSH candidate pairs."""
+    return ngram_jaccard_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dd_simhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, b.j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                    substring(md5(w.w), CAST(b.j // 4 AS INTEGER) + 1, 1)) - 1)
+                            >> CAST(b.j % 4 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS score
+      FROM w, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j) b
+      GROUP BY doc_id, b.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per document (word-vote bit tally)."""
+    return simhash(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_COS = """
+  ROUND(
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+                            i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                                    i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))),
+    6)
+""".strip()
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for queries vec_id < 10."""
+    return cosine_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
+def _sql_bucket(alias: str) -> str:
+    """DuckDB mirror of operators.similarity._bucket_expr."""
+    terms = []
+    for p in range(N_PLANES):
+        proj = (
+            f"list_sum(list_transform(range(1, len({alias}.embedding) + 1),"
+            f" i -> {alias}.embedding[i]::DOUBLE * CASE WHEN"
+            f" (strpos('0123456789abcdef',"
+            f" substring(md5(concat('{p}', '|', CAST(i - 1 AS VARCHAR))), 1, 1)) - 1) % 2 = 0"
+            f" THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH wb AS (
+      SELECT e.vec_id, e.embedding, {_sql_bucket('e')} AS bucket FROM embeddings e
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, bucket AS q_bucket
+      FROM wb WHERE vec_id < 10
+    ), p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+      FROM wb e, q
+      WHERE e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: sign-projection LSH buckets + exact scoring
+    within bucket (the scale path; recall < 1 by design)."""
+    return lsh_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_media_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 512 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media -> features via Arrow-batched mapInPandas.  The
+    decode is a deterministic stub (no image libs in container), which
+    is what makes this oracle-checkable; the Spark-side plumbing
+    (binary column, schema, batching) is real."""
+    return media_features(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators (batch equivalents; streaming/ has the
+# readStream versions of the same logic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_tumbling_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation (streaming shape, batch mode)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round2(money_sum("value")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "ev_sliding_1h_30m",
+    oracle="""
+    WITH x AS (
+      SELECT unnest([
+               make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+               make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+             ]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m window aggregation — each event lands in two
+    windows (the oracle materializes both epoch-aligned starts)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round2(money_sum("value")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "ev_sessionized",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def ev_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — Spark's session_window
+    in batch mode; the oracle reconstructs sessions with the classic
+    lag-gap / running-sum technique."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "ev_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on (user_id, event_type) — batch analog of
+    streaming dropDuplicatesWithinWatermark, made deterministic with a
+    (ts, event_id) order."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "ev_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.k out of the JSON-ish
+    payload and aggregate per event type."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(k).alias("sum_k"))
+    )
