@@ -41,10 +41,17 @@ SIMHASH_BITS = 16
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the set representation used
-    by minhash and jaccard."""
-    return docs.select(
-        "doc_id", F.explode(shingles_expr()).alias("s")
-    ).distinct()
+    by minhash and jaccard.
+
+    Repartitioned by doc_id before the explode: document corpora often
+    arrive as few large files, and the ~300x shingle fan-out must run
+    after the data is spread across cores/executors, not before.
+    """
+    return (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(shingles_expr()).alias("s"))
+        .distinct()
+    )
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -58,20 +65,35 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """Per-doc minhash signature: min over the shingle set of md5
-    salted per hash slot (columns h0..h{N_HASHES-1})."""
-    sh = doc_shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"h{h}")
-        for h in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    salted per hash slot (columns h0..h{N_HASHES-1}).
+
+    The N_HASHES md5s are computed once per *distinct shingle string*
+    (the vocabulary) and joined back to the (doc, shingle) relation —
+    shingle vocabularies are heavily shared across docs, so this cuts
+    the hash work by the sharing factor (measured ~10x on the driver
+    corpus).  Same aggregation result, since min(md5) only depends on
+    the shingle values.
+    """
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    vocab = sh.select("s").distinct().select(
+        "s",
+        *[
+            F.md5(F.concat(F.lit(f"{h}|"), F.col("s"))).alias(f"v{h}")
+            for h in range(N_HASHES)
+        ],
+    )
+    return (
+        sh.join(vocab, "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"v{h}").alias(f"h{h}") for h in range(N_HASHES)])
+    )
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, band_id, band_sig) — the LSH bucket keys."""
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs, shingles)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -86,13 +108,20 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "bd.band_id", "bd.band_sig")
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     The self-join is keyed on (band_id, band_sig) — only same-bucket
     docs ever meet, which is what bounds the blowup at scale.
+
+    Pass a cached ``bands`` relation to avoid evaluating the signature
+    pipeline twice — Spark executes both sides of a self-join
+    independently unless the input is persisted.
     """
-    bands = minhash_bands(docs)
+    if bands is None:
+        bands = minhash_bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -106,11 +135,21 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard, verified only on LSH candidates
-    (candidate/verify split — never all-pairs)."""
-    sh = doc_shingles(docs)
-    cand = minhash_candidate_pairs(docs)
+    (candidate/verify split — never all-pairs).
+
+    ``shingles``/``bands`` accept persisted relations; the shingle set
+    is read three times (two intersection sides + sizes) and the band
+    relation twice, so callers should cache them (plans/extensions
+    does, keyed per session+sf)."""
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    cand = minhash_candidate_pairs(docs, bands=bands)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -144,7 +183,11 @@ def simhash(docs: DataFrame) -> DataFrame:
     which distributes with no UDFs; at 100 TB the (doc, bit) key space
     is 16x the doc count — still a linear shuffle.
     """
-    w = docs.select("doc_id", F.explode(tokens_expr()).alias("w")).distinct()
+    w = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(tokens_expr()).alias("w"))
+        .distinct()
+    )
     bits = w.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"), "w"
     )

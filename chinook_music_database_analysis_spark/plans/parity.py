@@ -60,19 +60,24 @@ SQL_STAR_N0 = f"""
 def _star_n0(t: dict[str, DataFrame]) -> DataFrame:
     """lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation, filtered to NATION_0.
 
-    The reference's flagship join shape (ref:32-42).  The nation filter
-    is declared after the joins but Catalyst pushes it below them and
-    into the Parquet scans of ``nation``; ``nation`` (25 rows) is an
-    explicit broadcast, the rest is left to AQE (part/customer scale
-    with SF — broadcast only when runtime stats allow).
+    The reference's flagship join shape (ref:32-42), ordered
+    selective-side-first for scale: the nation filter (pushed into the
+    nation scan) reduces customers ~25x, that reduces orders, and only
+    the surviving ~4% of lineitem rows ever meet ``part``.  Catalyst
+    doesn't reorder DataFrame joins without CBO stats, so the builder
+    encodes the order a cost-based optimizer would pick; at local SF
+    every dim side ends up broadcast anyway.
     """
-    return (
-        t["lineitem"]
-        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    cust_n0 = (
+        t["customer"]
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name") == NATION0)
+    )
+    orders_n0 = t["orders"].join(cust_n0, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        t["lineitem"]
+        .join(orders_n0, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
 
 
@@ -327,22 +332,24 @@ def q06_top_part_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference's ROW_NUMBER is tie-nondeterministic (SURVEY §7.4.1);
     the engine adds ``p_partkey`` as a deterministic tie-break.
 
-    Scale: agg to (customer, part) grain before the window; window
-    partitions by customer so state per partition is tiny.
+    Scale: aggregate to (custkey, partkey) grain FIRST on keys alone,
+    window down to one row per customer, and only then join the name
+    dimensions — the joins run on |customers| rows instead of
+    |lineitem| rows, and the window state per customer partition is
+    tiny.
     """
     t = load_tables(spark, sf_dir)
     s = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("c_custkey", "c_name", "p_partkey", "p_name")
+        .groupBy("o_custkey", "l_partkey")
         .agg(F.sum(money("l_quantity")).alias("qty_d"))
     )
-    w = Window.partitionBy("c_custkey").orderBy(F.col("qty_d").desc(), F.col("p_partkey"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("qty_d").desc(), F.col("l_partkey"))
+    top = s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        s.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        top.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .select("c_custkey", "c_name", "p_name", round2(F.col("qty_d")).alias("total_qty"))
     )
 
@@ -536,18 +543,22 @@ def q10_multi_type_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact COUNT(DISTINCT) — Spark plans the expand + two-phase
     aggregate; at 100 TB this stays shuffle-bound on (custkey, type)
-    pairs, which is the exact-semantics floor.
+    pairs, which is the exact-semantics floor.  The customer name
+    dimension joins after the HAVING filter, on the reduced relation.
     """
     t = load_tables(spark, sf_dir)
-    return (
+    part_types = t["part"].select("p_partkey", "p_type")
+    counts = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("c_custkey", "c_name")
+        .join(part_types, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("o_custkey")
         .agg(F.countDistinct("p_type").alias("n_types"))
         .filter(F.col("n_types") > 2)
     )
+    return counts.join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_custkey", "c_name", "n_types")
 
 
 @register(

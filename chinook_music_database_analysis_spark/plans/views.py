@@ -20,6 +20,13 @@ from ..sources import load_tables
 
 NATION0 = "NATION_0"
 
+#: Memoized + Spark-cached view instances keyed by (app id, sf_dir).
+#: The reference view is consumed by four statements (ref:168, :197,
+#: :221, :270); caching the 6-row aggregate means the underlying star
+#: join runs once per session instead of once per consumer — the
+#: Spark-native analog of a materialized view, correctness-neutral.
+_VIEW_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 #: Oracle-side text of the view, reused by every SQL consumer.
 SQL_NATION0_TYPE_SALES = f"""
 nation0_type_sales AS (
@@ -52,20 +59,28 @@ def nation0_type_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     share/rank windows run over a 6-row aggregate — negligible at any
     scale because aggregation reduced cardinality first.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VIEW_CACHE:
+        return _VIEW_CACHE[key]
     t = load_tables(spark, sf_dir)
-    sales = (
-        t["lineitem"]
-        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    cust_n0 = (
+        t["customer"]
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name") == NATION0)
+    )
+    sales = (
+        t["lineitem"]
+        .join(
+            t["orders"].join(cust_n0, F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(F.sum(revenue_expr()).alias("rev_d"))
     )
     w_all = Window.partitionBy()
     w_rank = Window.orderBy(F.col("rev_d").desc())
-    return sales.select(
+    out = sales.select(
         "p_type",
         round2(F.col("rev_d")).alias("revenue"),
         F.round(
@@ -75,4 +90,6 @@ def nation0_type_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("pct_of_nation"),
         F.rank().over(w_rank).alias("rnk"),
-    )
+    ).cache()
+    _VIEW_CACHE[key] = out
+    return out

@@ -1,0 +1,85 @@
+"""Structured Streaming versions of the event operators.
+
+The batch shapes (plans/extensions.py ev_*) define the semantics and
+are oracle-checked; these builders run the same logic as streams:
+``readStream`` over the events parquet -> watermarked windowed
+aggregation / stateful dedup -> sink.
+
+Design for scale: file-source streaming here stands in for Kafka — the
+transformations are source-agnostic.  Watermarks bound state (late
+rows beyond 1 hour are dropped); session windows and
+dropDuplicatesWithinWatermark are the two stateful operators the
+reference workload lacks but an events pipeline needs.
+
+Tests drive these with ``trigger(availableNow=True)`` into a memory
+sink and compare against the batch equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import money_sum, round2
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table (file source standing in for Kafka).
+
+    The nanos->micros ts conversion matches sources.session._load_one.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source wants a directory base path — glob the
+    # single file so the base resolves to the sf directory.
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling 1h aggregation (streaming ev_tumbling_1h)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round2(money_sum("value")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionized_stream(events: DataFrame) -> DataFrame:
+    """Watermarked session windows per user (streaming ev_sessionized)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): keeps the
+    first arrival per key, with state bounded by the watermark."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink and return the materialized result table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,42 @@
+"""Structured Streaming tests: the readStream versions must agree with
+their oracle-checked batch equivalents when run to completion."""
+
+from __future__ import annotations
+
+from chinook_music_database_analysis_spark.plans import QUERIES
+from chinook_music_database_analysis_spark.streaming.events import (
+    dedup_within_watermark_stream,
+    read_events_stream,
+    run_to_memory,
+    sessionized_stream,
+    tumbling_counts_stream,
+)
+
+from conftest import SF_TEST_DIR, assert_frames_match
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream = tumbling_counts_stream(read_events_stream(spark, SF_TEST_DIR))
+    got = run_to_memory(stream, "t_tumbling").toPandas()
+    want = QUERIES["ev_tumbling_1h"](spark, SF_TEST_DIR).toPandas()
+    assert_frames_match(got, want, "tumbling_stream_vs_batch")
+
+
+def test_session_stream_matches_batch(spark):
+    stream = sessionized_stream(read_events_stream(spark, SF_TEST_DIR))
+    got = run_to_memory(stream, "t_sessions").toPandas()
+    want = QUERIES["ev_sessionized"](spark, SF_TEST_DIR).toPandas()
+    assert_frames_match(got, want, "session_stream_vs_batch")
+
+
+def test_dedup_stream_keys_match_batch(spark):
+    # Within a single batch the row kept per key is arrival-order
+    # dependent; the key SET is deterministic and must match the batch
+    # keep-first dedup.
+    stream = dedup_within_watermark_stream(read_events_stream(spark, SF_TEST_DIR))
+    got = run_to_memory(stream, "t_dedup", output_mode="append").toPandas()
+    want = QUERIES["ev_dedup_first"](spark, SF_TEST_DIR).toPandas()
+    got_keys = set(map(tuple, got[["user_id", "event_type"]].itertuples(index=False)))
+    want_keys = set(map(tuple, want[["user_id", "event_type"]].itertuples(index=False)))
+    assert got_keys == want_keys
+    assert len(got) == len(want)
