@@ -1,0 +1,65 @@
+"""User-facing engine facade.
+
+The reference workload is "a session bound to the chinook database
+plus 19 analytical statements" (ref /root/reference/SQL_file.sql:1).
+The engine equivalent: one object owning a SparkSession with every
+table (and the derived view) registered, exposing
+
+* ``engine.sql(text)``      — raw Spark SQL over the registered views
+  (entry point 1 of SURVEY.md §3.1),
+* ``engine.query(name)``    — the typed query registry (every SURVEY
+  §2.12 parity query + every extension),
+* ``engine.explain(name)``  — the EXPLAIN surface (formatted physical
+  plan, SURVEY §3.1 step 6),
+* ``engine.tables``         — the catalog.
+
+Usage::
+
+    from chinook_music_database_analysis_spark.engine import Engine
+    eng = Engine(sf_dir="/root/testdata/sf0.01")
+    eng.query("q02_top_parts_nation0").show()
+    eng.sql("SELECT * FROM nation0_type_sales ORDER BY rnk").show()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans import ORACLES, QUERIES
+from .sources import get_spark, register_views
+from .sources.session import DEFAULT_SF_DIR
+
+
+class Engine:
+    """A session + catalog + query registry bound to one data directory."""
+
+    def __init__(self, sf_dir: str = DEFAULT_SF_DIR, spark: SparkSession | None = None):
+        self.spark = spark or get_spark("chinook-engine")
+        self.sf_dir = sf_dir
+        self.tables = register_views(self.spark, sf_dir)
+
+    # -- entry point 1: SQL text ------------------------------------------------
+    def sql(self, text: str) -> DataFrame:
+        """Run Spark SQL against the registered catalog (tables + the
+        nation0_type_sales view)."""
+        return self.spark.sql(text)
+
+    # -- entry point 2: typed registry -----------------------------------------
+    def query(self, name: str) -> DataFrame:
+        """Build a registered query's DataFrame (lazily; no action run)."""
+        return QUERIES[name](self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        return sorted(QUERIES)
+
+    def oracle(self, name: str) -> str | None:
+        """The ANSI-SQL oracle text for a query (None for ops that have
+        no SQL equivalent)."""
+        return ORACLES.get(name)
+
+    # -- inspection -------------------------------------------------------------
+    def explain(self, name: str, mode: str = "formatted") -> str:
+        """The EXPLAIN surface: Catalyst's plan for a registered query."""
+        df = self.query(name)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return df._jdf.queryExecution().explainString(jmode)

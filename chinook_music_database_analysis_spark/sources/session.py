@@ -115,8 +115,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     queries can consume it like a catalog object.
     """
     dfs = load_tables(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    # Iterate TABLES (not dfs.items()) — the lazy map materializes a
+    # table only on access, so .items() would be empty here.
+    for name in TABLES:
+        dfs[name].createOrReplaceTempView(name)
     # Deferred import: plans depends on functions only.
     from ..plans.views import nation0_type_sales
 

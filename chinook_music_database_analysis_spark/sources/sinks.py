@@ -1,0 +1,48 @@
+"""Sinks: partitioned/bucketed Parquet writers.
+
+The reference's only sink is a result set to the client (SURVEY §2.1
+S6).  At 100 TB the engine's fact tables live date-partitioned (and
+optionally bucketed by join key) so partition pruning and storage-
+partitioned joins kick in; these helpers encode that layout policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_result(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Plain Parquet result sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_fact_by_date(
+    df: DataFrame, path: str, ts_col: str, mode: str = "overwrite"
+) -> None:
+    """Date-partitioned fact layout: one directory per day.
+
+    Downstream scans filtered on the date (e.g. the churn anchor
+    windows) prune partitions statically; joins against a date
+    dimension prune dynamically (DPP).
+    """
+    (
+        df.withColumn("_date", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("_date")
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Bucketed managed table: co-locates both sides of a recurring
+    equi-join (e.g. lineitem/orders on the order key) so the join
+    becomes shuffle-free (storage-partitioned)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )

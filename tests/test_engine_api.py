@@ -1,0 +1,77 @@
+"""Engine facade, remediation operators, and sink layout tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from chinook_music_database_analysis_spark.engine import Engine
+from chinook_music_database_analysis_spark.operators.quality import (
+    drop_duplicate_keys,
+    fill_missing,
+    null_report,
+)
+from chinook_music_database_analysis_spark.sources.sinks import write_fact_by_date
+
+from conftest import SF_TEST_DIR
+
+
+def test_engine_sql_entry_over_view(spark):
+    eng = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    pdf = eng.sql(
+        "SELECT p_type, rnk FROM nation0_type_sales ORDER BY rnk"
+    ).toPandas()
+    # SQL entry must agree with the typed registry for the same relation.
+    want = eng.query("q11_type_rank_nation0").toPandas().sort_values("rnk")
+    assert list(pdf.p_type) == list(want.p_type)
+
+
+def test_engine_sql_matches_dataframe_query(spark):
+    eng = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    got = eng.sql(
+        """
+        SELECT n.n_name, COUNT(o.o_orderkey) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    ).toPandas()
+    want = eng.query("q04_rev_by_geo").toPandas()
+    m = got.merge(want, on="n_name", suffixes=("_sql", "_df"))
+    assert (m.n_orders_sql == m.n_orders_df).all()
+
+
+def test_engine_explain_surface(spark):
+    eng = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    plan = eng.explain("q02_top_parts_nation0")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "Scan parquet" in plan
+
+
+def test_quality_remediation(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (1, "a", 1.5), (2, None, None)],
+        "id int, s string, v double",
+    )
+    assert drop_duplicate_keys(df, "id").count() == 2
+    filled = fill_missing(df).toPandas()
+    assert (filled.s.fillna("") != "").all()
+    assert filled.v.notna().all()
+    rep = null_report(df).toPandas()
+    assert rep.s.iloc[0] == 1 and rep.v.iloc[0] == 1 and rep.id.iloc[0] == 0
+
+
+def test_date_partitioned_sink_prunes(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_by_date")
+    write_fact_by_date(orders.limit(500), out, "o_orderdate")
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    one_day = back.select("_date").distinct().limit(1).collect()[0][0]
+    pruned = back.filter(F.col("_date") == F.lit(one_day))
+    # partition filter must reach the scan (pruning, not post-filter)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() > 0

@@ -1,0 +1,111 @@
+"""Operator-invariant property tests (SURVEY.md §5.2 layer 3).
+
+These check internal consistency of the engine's outputs — relations
+that must hold regardless of data — complementing the oracle gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from chinook_music_database_analysis_spark.plans import QUERIES
+
+from conftest import SF_TEST_DIR
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    """Materialize the queries these properties inspect (once)."""
+    names = [
+        "q02_top_parts_nation0",
+        "q05_top5_cust_per_nation",
+        "q08_churn_rate",
+        "q09_type_pct_nation0",
+        "s04_affinity_types",
+        "s04_affinity_types_scaled",
+        "s05_regional_churn",
+        "q10_multi_type_cust",
+        "sim_bruteforce_topk",
+        "sim_lsh_topk",
+        "dd_ngram_jaccard",
+        "tx_langid",
+    ]
+    return {n: QUERIES[n](spark, SF_TEST_DIR).toPandas() for n in names}
+
+
+def test_rank_starts_at_one_and_is_dense_enough(results):
+    r = results["q02_top_parts_nation0"]
+    assert r.rnk.min() == 1
+    # RANK can skip after ties but the filtered prefix must be contiguous
+    # from 1 in the sense that every rank value <= 5.
+    assert (r.rnk <= 5).all()
+
+
+def test_dense_rank_per_group_contiguous(results):
+    r = results["q05_top5_cust_per_nation"]
+    for _, g in r.groupby("n_name"):
+        ranks = sorted(g.rnk.unique())
+        assert ranks == list(range(1, len(ranks) + 1)), "DENSE_RANK must not skip"
+
+
+def test_churn_rate_bounds(results):
+    r = results["q08_churn_rate"]
+    assert 0 <= r.churn_rate_pct.iloc[0] <= 100
+    assert r.churned_customers.iloc[0] <= r.total_customers.iloc[0]
+    s = results["s05_regional_churn"]
+    assert s.churn_rate_pct.between(0, 100).all()
+    assert (s.churned_customers <= s.n_customers).all()
+
+
+def test_view_pct_sums_to_100(results):
+    r = results["q09_type_pct_nation0"]
+    assert abs(r.pct_of_nation.sum() - 100.0) < 0.05  # rounding slack
+
+
+def test_pair_canonicalization_and_rewrite_equivalence(results):
+    lit = results["s04_affinity_types"]
+    assert (lit.p_type_1 < lit.p_type_2).all(), "pairs must be canonical a<b"
+    scaled = results["s04_affinity_types_scaled"]
+    a = lit.sort_values(["p_type_1", "p_type_2"]).reset_index(drop=True)
+    b = scaled.sort_values(["p_type_1", "p_type_2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_count_distinct_bounded(results):
+    r = results["q10_multi_type_cust"]
+    assert (r.n_types > 2).all()
+    assert (r.n_types <= 6).all()  # only 6 p_type values exist
+
+
+def test_topk_is_prefix_of_full_ranking(results):
+    r = results["sim_bruteforce_topk"]
+    for _, g in r.groupby("query_id"):
+        assert sorted(g.rnk) == list(range(1, len(g) + 1))
+        # descending by rounded cosine with neighbor_id tiebreak
+        gg = g.sort_values("rnk")
+        assert (gg.cos_sim.diff().dropna() <= 1e-12).all()
+
+
+def test_lsh_is_subset_quality(results):
+    """Every LSH hit must also appear in the brute-force scoring with
+    the same cosine (same scoring function, restricted candidates)."""
+    bf = results["sim_bruteforce_topk"]
+    lsh = results["sim_lsh_topk"]
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf.itertuples()}
+    for r in lsh.itertuples():
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_scores:
+            assert abs(bf_scores[key] - r.cos_sim) < 1e-9
+
+
+def test_jaccard_bounds(results):
+    r = results["dd_ngram_jaccard"]
+    assert r.jaccard.between(0, 1).all()
+    assert (r.doc_a < r.doc_b).all()
+
+
+def test_langid_outputs_known_labels(results):
+    r = results["tx_langid"]
+    assert set(r.pred_lang.unique()) <= {"en", "de", "es", "fr", "zh"}
+    assert len(r) == r.doc_id.nunique()

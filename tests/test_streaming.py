@@ -40,3 +40,39 @@ def test_dedup_stream_keys_match_batch(spark):
     want_keys = set(map(tuple, want[["user_id", "event_type"]].itertuples(index=False)))
     assert got_keys == want_keys
     assert len(got) == len(want)
+
+
+def test_stateful_running_totals(spark):
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.streaming.stateful import (
+        user_running_totals_stream,
+    )
+
+    stream = user_running_totals_stream(read_events_stream(spark, SF_TEST_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Last update per user must equal the batch per-user totals.
+    got = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        spark.read.parquet(f"{SF_TEST_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got.n_events == want.n_events).all()
