@@ -105,6 +105,59 @@ def _bucket_expr(emb_col: str) -> F.Column:
     return F.expr(" + ".join(bits)).cast("int")
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space analog
+    of minhash dedup: candidates meet only inside an LSH bucket, then
+    exact cosine filters by threshold.
+
+    The threshold is corpus-relative (the driver's synthetic embeddings
+    are near-orthogonal, so 0.2 is 'suspiciously similar' there; a real
+    near-dup sweep over model embeddings would run ~0.95).
+    """
+    wb = emb.withColumn("bucket", _bucket_expr("embedding"))
+    a = wb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = wb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cos = F.round(
+        _dot("emb_a", "emb_b")
+        / (F.sqrt(_dot("emb_a", "emb_a")) * F.sqrt(_dot("emb_b", "emb_b"))),
+        6,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def l2_norms_pandas(emb: DataFrame) -> DataFrame:
+    """Vectorized Pandas-UDF L2 norms — the Arrow-batched Python path
+    for numeric kernels the built-ins can't express (here they can;
+    tests cross-check this against the JVM-side aggregate to pin the
+    Arrow array handling)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _l2(v):
+        # Upcast before accumulating: float32 dot products drift ~1e-8
+        # from the double-precision JVM path.
+        return v.map(
+            lambda arr: float(np.sqrt(np.dot(a64 := np.asarray(arr, dtype=np.float64), a64)))
+        )
+
+    # Real annotation objects (PEP-563 string hints from `from
+    # __future__ import annotations` would be unresolvable for
+    # pyspark's Series->Series signature inference).
+    _l2.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    l2 = pandas_udf(_l2, "double")
+    return emb.select("vec_id", l2("embedding").alias("l2_norm"))
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Approximate top-k: exact cosine restricted to same-LSH-bucket
     candidates.  Returns <= k neighbors per query (fewer when the

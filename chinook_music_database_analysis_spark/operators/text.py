@@ -61,6 +61,8 @@ def text_stats(docs: DataFrame) -> DataFrame:
     toks = tokens_expr()
     d = docs.select("doc_id", "text", toks.alias("toks"))
     n_tokens = F.size("toks")
+    # BPE-ish segmentation: alpha runs, digit runs, single punctuation.
+    n_subtokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
     total_tok_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
     sw = _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"])
     n_chars = F.length("text")
@@ -69,6 +71,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        n_subtokens.alias("n_subtokens"),
         F.round(total_tok_chars.cast("double") / n_tokens.cast("double"), 4).alias(
             "avg_token_len"
         ),

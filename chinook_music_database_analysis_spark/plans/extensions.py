@@ -30,7 +30,12 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import media_features
-from ..operators.similarity import N_PLANES, cosine_topk, lsh_topk
+from ..operators.similarity import (
+    N_PLANES,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
 from ..operators.text import LANG_STOPWORDS, SHINGLE_K, fingerprint, lang_id, text_stats
 from ..functions import money_sum, round2
 from ..sources import load_tables
@@ -126,6 +131,7 @@ _SW_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     SELECT doc_id,
            length(text) AS n_chars,
            len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subtokens,
            ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
                  / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
            ROUND(CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS DOUBLE)
@@ -280,16 +286,20 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_SQL_COS = """
-  ROUND(
-    list_sum(list_transform(range(1, len(e.embedding) + 1),
-                            i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))
-    / (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
-                                    i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))
-       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-                                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))),
-    6)
-""".strip()
+def _sql_cos(a: str, b: str) -> str:
+    """Rounded cosine of two list columns, accumulating in index order
+    (mirrors operators.similarity._dot)."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({x}) + 1),"
+            f" i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+        )
+
+    return f"ROUND({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
+
+
+_SQL_COS = _sql_cos("q.qe", "e.embedding")
 
 
 @register(
@@ -352,6 +362,25 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: sign-projection LSH buckets + exact scoring
     within bucket (the scale path; recall < 1 by design)."""
     return lsh_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
+@register(
+    "dd_embedding_cosine",
+    oracle=f"""
+    WITH wb AS (
+      SELECT e.vec_id, e.embedding, {_sql_bucket('e')} AS bucket FROM embeddings e
+    ), p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT * FROM p WHERE cos_sim >= 0.2
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
+    cosine threshold (the vector analog of minhash dedup)."""
+    return embedding_near_dup_pairs(load_tables(spark, sf_dir)["embeddings"])
 
 
 # ---------------------------------------------------------------------------

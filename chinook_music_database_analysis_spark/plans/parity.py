@@ -223,6 +223,39 @@ def q03_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q03b_segment_geo",
+    oracle="""
+    SELECT n.n_name,
+           COALESCE(c.c_mktsegment, 'N/A') AS segment,
+           CONCAT(n.n_name, ' / ', COALESCE(c.c_mktsegment, 'N/A')) AS geo_label,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q03b_segment_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers per nation x market segment with a CONCAT label —
+    the reference's CONCAT/COALESCE projection shapes (F1 ref:74,
+    F2 ref:52) which the name remap otherwise drops.  The expression
+    is defined once and reused for grouping + projection (SURVEY
+    §7.4.5: no alias-in-GROUP-BY looseness)."""
+    t = load_tables(spark, sf_dir)
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("N/A"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            seg.alias("segment"),
+            F.concat(F.col("n_name"), F.lit(" / "), seg).alias("geo_label"),
+        )
+        .groupBy("n_name", "segment", "geo_label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
     "q04_rev_by_geo",
     oracle="""
     SELECT n.n_name,
@@ -251,6 +284,36 @@ def q04_rev_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             round2(money_sum("o_totalprice")).alias("revenue"),
         )
+    )
+
+
+@register(
+    "q04b_topk_nations",
+    oracle="""
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    LIMIT 5
+    """,
+)
+def q04b_topk_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT top-k (ref:45-46, O2): Spark plans
+    TakeOrderedAndProject — no full sort, each partition keeps a
+    k-heap.  Deterministic under ties via the n_name tie-break key.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round2(money_sum("o_totalprice")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .limit(5)
     )
 
 

@@ -75,3 +75,17 @@ def test_date_partitioned_sink_prunes(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert pruned.count() > 0
+
+
+def test_pandas_udf_norms_match_jvm(spark):
+    from chinook_music_database_analysis_spark.operators.similarity import l2_norms_pandas
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    got = l2_norms_pandas(emb).toPandas().set_index("vec_id").sort_index()
+    jvm = emb.selectExpr(
+        "vec_id",
+        "sqrt(aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)) AS l2_norm",
+    ).toPandas().set_index("vec_id").sort_index()
+    assert (abs(got.l2_norm - jvm.l2_norm) < 1e-9).all()
