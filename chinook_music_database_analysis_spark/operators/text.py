@@ -15,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: char-shingle width shared by dedup/fingerprint operators.
-SHINGLE_K = 5
+#: word-shingle width shared by dedup/fingerprint operators.
+SHINGLE_K = 3
 
 #: Tiny function-word lists for the language-ID heuristic.  The point
 #: is the operator shape (token-set overlap scoring), not lexicography.
@@ -35,14 +35,18 @@ def tokens_expr(col: str = "text") -> Column:
 
 
 def shingles_expr(col: str = "text", k: int = SHINGLE_K) -> Column:
-    """Array of character k-gram shingles of ``col``.
+    """Array of word k-gram shingles of ``col``.
 
-    ``substring`` is 1-based on both engines; texts shorter than k
-    yield one (short) shingle.
+    Word shingles (vs character shingles) cut the per-doc shingle count
+    ~6x at equal near-dup sensitivity for natural text — a factor that
+    multiplies straight into the minhash hash + shuffle cost.  Texts
+    shorter than k words yield one (shorter) shingle; the k-element
+    slice mirrors DuckDB's inclusive list slicing in the oracles.
     """
+    toks = f"split(trim({col}), '\\\\s+')"
     return F.expr(
-        f"transform(sequence(1, greatest(char_length({col}) - {k - 1}, 1)),"
-        f" i -> substring({col}, i, {k}))"
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k})))"
     )
 
 

@@ -78,13 +78,14 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle fragments (mirror operators/text.py + dedup.py)
 # ---------------------------------------------------------------------------
 
-#: distinct (doc_id, shingle) pairs — char 5-grams.
+#: distinct (doc_id, shingle) pairs — word 3-grams (DuckDB list slice
+#: toks[i:i+k-1] is 1-based inclusive = Spark slice(toks, i, k)).
 _SQL_SHINGLES = f"""
   sh AS (
     SELECT DISTINCT doc_id,
-           unnest([substring(text, i, {SHINGLE_K})
-                   for i in range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)]) AS s
-    FROM documents
+           unnest([array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ')
+                   for i in range(1, greatest(len(toks) - {SHINGLE_K - 1}, 1) + 1)]) AS s
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
   )
 """.strip()
 
@@ -180,10 +181,10 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
-           list_aggregate([md5(substring(text, i, {SHINGLE_K}))
-                           for i in range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)],
+           list_aggregate([md5(array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+                           for i in range(1, greatest(len(toks) - {SHINGLE_K - 1}, 1) + 1)],
                           'min') AS min_shingle_sig
-    FROM documents
+    FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
     """,
 )
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,73 @@
+"""Salting equivalence tests + calendar-arithmetic boundary goldens
+(SURVEY §7.4.2: TIMESTAMPDIFF month semantics on month-end/leap dates).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from chinook_music_database_analysis_spark.functions import money_sum, month_diff
+from chinook_music_database_analysis_spark.operators.skew import salted_agg, salted_join
+
+from conftest import SF_TEST_DIR
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+    plain = (
+        orders.groupBy("o_custkey")
+        .agg(money_sum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    salted = (
+        salted_agg(
+            orders,
+            ["o_custkey"],
+            {"spend": money_sum("o_totalprice"), "n": F.count(F.lit(1))},
+        )
+        .toPandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    # Decimal sums are exact, so the two-phase result is bit-identical.
+    assert (plain.spend == salted.spend).all()
+    assert (plain.n == salted.n).all()
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_TEST_DIR}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").count()
+    salted = salted_join(orders, customer, "o_custkey").count()
+    assert plain == salted
+
+
+# MySQL TIMESTAMPDIFF(MONTH, a, b) golden cases (complete months,
+# day-of-month anchored), incl. month-end and leap-February boundaries.
+_MONTH_GOLDENS = [
+    ("2020-01-15", "2020-02-14", 0),
+    ("2020-01-15", "2020-02-15", 1),
+    ("2020-01-31", "2020-02-29", 0),   # leap Feb: day 29 < day 31
+    ("2020-01-31", "2020-03-31", 2),
+    ("2020-02-29", "2020-03-29", 1),
+    ("2020-02-29", "2021-02-28", 11),  # non-leap Feb: day 28 < 29
+    ("2019-12-31", "2020-01-31", 1),
+    ("2020-01-01", "2021-01-01", 12),
+]
+
+
+def test_month_diff_boundary_goldens(spark):
+    rows = [
+        (datetime.date.fromisoformat(a), datetime.date.fromisoformat(b), want)
+        for a, b, want in _MONTH_GOLDENS
+    ]
+    df = spark.createDataFrame(rows, "a date, b date, want int")
+    got = df.select(month_diff(F.col("a"), F.col("b")).alias("got"), "want").collect()
+    for r in got:
+        assert r.got == r.want, f"month_diff mismatch: got {r.got} want {r.want}"
