@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from ..functions import SQL_REVENUE, revenue_expr, round2
 from ..sources import load_tables
 
-NATION0 = "NATION_0"
+import os
+
+#: The "USA" analog (ref filters WHERE billing_country='USA',
+#: SQL_file.sql:43).  On the driver tables this is NATION_0; a Chinook
+#: deployment (sources.chinook_adapter) sets CHINOOK_SPARK_NATION0=USA.
+NATION0 = os.environ.get("CHINOOK_SPARK_NATION0", "NATION_0")
 
 #: Memoized + Spark-cached view instances keyed by (app id, sf_dir).
 #: The reference view is consumed by four statements (ref:168, :197,

@@ -96,13 +96,22 @@ class _Tables(dict):
         return df
 
 
+#: Mounted non-parquet table sets keyed by a pseudo sf_dir handle —
+#: how the Chinook adapter (sources.chinook_adapter) plugs the
+#: reference's own schema into every registered query.
+TABLE_OVERRIDES: dict[str, dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Lazy map of every driver table, keyed by name.
 
     Reads are lazy in both senses: the footer is read on first access,
     and Catalyst prunes columns / pushes filters into the Parquet scan
-    per consuming query.
+    per consuming query.  A mounted override handle (TABLE_OVERRIDES)
+    returns that table set instead.
     """
+    if sf_dir in TABLE_OVERRIDES:
+        return TABLE_OVERRIDES[sf_dir]
     return _Tables(spark, sf_dir)
 
 

@@ -1,0 +1,156 @@
+"""Golden-value tests on a Chinook-shaped micro-fixture (FIXTURES.md §3,
+SURVEY §5.2 layer 2).
+
+The fixture is small enough that every expected value below is computed
+by hand; the adapter mounts it and the engine's registry queries run on
+it unchanged — the 'a reference user could switch' path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+import chinook_music_database_analysis_spark.plans.parity as parity
+import chinook_music_database_analysis_spark.plans.views as views
+from chinook_music_database_analysis_spark.plans import QUERIES
+from chinook_music_database_analysis_spark.sources.chinook_adapter import mount_chinook
+
+D = dt.datetime
+
+
+@pytest.fixture(scope="module")
+def chinook_handle(spark):
+    c = spark.createDataFrame
+    chinook = {
+        "genre": c(
+            [(1, "Rock"), (2, "Jazz"), (3, "Metal"), (4, "Classical")],
+            "genre_id int, name string",
+        ),
+        "artist": c([(1, "A1"), (2, "A2"), (3, "A3")], "artist_id int, name string"),
+        "album": c([(1, "Al1", 1), (2, "Al2", 1), (3, "Al3", 2)], "album_id int, title string, artist_id int"),
+        "track": c(
+            [
+                (1, "T1", 1, 1, 1.00),
+                (2, "T2", 2, 1, 2.00),
+                (3, "T3", 3, 2, 1.50),
+                (4, "T4", 1, 3, 0.50),
+                (5, "T5", 3, 4, 9.99),  # never sold
+                (6, "T6", 3, 2, 3.00),
+            ],
+            "track_id int, name string, album_id int, genre_id int, unit_price double",
+        ),
+        "customer": c(
+            [
+                (1, "Alice", "Smith", "USA", "CA", "LA"),
+                (2, "Bob", "Jones", "USA", "NY", "NYC"),
+                (3, "Carol", "King", "Canada", None, "Toronto"),
+                (4, "Dan", "Day", "Germany", None, "Berlin"),
+            ],
+            "customer_id int, first_name string, last_name string, country string, state string, city string",
+        ),
+        "invoice": c(
+            [
+                (1, 1, D(2020, 1, 10), 4.00),
+                (2, 1, D(2020, 6, 10), 2.00),
+                (3, 2, D(2020, 6, 15), 3.50),
+                (4, 3, D(2019, 12, 1), 1.50),
+                (5, 4, D(2020, 12, 31), 6.00),
+            ],
+            "invoice_id int, customer_id int, invoice_date timestamp, total double",
+        ),
+        "invoice_line": c(
+            [
+                (1, 1, 1, 1.00, 2),
+                (2, 1, 2, 2.00, 1),
+                (3, 2, 1, 1.00, 2),
+                (4, 3, 3, 1.50, 1),
+                (5, 3, 4, 0.50, 4),
+                (6, 4, 3, 1.50, 1),
+                (7, 5, 6, 3.00, 2),
+            ],
+            "invoice_line_id int, invoice_id int, track_id int, unit_price double, quantity int",
+        ),
+    }
+    handle = mount_chinook(spark, chinook, handle="chinook://micro")
+    return handle
+
+
+@pytest.fixture(autouse=True)
+def _usa_nation0(monkeypatch):
+    # The 'NATION_0' filter means USA on Chinook data (ref:43).
+    monkeypatch.setattr(views, "NATION0", "USA")
+    monkeypatch.setattr(parity, "NATION0", "USA")
+    views._VIEW_CACHE.clear()
+    yield
+    views._VIEW_CACHE.clear()
+
+
+def test_q02_top_tracks_usa_golden(spark, chinook_handle):
+    # Hand-computed: T1 rev 4.00 qty 4 (rank 1); tie at 2.00 broken by
+    # qty: T4 qty 4 (rank 2), T2 qty 1 (rank 3); T3 1.50 (rank 4).
+    got = (
+        QUERIES["q02_top_parts_nation0"](spark, chinook_handle)
+        .orderBy("rnk")
+        .collect()
+    )
+    assert [(r.p_name, r.revenue, r.rnk) for r in got] == [
+        ("T1", 4.00, 1),
+        ("T4", 2.00, 2),
+        ("T2", 2.00, 3),
+        ("T3", 1.50, 4),
+    ]
+
+
+def test_q08_churn_golden(spark, chinook_handle):
+    # Anchor 2020-12-31; cutoff 2020-06-30.  Last orders: Alice 06-10,
+    # Bob 06-15, Carol 2019-12-01 (all churned), Dan 12-31 (active).
+    r = QUERIES["q08_churn_rate"](spark, chinook_handle).collect()[0]
+    assert r.total_customers == 4
+    assert r.churned_customers == 3
+    assert r.churn_rate_pct == 75.0
+
+
+def test_q09_view_golden(spark, chinook_handle):
+    # USA revenue by genre: Rock 6.00 (63.16%), Metal 2.00 (21.05%),
+    # Jazz 1.50 (15.79%).
+    got = {
+        r.p_type: (r.revenue, r.pct_of_nation, r.rnk)
+        for r in QUERIES["q09_type_pct_nation0"](spark, chinook_handle).collect()
+    }
+    assert got == {
+        "Rock": (6.00, 63.16, 1),
+        "Metal": (2.00, 21.05, 2),
+        "Jazz": (1.50, 15.79, 3),
+    }
+
+
+def test_s04_genre_pairs_golden(spark, chinook_handle):
+    # Only invoice 3 mixes genres: (Jazz, Metal) once.  Invoice 1 is
+    # Rock+Rock (excluded by the <> filter).
+    got = QUERIES["s04_affinity_types"](spark, chinook_handle).collect()
+    assert [(r.p_type_1, r.p_type_2, r.n_pairs) for r in got] == [("Jazz", "Metal", 1)]
+    scaled = QUERIES["s04_affinity_types_scaled"](spark, chinook_handle).collect()
+    assert [(r.p_type_1, r.p_type_2, r.n_pairs) for r in scaled] == [("Jazz", "Metal", 1)]
+
+
+def test_q03_demographics_golden(spark, chinook_handle):
+    got = {
+        r.n_name: r.n_customers
+        for r in QUERIES["q03_demographics"](spark, chinook_handle).collect()
+    }
+    assert got == {"USA": 2, "Canada": 1, "Germany": 1}
+
+
+def test_q05_top_customers_golden(spark, chinook_handle):
+    # Per-nation spend: USA Alice 6.00 > Bob 3.50; Canada Carol 1.50;
+    # Germany Dan 6.00.
+    got = QUERIES["q05_top5_cust_per_nation"](spark, chinook_handle).collect()
+    by_cust = {r.c_name: (r.n_name, r.spend, r.rnk) for r in got}
+    assert by_cust == {
+        "Alice Smith": ("USA", 6.00, 1),
+        "Bob Jones": ("USA", 3.50, 2),
+        "Carol King": ("Canada", 1.50, 1),
+        "Dan Day": ("Germany", 6.00, 1),
+    }
