@@ -20,7 +20,7 @@ family for set similarity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import shingles_expr, tokens_expr

@@ -1,0 +1,63 @@
+"""Source connectors beyond Parquet.
+
+The reference's physical source is a MySQL database (``use chinook``,
+ref /root/reference/SQL_file.sql:1).  The engine's equivalents:
+
+* **JDBC** — the direct analog; predicate pushdown and partitioned
+  reads (`partitionColumn`/`numPartitions`) parallelize the extract.
+  No database server exists in this container, so the function builds
+  the reader but cannot be exercised in tests here.
+* **CSV / JSON / Parquet** — file-based loads with explicit schemas
+  (never inference in production paths — money must stay typed).
+
+All readers return plain DataFrames, so adapted sources compose with
+the registry via ``sources.session.TABLE_OVERRIDES`` exactly like the
+Chinook adapter does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Partitioned JDBC read (the MySQL-source analog).
+
+    With ``partition_column`` bounds, Spark issues ``num_partitions``
+    range-predicated queries in parallel; Catalyst pushes filters and
+    column pruning into the remote SQL.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    """Schema-pinned CSV load (no inference — types are part of the
+    contract, SURVEY §1.2)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """Schema-pinned JSON-lines load."""
+    return spark.read.schema(schema).json(path)

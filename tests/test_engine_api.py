@@ -89,3 +89,18 @@ def test_pandas_udf_norms_match_jvm(spark):
         " CAST(0 AS DOUBLE), (a, v) -> a + v)) AS l2_norm",
     ).toPandas().set_index("vec_id").sort_index()
     assert (abs(got.l2_norm - jvm.l2_norm) < 1e-9).all()
+
+
+def test_csv_json_readers_roundtrip(spark, tmp_path):
+    from chinook_music_database_analysis_spark.sources.readers import read_csv, read_json
+
+    nation = spark.read.parquet(f"{SF_TEST_DIR}/nation.parquet")
+    csv_p, json_p = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    nation.write.option("header", "true").csv(csv_p)
+    nation.write.json(json_p)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    back_csv = read_csv(spark, csv_p, schema).toPandas().sort_values("n_nationkey")
+    back_json = read_json(spark, json_p, schema).toPandas().sort_values("n_nationkey")
+    want = nation.toPandas().sort_values("n_nationkey")
+    assert list(back_csv.n_name) == list(want.n_name)
+    assert list(back_json.n_name) == list(want.n_name)
