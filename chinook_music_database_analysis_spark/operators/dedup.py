@@ -174,6 +174,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over the near-dup pair graph — dedup
+    *clustering*: every doc in a transitively-connected group gets the
+    group's minimum doc_id as cluster id.
+
+    Iterative min-label propagation (not SQL-expressible — this is the
+    registry's rows-only entry): per round, each node takes the min of
+    its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds, capped at ``max_iter``.  All data stays
+    distributed — the only driver-side value per round is the changed
+    count; ``localCheckpoint`` truncates the growing lineage so plan
+    size stays constant across rounds.
+
+    Input: (doc_a, doc_b) pairs.  Output: (doc_id, cluster_id) for
+    every doc appearing in a pair.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                F.col("cluster_id").alias("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("cluster_id") != F.col("_old")).count()
+        labels = updated.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """Per-doc SimHash over the distinct word set.
 

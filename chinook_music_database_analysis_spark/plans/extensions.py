@@ -23,6 +23,7 @@ from ..operators.dedup import (
     ROWS_PER_BAND,
     SIMHASH_BITS,
     doc_shingles,
+    duplicate_clusters,
     exact_dedup,
     minhash_bands,
     minhash_candidate_pairs,
@@ -255,6 +256,17 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles=_shingles(spark, sf_dir),
         bands=_bands(spark, sf_dir),
     )
+
+
+@register("dd_dup_clusters")  # no oracle: iterative fixpoint, not SQL-expressible
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the LSH near-dup
+    pair graph (iterative min-label propagation; the driver records the
+    weaker rows-only check for this one)."""
+    pairs = minhash_candidate_pairs(
+        load_tables(spark, sf_dir)["documents"], bands=_bands(spark, sf_dir)
+    )
+    return duplicate_clusters(pairs)
 
 
 @register(

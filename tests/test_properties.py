@@ -109,3 +109,17 @@ def test_langid_outputs_known_labels(results):
     r = results["tx_langid"]
     assert set(r.pred_lang.unique()) <= {"en", "de", "es", "fr", "zh"}
     assert len(r) == r.doc_id.nunique()
+
+
+def test_dup_clusters_consistent_with_pairs(spark):
+    """Every pair endpoint must land in the same cluster, and every
+    cluster id must be the min doc_id of its members."""
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    pairs = QUERIES["dd_minhash_pairs"](spark, SF_TEST_DIR).toPandas()
+    clusters = QUERIES["dd_dup_clusters"](spark, SF_TEST_DIR).toPandas()
+    label = dict(zip(clusters.doc_id, clusters.cluster_id))
+    for r in pairs.itertuples():
+        assert label[r.doc_a] == label[r.doc_b], (r.doc_a, r.doc_b)
+    by_cluster = clusters.groupby("cluster_id").doc_id.min()
+    assert (by_cluster.index == by_cluster.values).all()
