@@ -1,0 +1,154 @@
+"""Spark-SQL text forms of the core parity queries (the dual surface).
+
+Layer 3 of the architecture (SURVEY §7.0): every query is a DataFrame
+builder (plans/parity.py) AND runnable as Spark SQL text against the
+registered catalog (``Engine.sql``).  These texts are Spark dialect —
+distinct from the DuckDB-dialect oracles — and are asserted equivalent
+to the DataFrame builders in tests/test_sql_texts.py.
+
+The full registry intentionally keeps DataFrame builders as the source
+of truth (composability + explicit plan shaping); the texts here cover
+each operator family once so the SQL entry path is continuously
+exercised: star join + window rank, per-group dense_rank, LAG,
+scalar-subquery anchor, COUNT DISTINCT + HAVING, semi-join via IN,
+view scan, self-join pairs.
+"""
+
+from __future__ import annotations
+
+from .views import NATION0
+
+#: name -> Spark SQL text equivalent to the same-named registry query.
+SPARK_SQL: dict[str, str] = {
+    "q02_top_parts_nation0": f"""
+        WITH s AS (
+          SELECT p.p_partkey, p.p_name,
+                 SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty_d,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(15,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS rev_d
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_name = '{NATION0}'
+          GROUP BY p.p_partkey, p.p_name
+        ), r AS (
+          SELECT p_name,
+                 CAST(ROUND(qty_d, 2) AS DOUBLE) AS total_qty,
+                 CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+                 RANK() OVER (ORDER BY rev_d DESC, qty_d DESC) AS rnk
+          FROM s
+        )
+        SELECT * FROM r WHERE rnk <= 5
+    """,
+    "q04_rev_by_geo": """
+        SELECT n.n_name,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "q05_top5_cust_per_nation": """
+        WITH s AS (
+          SELECT n.n_name, c.c_custkey, c.c_name,
+                 SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend_d
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, c.c_custkey, c.c_name
+        )
+        SELECT n_name, c_name,
+               CAST(ROUND(spend_d, 2) AS DOUBLE) AS spend, rnk
+        FROM (
+          SELECT *, DENSE_RANK() OVER (
+                   PARTITION BY n_name ORDER BY spend_d DESC) AS rnk
+          FROM s
+        ) WHERE rnk <= 5
+    """,
+    "q07_purchase_trends": """
+        WITH g AS (
+          SELECT o_totalprice,
+                 CAST(datediff(to_date(o_orderdate), to_date(prev_date)) AS INT) AS gap_days
+          FROM (
+            SELECT o_custkey, o_orderdate, o_totalprice,
+                   LAG(o_orderdate) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+            FROM orders
+          )
+        )
+        SELECT ROUND(CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(gap_days) AS DOUBLE), 2)
+                 AS avg_days_between_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 2) AS avg_order_value
+        FROM g
+    """,
+    "q08_churn_rate": """
+        WITH last AS (
+          SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY o_custkey
+        )
+        SELECT COUNT(*) AS total_customers,
+               SUM(CASE WHEN to_date(last_order)
+                             < add_months(to_date((SELECT MAX(o_orderdate) FROM orders)), -6)
+                        THEN 1 ELSE 0 END) AS churned_customers,
+               ROUND(100.0 * CAST(SUM(CASE WHEN to_date(last_order)
+                             < add_months(to_date((SELECT MAX(o_orderdate) FROM orders)), -6)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+                 AS churn_rate_pct
+        FROM last
+    """,
+    "q10_multi_type_cust": """
+        SELECT c.c_custkey, c.c_name, cnt.n_types
+        FROM (
+          SELECT o.o_custkey, COUNT(DISTINCT p.p_type) AS n_types
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY o.o_custkey
+          HAVING COUNT(DISTINCT p.p_type) > 2
+        ) cnt
+        JOIN customer c ON cnt.o_custkey = c.c_custkey
+    """,
+    "q11_type_rank_nation0": """
+        SELECT p_type, rnk FROM nation0_type_sales
+    """,
+    "s01_brand_promo": f"""
+        WITH s AS (
+          SELECT p.p_type, p.p_brand,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(15,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS rev_d
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_name = '{NATION0}'
+            AND p.p_type IN (SELECT p_type FROM nation0_type_sales WHERE rnk <= 3)
+          GROUP BY p.p_type, p.p_brand
+        )
+        SELECT p_type, p_brand,
+               CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue, rnk
+        FROM (
+          SELECT *, DENSE_RANK() OVER (
+                   PARTITION BY p_type ORDER BY rev_d DESC) AS rnk
+          FROM s
+        ) WHERE rnk IN (1, 2)
+    """,
+    "s04_affinity_types": """
+        WITH li AS (
+          SELECT l.l_orderkey,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l.l_orderkey ORDER BY l.l_linenumber, l.l_partkey) AS rid,
+                 p.p_type AS v
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT LEAST(a.v, b.v) AS p_type_1, GREATEST(a.v, b.v) AS p_type_2,
+               COUNT(*) AS n_pairs
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.rid < b.rid
+        WHERE a.v <> b.v
+        GROUP BY LEAST(a.v, b.v), GREATEST(a.v, b.v)
+    """,
+}
