@@ -29,6 +29,7 @@ from ..operators.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from ..operators.multimodal import media_features
 from ..operators.similarity import (
@@ -269,10 +270,8 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
-@register(
-    "dd_simhash",
-    oracle=f"""
-    WITH w AS (
+_SQL_SIMHASH_CTES = f"""
+    w AS (
       SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents
     ), bits AS (
@@ -283,16 +282,42 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE -1 END) AS score
       FROM w, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j) b
       GROUP BY doc_id, b.j
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
-                         ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-    """,
-)
+""".strip()
+
+
+@register("dd_simhash", oracle=f"WITH {_SQL_SIMHASH_CTES} SELECT * FROM sig")
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per document (word-vote bit tally)."""
     return simhash(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dd_simhash_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES},
+    nib AS (
+      SELECT doc_id, simhash, b.band, (simhash >> CAST(b.band * 12 AS INTEGER)) & 4095 AS nib
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM nib a
+      JOIN nib b ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM cand WHERE hamming <= 3
+    """,
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) with nibble-band candidate
+    bounding (pigeonhole over the four 4-bit nibbles)."""
+    return simhash_near_dup_pairs(load_tables(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------
