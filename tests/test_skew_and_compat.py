@@ -71,3 +71,38 @@ def test_month_diff_boundary_goldens(spark):
     got = df.select(month_diff(F.col("a"), F.col("b")).alias("got"), "want").collect()
     for r in got:
         assert r.got == r.want, f"month_diff mismatch: got {r.got} want {r.want}"
+
+
+def _add_months_clamped(d, n):
+    y, m = divmod(d.month - 1 + n, 12)
+    y, m = d.year + y, m + 1
+    import calendar
+    return d.replace(year=y, month=m, day=min(d.day, calendar.monthrange(y, m)[1]))
+
+
+def test_month_diff_property_vs_counting_reference(spark):
+    """Non-circular reference: complete months = largest n with
+    a + n months <= b.  Restricted to anchor days <= 28, where the
+    day-clamped counting reference coincides with MySQL's
+    day-of-month-anchored TIMESTAMPDIFF; the clamp boundaries (day
+    29-31 anchors) are pinned separately by the explicit golden table
+    above, which encodes MySQL's documented outputs (0 for
+    Jan31->Feb29, etc.)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    base = dt.date(2018, 1, 1)
+    cases = []
+    for _ in range(200):
+        a = base + dt.timedelta(days=rng.randrange(0, 1500))
+        a = a.replace(day=min(a.day, 28))
+        b = a + dt.timedelta(days=rng.randrange(0, 1500))
+        n = 0
+        while _add_months_clamped(a, n + 1) <= b:
+            n += 1
+        cases.append((a, b, n))
+    df = spark.createDataFrame(cases, "a date, b date, want int")
+    got = df.select(month_diff(F.col("a"), F.col("b")).alias("got"), "want").collect()
+    bad = [(r.got, r.want) for r in got if r.got != r.want]
+    assert not bad, bad[:10]
