@@ -12,9 +12,16 @@ or an extension operator (dedup / similarity / text / streaming).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Make the package importable regardless of the caller's cwd.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 
 def entry(spark: SparkSession) -> DataFrame:

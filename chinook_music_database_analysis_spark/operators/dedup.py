@@ -178,7 +178,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, sig: DataFrame | None = None
+) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= max_hamming on the
     48-bit signature.
 
@@ -187,8 +189,12 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     12-bit blocks), so the self-join meets only within equal
     (band, block) buckets — the same blowup bound as minhash LSH.
     The exact hamming filter (bit_count(a XOR b)) then verifies.
+
+    Pass a cached ``sig`` relation to avoid evaluating the signature
+    pipeline on both self-join sides (plans/extensions memoizes it).
     """
-    sig = simhash(docs)
+    if sig is None:
+        sig = simhash(docs)
     nibbles = sig.select(
         "doc_id",
         "simhash",

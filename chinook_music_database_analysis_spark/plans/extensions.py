@@ -76,6 +76,13 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        "simhash", spark, sf_dir,
+        lambda: simhash(load_tables(spark, sf_dir)["documents"]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared oracle fragments (mirror operators/text.py + dedup.py)
 # ---------------------------------------------------------------------------
@@ -294,7 +301,7 @@ _SQL_SIMHASH_CTES = f"""
 @register("dd_simhash", oracle=f"WITH {_SQL_SIMHASH_CTES} SELECT * FROM sig")
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per document (word-vote bit tally)."""
-    return simhash(load_tables(spark, sf_dir)["documents"])
+    return _simhash_sig(spark, sf_dir)
 
 
 @register(
@@ -315,9 +322,11 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3) with nibble-band candidate
-    bounding (pigeonhole over the four 4-bit nibbles)."""
-    return simhash_near_dup_pairs(load_tables(spark, sf_dir)["documents"])
+    """SimHash near-dup pairs (hamming <= 3) with block-band candidate
+    bounding (pigeonhole over the four 12-bit blocks)."""
+    return simhash_near_dup_pairs(
+        load_tables(spark, sf_dir)["documents"], sig=_simhash_sig(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
