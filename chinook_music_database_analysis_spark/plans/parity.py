@@ -317,6 +317,55 @@ def q04b_topk_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q04c_rollup_geo",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q04c_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (region -> nation -> grand
+    total).  Not in the reference (SURVEY §2.4 notes grouping sets are
+    absent) but part of the engine's aggregation surface; Spark plans
+    one Expand + hash aggregate, no extra scans per grouping level.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            round2(money_sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register("q10b_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def q10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) via HyperLogLog++ — the opt-in scale
+    path when exact distinct shuffles are too expensive (PERF.md).
+    Sketch values are engine-specific, so the driver records the
+    rows-only check; the property below is pinned in tests instead
+    (estimate within rsd of exact)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # q05 / q06 — top-k per group (ref:71-114)
 # ---------------------------------------------------------------------------

@@ -123,3 +123,29 @@ def test_dup_clusters_consistent_with_pairs(spark):
         assert label[r.doc_a] == label[r.doc_b], (r.doc_a, r.doc_b)
     by_cluster = clusters.groupby("cluster_id").doc_id.min()
     assert (by_cluster.index == by_cluster.values).all()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ estimates (rsd=0.02) must track exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    approx = (
+        QUERIES["q10b_approx_distinct"](spark, SF_TEST_DIR)
+        .toPandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    li = spark.read.parquet(f"{SF_TEST_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+    exact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .toPandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    rel_err = (approx.approx_parts - exact.n).abs() / exact.n.clip(lower=1)
+    assert rel_err.max() < 0.15, rel_err.max()
