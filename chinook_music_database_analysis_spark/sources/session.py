@@ -67,6 +67,18 @@ def get_spark(app_name: str = "chinook-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions not built by get_spark
+    (e.g. the driver's own session): nanos-timestamp parquet support
+    and a UTC session timezone (collected timestamps must not shift
+    against the timezone-naive DuckDB oracle)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — proceed
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -112,6 +124,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     if sf_dir in TABLE_OVERRIDES:
         return TABLE_OVERRIDES[sf_dir]
+    ensure_session_confs(spark)
     return _Tables(spark, sf_dir)
 
 
