@@ -3,9 +3,11 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing is end-to-end per query: plan + execute + collect-to-count
-(a count() action materializes the full result without shipping rows
-to the driver).
+Timing is end-to-end per query: plan + execute + count (a count()
+action materializes the full result without shipping rows to the
+driver).  Failures never kill the run: broken queries land in an
+"errors" key with their message and elapsed time, and the JSON line
+prints regardless.
 """
 
 from __future__ import annotations
@@ -24,38 +26,48 @@ def main() -> None:
     spark = get_spark("chinook-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = sorted(QUERIES)
-    # Warm the JVM/codegen paths once with the cheapest query so the
-    # first measured query doesn't absorb session startup noise.
-    QUERIES["q03_demographics"](spark, sf_dir).count()
-
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    t_all = time.perf_counter()
-    for name in names:
-        t0 = time.perf_counter()
+    try:
+        names = sorted(QUERIES)
+        # Warm the JVM/codegen paths once with the cheapest query so the
+        # first measured query doesn't absorb session startup noise.
         try:
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-        except Exception as ex:  # one broken query must not kill the bench
-            errors[name] = f"{type(ex).__name__}"
-            print(f"# {name}: ERROR {type(ex).__name__}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+            QUERIES["q03_demographics"](spark, sf_dir).count()
+        except Exception as ex:
+            print(f"# warm-up failed: {type(ex).__name__}: {ex}", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "total_query_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf else None,
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
-    spark.stop()
+        timings: dict[str, float] = {}
+        errors: dict[str, dict] = {}
+        t_all = time.perf_counter()
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                n = QUERIES[name](spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - t0, 3)
+                print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+            except Exception as ex:  # one broken query must not kill the bench
+                elapsed = round(time.perf_counter() - t0, 3)
+                msg = f"{type(ex).__name__}: {ex}"[:200]
+                errors[name] = {"error": msg, "sec": elapsed}
+                print(f"# {name}: ERROR after {elapsed:.3f}s {msg}", file=sys.stderr)
+        total = round(time.perf_counter() - t_all, 3)
+
+        sf_token = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf = float(sf_token)
+        except ValueError:
+            sf = None
+        out = {
+            "metric": "total_query_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
