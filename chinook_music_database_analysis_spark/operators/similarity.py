@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 #: number of sign-projection hyperplanes (bucket bits) for the LSH path.
 N_PLANES = 8
 
+#: IVF coarse quantizer: every IVF_STRIDE-th vector is a centroid, so
+#: the cell count grows with the corpus (~N/43 ≈ the sqrt(N)-ish rule
+#: at driver scales) without any training step; IVF_N_PROBE nearest
+#: cells are searched per query.
+IVF_STRIDE = 43
+IVF_N_PROBE = 3
+
 #: embedding dimensionality of the driver corpus (asserted at runtime
 #: by zip_with producing nulls on mismatch).
 EMB_DIM = 64
@@ -156,6 +163,84 @@ def l2_norms_pandas(emb: DataFrame) -> DataFrame:
     _l2.__annotations__ = {"v": pd.Series, "return": pd.Series}
     l2 = pandas_udf(_l2, "double")
     return emb.select("vec_id", l2("embedding").alias("l2_norm"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    stride: int = IVF_STRIDE,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    cell-probing alternative to sign-projection LSH.
+
+    * **Centroids**: every ``stride``-th vector (deterministic, no
+      training pass — at 100 TB replace with a k-means sample, the
+      plan shape is identical).  Cell count scales with the corpus.
+    * **Assign**: each corpus vector joins the broadcast centroid set
+      and keeps its single nearest cell (rounded cosine, cell_id
+      tie-break) — one broadcast join + one per-vector top-1 window,
+      fully partition-parallel, the inverted file never materializes
+      on the driver.
+    * **Probe**: each query scores the same centroid set and searches
+      its ``n_probe`` nearest cells; candidates are only the vectors
+      assigned to those cells (the |corpus| x |queries| cross product
+      never forms).
+
+    Recall < 1 by design (a true neighbor assigned to an unprobed cell
+    is missed) — that is the IVF trade; raise ``n_probe`` toward the
+    cell count to converge on the brute-force result.
+    """
+    cents = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    c_cos = F.round(
+        _dot("embedding", "c_emb")
+        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("c_emb", "c_emb"))),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell_id")
+    )
+    assigned = (
+        emb.repartition("vec_id")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell_id", c_cos.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    q_cos = F.round(
+        _dot("q_emb", "c_emb")
+        / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+        6,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell_id")
+    )
+    probed = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "cell_id", q_cos.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    cand = assigned.join(F.broadcast(probed), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot("q_emb", "embedding")
+        / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
+        6,
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:

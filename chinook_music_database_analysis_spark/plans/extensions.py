@@ -33,9 +33,12 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import media_features
 from ..operators.similarity import (
+    IVF_N_PROBE,
+    IVF_STRIDE,
     N_PLANES,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from ..operators.text import LANG_STOPWORDS, SHINGLE_K, fingerprint, lang_id, text_stats
@@ -368,6 +371,44 @@ _SQL_COS = _sql_cos("q.qe", "e.embedding")
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for queries vec_id < 10."""
     return cosine_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+    ), a AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      QUALIFY rn = 1
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      WHERE e.vec_id < 10
+      QUALIFY rn <= {IVF_N_PROBE}
+    ), p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+      FROM a e JOIN q ON e.cell_id = q.cell_id
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index: stride-sampled centroids,
+    nearest-cell assignment, n_probe-cell search (the cell-probing
+    scale path; recall < 1 by design, like sim_lsh_topk)."""
+    return ivf_topk(load_tables(spark, sf_dir)["embeddings"])
 
 
 def _sql_bucket(alias: str) -> str:
