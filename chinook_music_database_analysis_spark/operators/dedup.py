@@ -228,48 +228,65 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     *clustering*: every doc in a transitively-connected group gets the
     group's minimum doc_id as cluster id.
 
-    Iterative min-label propagation (not SQL-expressible — this is the
-    registry's rows-only entry): per round, each node takes the min of
-    its own label and its neighbors' labels; converges in O(graph
-    diameter) rounds, capped at ``max_iter``.  All data stays
-    distributed — the only driver-side value per round is the changed
-    count; ``localCheckpoint`` truncates the growing lineage so plan
-    size stays constant across rounds.
+    Iterative min-label propagation with pointer jumping (not
+    SQL-expressible — this is the registry's rows-only entry).  Per
+    round, each node takes (1) the min label over itself and its
+    neighbors (self-loops fold the "keep own label" case into the same
+    join, so a round is one join + one groupBy, not two joins), then
+    (2) a pointer-jump hop — the label of its current label — which
+    squares the propagation distance per round: convergence is
+    O(log diameter) rounds instead of O(diameter), the difference
+    between ~6 and ~1000 shuffles on a 100 TB near-dup chain.  The
+    invariant label(v) <= v (labels start at own id and only shrink)
+    makes the jump join an inner join on existing nodes.
+
+    All data stays distributed — the only driver-side value per round
+    is the label-sum convergence scalar (labels shrink monotonically,
+    so an unchanged sum means a fixpoint; summed in DECIMAL(38,0) so
+    id magnitude can't overflow); ``localCheckpoint`` truncates the
+    growing lineage so plan size stays constant across rounds.
 
     Input: (doc_a, doc_b) pairs.  Output: (doc_id, cluster_id) for
     every doc appearing in a pair.
     """
-    edges = pairs.select(
+    sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.distinct().localCheckpoint()
+    edges = (
+        sym.union(sym.select(F.col("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    prev_sum = object()  # sentinel: never equal on round 1
     for _ in range(max_iter):
-        neighbor_min = (
+        hop = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .withColumnRenamed("src", "doc_id")
         )
-        updated = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+        jump = hop.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        labels = (
+            hop.join(jump, hop["cluster_id"] == jump["p_id"])
             .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                F.col("cluster_id").alias("_old"),
+                "doc_id", F.least("cluster_id", "p_label").alias("cluster_id")
             )
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("cluster_id") != F.col("_old")).count()
-        labels = updated.drop("_old")
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

@@ -125,6 +125,23 @@ def test_dup_clusters_consistent_with_pairs(spark):
     assert (by_cluster.index == by_cluster.values).all()
 
 
+def test_dup_clusters_deep_chain(spark):
+    """A 32-node path graph (diameter 31) must fully converge to one
+    cluster — exercises the pointer-jumping rounds, which a single
+    neighbor-min pass cannot finish (plain propagation would need 31
+    rounds, far beyond the max_iter cap; pointer jumping needs ~5)."""
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "doc_a long, doc_b long"
+    )
+    out = duplicate_clusters(pairs).toPandas()
+    assert len(out) == 32
+    assert set(out.cluster_id) == {0}
+
+
 def test_approx_distinct_within_tolerance(spark):
     """HLL++ estimates (rsd=0.02) must track exact distinct counts."""
     from pyspark.sql import functions as F
