@@ -55,6 +55,22 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.expr(f"size(filter(toks, t -> t IN ({inlist})))")
 
 
+def lang_pred_expr(c: dict[str, Column]) -> Column:
+    """Argmax over per-language score columns with a fixed priority
+    tie-break (en > de > es > fr > zh) so the choice is deterministic
+    and the DuckDB oracle's CASE reproduces it exactly."""
+    return (
+        F.when(
+            (c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["zh"]),
+            "en",
+        )
+        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] >= c["zh"]), "de")
+        .when((c["es"] >= c["fr"]) & (c["es"] >= c["zh"]), "es")
+        .when(c["fr"] >= c["zh"], "fr")
+        .otherwise("zh")
+    )
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document token/quality metrics (length, token count, average
     token length, stopword ratio, and a composite quality score).
@@ -102,17 +118,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     scored = d.select(
         "doc_id", "lang", *[expr.alias(f"c_{lang}") for lang, expr in scores.items()]
     )
-    pred = (
-        F.when(
-            (c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["zh"]),
-            "en",
-        )
-        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] >= c["zh"]), "de")
-        .when((c["es"] >= c["fr"]) & (c["es"] >= c["zh"]), "es")
-        .when(c["fr"] >= c["zh"], "fr")
-        .otherwise("zh")
-    )
-    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+    return scored.select("doc_id", "lang", lang_pred_expr(c).alias("pred_lang"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

@@ -41,6 +41,7 @@ from ..operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from ..operators.pipeline import MIN_QUALITY, MIN_TOKENS, clean_corpus
 from ..operators.text import LANG_STOPWORDS, SHINGLE_K, fingerprint, lang_id, text_stats
 from ..functions import money_sum, round2
 from ..sources import load_tables
@@ -202,6 +203,50 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content hash + min-shingle signature per document."""
     return fingerprint(load_tables(spark, sf_dir)["documents"])
+
+
+def _sql_clean_corpus() -> str:
+    counts = ", ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, content_hash,
+             len(toks) AS n_tokens,
+             ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                   * (0.5 + CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS DOUBLE)
+                          / CAST(len(toks) AS DOUBLE)), 4) AS quality_score,
+             {counts},
+             MIN(doc_id) OVER (PARTITION BY content_hash) AS rep_doc_id
+      FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           n_tokens, quality_score
+    FROM s
+    WHERE doc_id = rep_doc_id
+      AND n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+    """
+
+
+@register("pipe_clean_corpus", oracle=_sql_clean_corpus())
+def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: exact-dedup -> quality filter ->
+    language tag, fused to one scan + one shuffle
+    (operators.pipeline.clean_corpus)."""
+    return clean_corpus(load_tables(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------
