@@ -7,8 +7,10 @@ ref /root/reference/SQL_file.sql:1).  The engine's equivalents:
   reads (`partitionColumn`/`numPartitions`) parallelize the extract.
   No database server exists in this container, so the function builds
   the reader but cannot be exercised in tests here.
-* **CSV / JSON / Parquet** — file-based loads with explicit schemas
-  (never inference in production paths — money must stay typed).
+* **CSV / JSON / ORC / Parquet** — file-based loads with explicit
+  schemas (never inference in production paths — money must stay
+  typed); the columnar formats get vectorized scans with filter
+  pushdown and column pruning.
 
 All readers return plain DataFrames, so adapted sources compose with
 the registry via ``sources.session.TABLE_OVERRIDES`` exactly like the
@@ -61,3 +63,19 @@ def read_csv(
 def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """Schema-pinned JSON-lines load."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC load — the other columnar format warehouses hand over.
+
+    Spark's native vectorized ORC reader gives the same pushdown/
+    pruning behavior as Parquet (`PushedFilters` reaches the scan).
+    Schema optional: ORC embeds types, but passing one pins the
+    contract just like the other readers.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

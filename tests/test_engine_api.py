@@ -104,3 +104,25 @@ def test_csv_json_readers_roundtrip(spark, tmp_path):
     want = nation.toPandas().sort_values("n_nationkey")
     assert list(back_csv.n_name) == list(want.n_name)
     assert list(back_json.n_name) == list(want.n_name)
+
+
+def test_orc_reader_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.sources.readers import read_orc
+
+    nation = spark.read.parquet(f"{SF_TEST_DIR}/nation.parquet")
+    orc_p = str(tmp_path / "n_orc")
+    nation.write.orc(orc_p)
+    back = read_orc(spark, orc_p)
+    want = nation.toPandas().sort_values("n_nationkey")
+    got = back.toPandas().sort_values("n_nationkey")
+    assert list(got.n_name) == list(want.n_name)
+    # filter must push into the vectorized ORC scan, like Parquet
+    plan = (
+        back.filter(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:80]

@@ -1,0 +1,60 @@
+"""Physical-plan shape regressions.
+
+Correctness is gated by the DuckDB oracle; these tests gate the
+*plans* — the properties that decide whether a query survives a 100x
+scale-up (broadcasts for dims, pushdown into scans, top-k heaps
+instead of full sorts, bounded shuffle counts).  A refactor that keeps
+values identical but, say, turns the dim joins into cartesian products
+or adds a second corpus shuffle to the prep pipeline fails here, not
+in production.
+"""
+
+from __future__ import annotations
+
+from chinook_music_database_analysis_spark.plans import QUERIES
+
+from conftest import SF_TEST_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_TEST_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_star_join_broadcasts_dims_and_pushes_filters(spark):
+    """q02's 5-way star join: every dim side must broadcast (no
+    fact-fact shuffle join) and filters/projections must reach the
+    parquet scans."""
+    plan = _plan(spark, "q02_top_parts_nation0")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rank_topk_plans_window_group_limit(spark):
+    """Rank-filter top-k must plan WindowGroupLimit (per-partition
+    top-k heap), not a full sort of every group."""
+    for name in ("q05_top5_cust_per_nation", "q02_top_parts_nation0"):
+        assert "WindowGroupLimit" in _plan(spark, name), name
+
+
+def test_orderby_limit_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (bounded heap),
+    never a global sort."""
+    assert "TakeOrderedAndProject" in _plan(spark, "q04b_topk_nations")
+
+
+def test_fused_pipeline_is_single_shuffle(spark):
+    """pipe_clean_corpus promises one scan + one shuffle: exactly one
+    Exchange (the content-hash dedup window)."""
+    assert _plan(spark, "pipe_clean_corpus").count("Exchange") == 1
+
+
+def test_ivf_stages_broadcast(spark):
+    """IVF assign/probe must broadcast the centroid set — the corpus
+    side must never shuffle for the cross score."""
+    assert "Broadcast" in _plan(spark, "sim_ivf_topk")
