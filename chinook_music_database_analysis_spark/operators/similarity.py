@@ -180,9 +180,11 @@ def ivf_topk(
       plan shape is identical).  Cell count scales with the corpus.
     * **Assign**: each corpus vector joins the broadcast centroid set
       and keeps its single nearest cell (rounded cosine, cell_id
-      tie-break) — one broadcast join + one per-vector top-1 window,
-      fully partition-parallel, the inverted file never materializes
-      on the driver.
+      tie-break) via a ``max_by`` hash aggregation — map-side partial
+      combine shrinks the N x cells scored relation back to N rows
+      BEFORE the shuffle, and nothing is ever sorted (a window top-1
+      would shuffle and sort all N x cells rows).  The inverted file
+      never materializes on the driver.
     * **Probe**: each query scores the same centroid set and searches
       its ``n_probe`` nearest cells; candidates are only the vectors
       assigned to those cells (the |corpus| x |queries| cross product
@@ -200,16 +202,19 @@ def ivf_topk(
         / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("c_emb", "c_emb"))),
         6,
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cell_id")
-    )
+    # max_by over struct(c_sim, -cell_id) == "highest cosine, then
+    # lowest cell_id" — a unique key, so the argmax is deterministic.
     assigned = (
         emb.repartition("vec_id")
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "cell_id", c_cos.alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(cell_id, embedding), struct(c_sim, -cell_id))"
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.cell_id").alias("cell_id"), F.col("m.embedding").alias("embedding"))
     )
     q_cos = F.round(
         _dot("q_emb", "c_emb")
