@@ -62,6 +62,25 @@ def _dot(a: str, b: str) -> F.Column:
     )
 
 
+def _norm(a: str) -> F.Column:
+    """L2 norm of one float array (same accumulation order as _dot)."""
+    return F.sqrt(_dot(a, a))
+
+
+def _cos(dot_a: str, dot_b: str, norm_a: str, norm_b: str) -> F.Column:
+    """Rounded cosine from precomputed per-vector norms.
+
+    Norms are computed once per vector BEFORE any pair join (N values,
+    not N x M) — the division sees the exact same operand values as
+    the inline ``dot/(sqrt(dot aa)*sqrt(dot bb))`` form, so outputs
+    are bit-identical to the oracle while the pair stage does one dot
+    product instead of three.
+    """
+    return F.round(
+        _dot(dot_a, dot_b) / (F.col(norm_a) * F.col(norm_b)), 6
+    )
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for the query set ``vec_id < n_queries``.
 
@@ -69,22 +88,23 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     selected set is deterministic and engine-independent.
     """
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
     )
     # Corpus side repartitioned so the |q| x |corpus| scoring fan-out
-    # parallelizes even when the source is a single file.
+    # parallelizes even when the source is a single file; norms are
+    # computed once per corpus vector, not once per (query, vector).
     pairs = (
         emb.repartition("vec_id")
+        .withColumn("n_norm", _norm("embedding"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    cos = F.round(
-        _dot("q_emb", "embedding")
-        / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
-        6,
-    )
     scored = pairs.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos("q_emb", "embedding", "q_norm", "n_norm").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -121,22 +141,32 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.2) -> DataFram
     are near-orthogonal, so 0.2 is 'suspiciously similar' there; a real
     near-dup sweep over model embeddings would run ~0.95).
     """
-    wb = emb.withColumn("bucket", _bucket_expr("embedding"))
+    wb = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket_expr("embedding").alias("bucket"),
+        _norm("embedding").alias("norm"),
+    )
     a = wb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        "bucket",
     )
     b = wb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
-    )
-    cos = F.round(
-        _dot("emb_a", "emb_b")
-        / (F.sqrt(_dot("emb_a", "emb_a")) * F.sqrt(_dot("emb_b", "emb_b"))),
-        6,
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _cos("emb_a", "emb_b", "norm_a", "norm_b").alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -195,54 +225,67 @@ def ivf_topk(
     cell count to converge on the brute-force result.
     """
     cents = emb.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
-    c_cos = F.round(
-        _dot("embedding", "c_emb")
-        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("c_emb", "c_emb"))),
-        6,
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_norm"),
     )
     # max_by over struct(c_sim, -cell_id) == "highest cosine, then
     # lowest cell_id" — a unique key, so the argmax is deterministic.
+    # Corpus norms computed once per vector (N values) before the
+    # N x cells scoring fan-out, then carried through the argmax.
     assigned = (
         emb.repartition("vec_id")
+        .withColumn("norm", _norm("embedding"))
         .crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cell_id", c_cos.alias("c_sim"))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            "cell_id",
+            _cos("embedding", "c_emb", "norm", "c_norm").alias("c_sim"),
+        )
         .groupBy("vec_id")
         .agg(
             F.expr(
-                "max_by(struct(cell_id, embedding), struct(c_sim, -cell_id))"
+                "max_by(struct(cell_id, embedding, norm), struct(c_sim, -cell_id))"
             ).alias("m")
         )
-        .select("vec_id", F.col("m.cell_id").alias("cell_id"), F.col("m.embedding").alias("embedding"))
-    )
-    q_cos = F.round(
-        _dot("q_emb", "c_emb")
-        / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
-        6,
+        .select(
+            "vec_id",
+            F.col("m.cell_id").alias("cell_id"),
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.norm").alias("norm"),
+        )
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("c_sim").desc(), F.col("cell_id")
     )
     probed = (
         emb.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm("embedding").alias("q_norm"),
+        )
         .crossJoin(F.broadcast(cents))
-        .select("query_id", "q_emb", "cell_id", q_cos.alias("c_sim"))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "cell_id",
+            _cos("q_emb", "c_emb", "q_norm", "c_norm").alias("c_sim"),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_emb", "cell_id")
+        .select("query_id", "q_emb", "q_norm", "cell_id")
     )
     cand = assigned.join(F.broadcast(probed), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(
-        _dot("q_emb", "embedding")
-        / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
-        6,
-    )
     scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos("q_emb", "embedding", "q_norm", "norm").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -252,23 +295,26 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Approximate top-k: exact cosine restricted to same-LSH-bucket
     candidates.  Returns <= k neighbors per query (fewer when the
     bucket is small — that's the ANN recall trade)."""
-    with_bucket = emb.withColumn("bucket", _bucket_expr("embedding"))
+    with_bucket = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket_expr("embedding").alias("bucket"),
+        _norm("embedding").alias("norm"),
+    )
     q = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
         F.col("bucket").alias("q_bucket"),
     )
     cand = with_bucket.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = F.round(
-        _dot("q_emb", "embedding")
-        / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
-        6,
-    )
     scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos("q_emb", "embedding", "q_norm", "norm").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
