@@ -21,6 +21,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StructField,
@@ -98,3 +100,96 @@ def media_features(docs: DataFrame) -> DataFrame:
     """
     media = with_media(docs.repartition("doc_id"))
     return media.mapInPandas(_decode_batch, schema=MEDIA_FEATURES_SCHEMA)
+
+
+#: Output schema of the resize stage: resized payload + metadata.
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("cropped", BooleanType()),
+    ]
+)
+
+
+def resize_media(docs: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize every media payload to ``width x height x 3`` via
+    Arrow-batched mapInPandas — binary in, binary out, 1:1 rows.
+
+    The resize kernel is a STUB (no PIL/ffmpeg in this container): a
+    real implementation decodes, interpolates, and re-encodes; the
+    fake crops/keeps the leading ``width*height*3`` bytes, which is a
+    pure function of the payload so the whole pipeline stays
+    oracle-checkable.  The Spark shape — binary column through an
+    Arrow batch iterator producing a new binary column plus typed
+    metadata — is exactly the production one.
+    """
+    target = width * height * 3
+
+    def _resize_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["media_bytes"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": payloads.map(lambda b: bytes(b[:target])),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": payloads.map(lambda b: min(len(b), target)),
+                    "cropped": payloads.map(lambda b: len(b) > target),
+                }
+            )
+
+    media = with_media(docs.repartition("doc_id"))
+    return media.mapInPandas(_resize_batch, schema=RESIZED_SCHEMA)
+
+
+#: Output schema of the frame-sampling stage (1 -> N rows per doc).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+#: Fixed fake frame size (bytes) for the frame-sampling stub.
+FRAME_BYTES = 256
+
+
+def sample_frames(
+    docs: DataFrame, frame_bytes: int = FRAME_BYTES, every_n: int = 4
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each "video" payload via
+    mapInPandas — the 1->N batch-output shape (one input row fans out
+    to one row per sampled frame; empty payloads produce none).
+
+    The STUB treats the payload as ``ceil(len/frame_bytes)`` fixed-size
+    frames (a real implementation would run a container demuxer and
+    return decoded keyframes); sampling arithmetic, schema, and the
+    exploding batch iterator are the production shape.
+    """
+
+    def _sample_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_len = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                n = len(payload)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_len.append(min(frame_bytes, n - i * frame_bytes))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_len": out_len}
+            )
+
+    media = with_media(docs.repartition("doc_id"))
+    return media.mapInPandas(_sample_batch, schema=FRAME_SCHEMA)

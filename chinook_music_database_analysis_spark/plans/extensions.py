@@ -31,7 +31,7 @@ from ..operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from ..operators.multimodal import media_features
+from ..operators.multimodal import media_features, resize_media, sample_frames
 from ..operators.similarity import (
     IVF_N_PROBE,
     IVF_STRIDE,
@@ -538,6 +538,50 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes this oracle-checkable; the Spark-side plumbing
     (binary column, schema, batching) is real."""
     return media_features(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS INTEGER) AS width,
+           CAST(64 AS INTEGER) AS height,
+           CAST(LEAST(octet_length(encode(text)), 12288) AS INTEGER) AS n_bytes,
+           octet_length(encode(text)) > 12288 AS cropped
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (binary in -> resized binary + metadata out, 1:1)
+    via mapInPandas; the interpolation kernel is a deterministic
+    crop stub, the Arrow plumbing is real.  The compared output drops
+    the binary column (metadata is a pure function of it)."""
+    return resize_media(load_tables(spark, sf_dir)["documents"]).select(
+        "doc_id", "width", "height", "n_bytes", "cropped"
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(LEAST(256, n - f * 256) AS INTEGER) AS frame_len
+    FROM (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             UNNEST(generate_series(0, (octet_length(encode(text)) - 1) // 256, 4)) AS f
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    )
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 -> N rows per payload) via an exploding
+    mapInPandas iterator: every 4th 256-byte frame of each fake
+    'video'.  Demonstrates fan-out batch output, the shape a real
+    keyframe extractor has."""
+    return sample_frames(load_tables(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------
