@@ -9,8 +9,10 @@ driver).  Warm-run methodology: every query executes once untimed
 before the timed pass, so the numbers measure steady-state engine
 throughput (codegen compiled, file footers cached, shared memoized
 relations built) rather than JVM/JIT cold-start — matching how these
-queries run in a long-lived session or cluster.  Per-query cold times
-are reported alongside on stderr.  Failures never kill the run:
+queries run in a long-lived session or cluster.  The cold pass is
+timed too and emitted in the same JSON line ("cold_total" /
+"cold_queries") so both methodologies are machine-readable.
+Failures never kill the run:
 broken queries land in an "errors" key with their message and elapsed
 time, and the JSON line prints regardless.
 """
@@ -33,18 +35,21 @@ def main() -> None:
 
     try:
         names = sorted(QUERIES)
-        # Warm pass: run every query once untimed (codegen, footer
-        # caches, memoized shared relations).  Cold times go to stderr.
+        # Cold pass: run every query once (codegen, footer caches,
+        # memoized shared relations all cold).  Timed and emitted in
+        # the JSON alongside the warm numbers so both methodologies
+        # are machine-readable; it doubles as the warm-up.
+        cold: dict[str, float] = {}
+        t_cold = time.perf_counter()
         for name in names:
             t0 = time.perf_counter()
             try:
                 QUERIES[name](spark, sf_dir).count()
-                print(
-                    f"# cold {name}: {time.perf_counter() - t0:.3f}s",
-                    file=sys.stderr,
-                )
+                cold[name] = round(time.perf_counter() - t0, 3)
+                print(f"# cold {name}: {cold[name]:.3f}s", file=sys.stderr)
             except Exception as ex:
                 print(f"# cold {name}: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
+        cold_total = round(time.perf_counter() - t_cold, 3)
 
         timings: dict[str, float] = {}
         errors: dict[str, dict] = {}
@@ -62,6 +67,32 @@ def main() -> None:
                 print(f"# {name}: ERROR after {elapsed:.3f}s {msg}", file=sys.stderr)
         total = round(time.perf_counter() - t_all, 3)
 
+        # Streaming micro-bench: the applyInPandasWithState path over
+        # the events table (availableNow -> noop sink), so state-store
+        # / Arrow-state regressions are visible per round.
+        streaming_sec = None
+        try:
+            from chinook_music_database_analysis_spark.streaming.events import (
+                read_events_stream,
+            )
+            from chinook_music_database_analysis_spark.streaming.stateful import (
+                user_running_totals_stream,
+            )
+
+            t0 = time.perf_counter()
+            q = (
+                user_running_totals_stream(read_events_stream(spark, sf_dir))
+                .writeStream.format("noop")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            streaming_sec = round(time.perf_counter() - t0, 3)
+            print(f"# streaming_stateful: {streaming_sec:.3f}s", file=sys.stderr)
+        except Exception as ex:
+            print(f"# streaming_stateful: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
+
         sf_token = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         try:
             sf = float(sf_token)
@@ -73,7 +104,11 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "cold_total": cold_total,
+            "cold_queries": cold,
         }
+        if streaming_sec is not None:
+            out["streaming_stateful_sec"] = streaming_sec
         if errors:
             out["errors"] = errors
         print(json.dumps(out))

@@ -59,7 +59,17 @@ class Engine:
 
     # -- inspection -------------------------------------------------------------
     def explain(self, name: str, mode: str = "formatted") -> str:
-        """The EXPLAIN surface: Catalyst's plan for a registered query."""
+        """The EXPLAIN surface: Catalyst's plan for a registered query.
+
+        Uses the public ``DataFrame.explain`` (stdout-captured), so it
+        works under Spark Connect and across minor versions — no
+        ``_jvm``/``_jdf`` internals.
+        """
+        import contextlib
+        import io
+
         df = self.query(name)
-        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-        return df._jdf.queryExecution().explainString(jmode)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()

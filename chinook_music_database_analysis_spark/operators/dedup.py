@@ -264,6 +264,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = object()  # sentinel: never equal on round 1
+    converged = False
     for _ in range(max_iter):
         hop = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -285,8 +286,21 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Pointer jumping halves component diameter per round, so
+        # max_iter=10 covers diameters up to ~2^10; a graph that deep
+        # would silently return split clusters without this signal.
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters: no fixpoint after {max_iter} rounds — "
+            "labels may still be split; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

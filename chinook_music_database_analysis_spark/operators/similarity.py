@@ -21,24 +21,56 @@ DuckDB), so cosines match bit-for-bit before the final ROUND.
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: number of sign-projection hyperplanes (bucket bits) for the LSH path.
-N_PLANES = 8
+#: number of independent LSH hash tables (banded multi-table LSH, the
+#: same recall-boosting structure the MinHash path uses): a near-dup
+#: pair is a candidate if it collides in ANY table, so recall is
+#: 1-(1-p^b)^T instead of p^b.
+N_TABLES = 4
 
-#: IVF coarse quantizer: every IVF_STRIDE-th vector is a centroid, so
-#: the cell count grows with the corpus (~N/43 ≈ the sqrt(N)-ish rule
-#: at driver scales) without any training step; IVF_N_PROBE nearest
-#: cells are searched per query.
-IVF_STRIDE = 43
+#: hyperplanes reserved per table.  Each table t draws its planes from
+#: the disjoint index range [t*MAX_PLANES, (t+1)*MAX_PLANES); only the
+#: first lsh_n_bits(N) of them are active, so the bucket count scales
+#: with the corpus while plane identities stay fixed (deterministic
+#: for the oracle).  MAX_PLANES bounds corpora to ~2^(MAX_PLANES+2)
+#: vectors before bucket occupancy starts growing again — raise it to
+#: extend the range (it only adds build-time literals).
+MAX_PLANES = 20
+
+#: how many nearest cells an IVF query probes.
 IVF_N_PROBE = 3
 
 #: embedding dimensionality of the driver corpus (asserted at runtime
 #: by zip_with producing nulls on mismatch).
 EMB_DIM = 64
+
+
+def lsh_n_bits(n: int) -> int:
+    """Active hyperplanes (bucket bits) per table for a corpus of n
+    vectors: ~log2(N) - 2, so buckets-per-table ≈ N/4 and the expected
+    same-bucket candidate count stays LINEAR in N (avg occupancy ~4)
+    instead of the Θ(N²) a fixed bucket count degrades to.
+
+    Integer-exact on both engines: bit_length here, length(bin(n-1))
+    in the DuckDB oracle — no float log2 boundary cases.
+    """
+    return max(4, min(MAX_PLANES, (max(n, 2) - 1).bit_length() - 2))
+
+
+def ivf_cell_stride(n: int) -> int:
+    """IVF centroid stride = ceil(sqrt(N)), so the cell count is ~√N:
+    assign cost N·√N, probe cost |q|·√N — the classic IVF balance
+    point.  (A fixed stride makes cells ∝ N and the assign stage
+    quadratic.)  Matches the oracle's CAST(ceil(sqrt(COUNT(*))) AS
+    BIGINT) exactly: isqrt(n-1)+1 == ceil(sqrt(n)) for n ≥ 1, and
+    doubles are exact for every corpus size below 2^52.
+    """
+    return math.isqrt(max(n, 1) - 1) + 1
 
 
 @lru_cache(maxsize=None)
@@ -113,55 +145,88 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def _bucket_expr(emb_col: str) -> F.Column:
-    """Sign-random-projection bucket id (N_PLANES bits).
+def _table_bucket_expr(emb_col: str, table: int, n_bits: int) -> F.Column:
+    """Sign-random-projection bucket id for one LSH table: ``n_bits``
+    bits from the table's reserved plane range.
 
     Each plane's +/-1 components are a build-time literal array
     (:func:`plane_signs`); the projection is an index-ordered
-    zip_with/aggregate dot product against it.
+    zip_with/aggregate dot product against it.  Bit j has weight 2^j,
+    so this equals the oracle's full-MAX_PLANES bucket mod 2^n_bits.
     """
     bits = []
-    for p in range(N_PLANES):
-        arr = "array(" + ", ".join(f"{s}D" for s in plane_signs(p)) + ")"
+    for j in range(n_bits):
+        arr = "array(" + ", ".join(f"{s}D" for s in plane_signs(table * MAX_PLANES + j)) + ")"
         proj = (
             f"aggregate(zip_with({emb_col}, {arr},"
             f" (x, s) -> CAST(x AS DOUBLE) * s),"
             f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr(" + ".join(bits)).cast("int")
+        bits.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return F.expr(" + ".join(bits))
 
 
-def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
+def lsh_buckets(emb: DataFrame, n_bits: int) -> DataFrame:
+    """(vec_id, tbl, bucket) — each vector exploded into its N_TABLES
+    bucket assignments.  Slim on purpose: the candidate join runs on
+    this 3-column relation and re-joins embeddings only for the
+    surviving pairs (the candidate/verify split, same as the MinHash
+    path)."""
+    cols = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _table_bucket_expr("embedding", t, n_bits).alias("bucket"),
+        )
+        for t in range(N_TABLES)
+    ]
+    return emb.select("vec_id", F.explode(F.array(*cols)).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.2, n_bits: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space analog
-    of minhash dedup: candidates meet only inside an LSH bucket, then
-    exact cosine filters by threshold.
+    of minhash dedup: candidates meet only inside an LSH bucket (any of
+    the N_TABLES tables), then exact cosine filters by threshold.
+
+    Bucket bits scale with the corpus (:func:`lsh_n_bits`, derived from
+    a count at plan-build time — the same one-scan parameter derivation
+    an ANALYZE/stats pass does), so expected candidates stay ~linear in
+    N; the multi-table union buys back the recall that more bits cost.
 
     The threshold is corpus-relative (the driver's synthetic embeddings
     are near-orthogonal, so 0.2 is 'suspiciously similar' there; a real
     near-dup sweep over model embeddings would run ~0.95).
     """
-    wb = emb.select(
-        "vec_id",
-        "embedding",
-        _bucket_expr("embedding").alias("bucket"),
-        _norm("embedding").alias("norm"),
+    b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
+    bk = lsh_buckets(emb, b)
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()  # a pair may collide in several tables
     )
-    a = wb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-        "bucket",
-    )
-    b = wb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-        "bucket",
-    )
+    wn = emb.select("vec_id", "embedding", _norm("embedding").alias("norm"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(
+            wn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            wn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "vec_b",
+        )
         .select(
             "vec_a",
             "vec_b",
@@ -199,15 +264,18 @@ def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
-    stride: int = IVF_STRIDE,
+    stride: int | None = None,
     n_probe: int = IVF_N_PROBE,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     cell-probing alternative to sign-projection LSH.
 
-    * **Centroids**: every ``stride``-th vector (deterministic, no
-      training pass — at 100 TB replace with a k-means sample, the
-      plan shape is identical).  Cell count scales with the corpus.
+    * **Centroids**: every ``stride``-th vector with stride =
+      ceil(sqrt(N)) (:func:`ivf_cell_stride`), giving ~√N cells — the
+      balance point where assign (N·cells) and probe (|q|·cells) stay
+      subquadratic at any corpus size.  Deterministic, no training
+      pass — at 100 TB swap the centroid SELECT for a k-means sample
+      of the same √N cardinality; the plan shape is identical.
     * **Assign**: each corpus vector joins the broadcast centroid set
       and keeps its single nearest cell (rounded cosine, cell_id
       tie-break) via a ``max_by`` hash aggregation — map-side partial
@@ -224,6 +292,8 @@ def ivf_topk(
     is missed) — that is the IVF trade; raise ``n_probe`` toward the
     cell count to converge on the brute-force result.
     """
+    if stride is None:
+        stride = ivf_cell_stride(emb.count())
     cents = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cell_id"),
         F.col("embedding").alias("c_emb"),
@@ -291,30 +361,50 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to same-LSH-bucket
-    candidates.  Returns <= k neighbors per query (fewer when the
-    bucket is small — that's the ANN recall trade)."""
-    with_bucket = emb.select(
-        "vec_id",
-        "embedding",
-        _bucket_expr("embedding").alias("bucket"),
-        _norm("embedding").alias("norm"),
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, n_bits: int | None = None
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to candidates sharing
+    an LSH bucket with the query in ANY of the N_TABLES tables (bucket
+    bits corpus-scaled via :func:`lsh_n_bits`).  Returns <= k neighbors
+    per query (fewer when the buckets are sparse — that's the ANN
+    recall trade; the table union multiplies the collision chance).
+    """
+    b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
+    bk = lsh_buckets(emb, b)
+    q_bk = bk.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
-    q = with_bucket.filter(F.col("vec_id") < n_queries).select(
+    # Slim (query, neighbor) candidates: broadcast the tiny query
+    # bucket set against the corpus bucket relation, dedup multi-table
+    # collisions, then re-join embeddings for exact scoring.
+    cand = (
+        bk.join(F.broadcast(q_bk), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    wn = emb.select("vec_id", "embedding", _norm("embedding").alias("norm"))
+    q_emb = wn.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
     )
-    cand = with_bucket.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _cos("q_emb", "embedding", "q_norm", "norm").alias("cos_sim"),
+    scored = (
+        cand.join(
+            wn.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("norm").alias("n_norm"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

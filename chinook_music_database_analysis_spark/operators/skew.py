@@ -69,7 +69,18 @@ def salted_join(
     The hot key's rows split across n_salts tasks at the cost of
     n_salts x |small| replication — the standard trade when the small
     side is modest but above the broadcast threshold.
+
+    Only inner/left/semi/anti are supported: the small side is
+    replicated across all salts, so right/full outer would emit
+    n_salts rows for every unmatched small-side key.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+            "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — small-side replication "
+            "duplicates unmatched small-side rows under right/full outer joins"
+        )
     big_s = big.withColumn("_salt", _row_salt(n_salts))
     small_r = small.crossJoin(
         F.broadcast(

@@ -34,8 +34,8 @@ from ..operators.dedup import (
 from ..operators.multimodal import media_features, resize_media, sample_frames
 from ..operators.similarity import (
     IVF_N_PROBE,
-    IVF_STRIDE,
-    N_PLANES,
+    MAX_PLANES,
+    N_TABLES,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_topk,
@@ -54,14 +54,37 @@ from .registry import register
 # the same role is played by a checkpointed/stored signature table.
 # ---------------------------------------------------------------------------
 
-_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _table_set_id(sf_dir: str) -> int | None:
+    """Identity of the mounted table set behind an override handle —
+    re-mounting new tables under the same handle yields a new dict, so
+    stale cached relations can't be served (parquet dirs return None:
+    the path itself is the identity)."""
+    from ..sources.session import TABLE_OVERRIDES
+
+    tables = TABLE_OVERRIDES.get(sf_dir)
+    return None if tables is None else id(tables)
 
 
 def _cached(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    key = (kind, spark.sparkContext.applicationId, sf_dir)
+    key = (kind, spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
     if key not in _MEMO:
         _MEMO[key] = build().cache()
     return _MEMO[key]
+
+
+def reset_memo(sf_dir: str | None = None) -> None:
+    """Unpersist and drop memoized relations (all, or those built for
+    one sf_dir/handle).  Long-lived sessions that re-mount table sets
+    call this to release executor storage."""
+    for key in [k for k in _MEMO if sf_dir is None or k[2] == sf_dir]:
+        try:
+            _MEMO[key].unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+        del _MEMO[key]
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,11 +337,29 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dd_dup_clusters")  # no oracle: iterative fixpoint, not SQL-expressible
+@register(
+    "dd_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND},
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    walk(doc_id, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, w.lbl FROM walk w JOIN e ON e.dst = w.doc_id
+    )
+    SELECT doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc_id
+    """,
+)
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the LSH near-dup
-    pair graph (iterative min-label propagation; the driver records the
-    weaker rows-only check for this one)."""
+    pair graph (pointer-jumping min-label propagation).  The oracle is
+    a recursive-CTE transitive closure: min reachable doc_id ==
+    component min label, so the hash compare covers the iterative
+    fixpoint too."""
     pairs = minhash_candidate_pairs(
         load_tables(spark, sf_dir)["documents"], bands=_bands(spark, sf_dir)
     )
@@ -421,8 +462,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     oracle=f"""
-    WITH c AS (
-      SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+    WITH st AS (
+      -- ceil(sqrt(N)) centroid stride == operators.similarity.ivf_cell_stride
+      SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS stride FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+      WHERE vec_id % (SELECT stride FROM st) = 0
     ), a AS (
       SELECT e.vec_id, e.embedding, c.cell_id,
              ROW_NUMBER() OVER (
@@ -456,34 +501,62 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_tables(spark, sf_dir)["embeddings"])
 
 
-def _sql_bucket(alias: str) -> str:
-    """DuckDB mirror of operators.similarity._bucket_expr — the same
-    build-time sign literals, the same index-ordered accumulation."""
+def _sql_table_bucket(alias: str, table: int) -> str:
+    """DuckDB mirror of operators.similarity._table_bucket_expr: the
+    FULL MAX_PLANES-bit bucket for one table (same build-time sign
+    literals, same index-ordered accumulation).  The corpus-scaled bit
+    count is applied afterwards as ``% (1 << b)`` — bit j carries
+    weight 2^j, so the modulo keeps exactly the first b planes, which
+    is what the Spark side builds directly."""
     from ..operators.similarity import plane_signs
 
     terms = []
-    for p in range(N_PLANES):
-        arr = "[" + ", ".join(str(s) for s in plane_signs(p)) + "]"
+    for j in range(MAX_PLANES):
+        arr = "[" + ", ".join(str(s) for s in plane_signs(table * MAX_PLANES + j)) + "]"
         proj = (
             f"list_sum(list_transform(range(1, len({alias}.embedding) + 1),"
             f" i -> {alias}.embedding[i]::DOUBLE * ({arr})[i]))"
         )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+#: shared CTE block: corpus-scaled bit count (integer-exact mirror of
+#: operators.similarity.lsh_n_bits) + per-table bucket assignments.
+_SQL_LSH_BUCKETS = f"""
+    prm AS (
+      SELECT GREATEST(4, LEAST({MAX_PLANES}, length(bin(COUNT(*) - 1)) - 2)) AS b
+      FROM embeddings
+    ),
+    wb AS (
+      SELECT e.vec_id,
+             unnest([{", ".join(str(t) for t in range(N_TABLES))}]) AS tbl,
+             unnest([{", ".join(_sql_table_bucket("e", t) for t in range(N_TABLES))}]) AS bkt
+      FROM embeddings e
+    ),
+    bkts AS (
+      SELECT vec_id, tbl,
+             bkt % (CAST(1 AS BIGINT) << (SELECT b FROM prm)) AS bucket
+      FROM wb
+    )
+""".strip()
 
 
 @register(
     "sim_lsh_topk",
     oracle=f"""
-    WITH wb AS (
-      SELECT e.vec_id, e.embedding, {_sql_bucket('e')} AS bucket FROM embeddings e
-    ), q AS (
-      SELECT vec_id AS query_id, embedding AS qe, bucket AS q_bucket
-      FROM wb WHERE vec_id < 10
+    WITH {_SQL_LSH_BUCKETS},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM bkts q
+      JOIN bkts e ON e.tbl = q.tbl AND e.bucket = q.bucket AND e.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
     ), p AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
-      FROM wb e, q
-      WHERE e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+      SELECT c.query_id, c.neighbor_id,
+             {_sql_cos('qe.embedding', 'ne.embedding')} AS cos_sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim,
            CAST(ROW_NUMBER() OVER (
@@ -492,27 +565,34 @@ def _sql_bucket(alias: str) -> str:
     """,
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: sign-projection LSH buckets + exact scoring
-    within bucket (the scale path; recall < 1 by design)."""
+    """Approximate top-5: banded multi-table sign-projection LSH with
+    corpus-scaled bucket bits + exact scoring over the candidate union
+    (the scale path; recall < 1 by design)."""
     return lsh_topk(load_tables(spark, sf_dir)["embeddings"])
 
 
 @register(
     "dd_embedding_cosine",
     oracle=f"""
-    WITH wb AS (
-      SELECT e.vec_id, e.embedding, {_sql_bucket('e')} AS bucket FROM embeddings e
+    WITH {_SQL_LSH_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bkts a
+      JOIN bkts b ON b.tbl = a.tbl AND b.bucket = a.bucket AND a.vec_id < b.vec_id
     ), p AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
-      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      SELECT c.vec_a, c.vec_b,
+             {_sql_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
     )
     SELECT * FROM p WHERE cos_sim >= 0.2
     """,
 )
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
-    cosine threshold (the vector analog of minhash dedup)."""
+    """Embedding-cosine near-dup pairs: multi-table LSH candidates
+    (corpus-scaled bucket bits, linear expected candidate count) +
+    exact cosine threshold (the vector analog of minhash dedup)."""
     return embedding_near_dup_pairs(load_tables(spark, sf_dir)["embeddings"])
 
 

@@ -64,7 +64,9 @@ def nation0_type_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     share/rank windows run over a 6-row aggregate — negligible at any
     scale because aggregation reduced cardinality first.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from .extensions import _table_set_id
+
+    key = (spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
     if key in _VIEW_CACHE:
         return _VIEW_CACHE[key]
     t = load_tables(spark, sf_dir)

@@ -32,13 +32,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def adapt_chinook_tables(chinook: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def adapt_chinook_tables(
+    chinook: dict[str, DataFrame], brand_from: str = "artist"
+) -> dict[str, DataFrame]:
     """Map Chinook-schema DataFrames onto the engine's table dict.
 
     ``chinook`` must contain: customer, invoice, invoice_line, track,
     genre, album, artist (the 7 tables the reference queries touch).
     Returns a dict usable anywhere the engine expects driver tables.
+
+    ``brand_from`` selects what ``part.p_brand`` means: ``"artist"``
+    (default — the artist-level reference queries) or ``"album"`` (the
+    album-sales statements, e.g. top USA albums at SQL_file.sql:248).
     """
+    if brand_from not in ("artist", "album"):
+        raise ValueError(f"brand_from must be 'artist' or 'album', got {brand_from!r}")
     cust = chinook["customer"]
     inv = chinook["invoice"]
     il = chinook["invoice_line"]
@@ -104,7 +112,10 @@ def adapt_chinook_tables(chinook: dict[str, DataFrame]) -> dict[str, DataFrame]:
         .select(
             F.col("track_id").cast("long").alias("p_partkey"),
             F.col("name").alias("p_name"),
-            F.coalesce(F.col("artist_name"), F.lit("Unknown")).alias("p_brand"),
+            F.coalesce(
+                F.col("artist_name" if brand_from == "artist" else "album_title"),
+                F.lit("Unknown"),
+            ).alias("p_brand"),
             F.coalesce(F.col("genre_name"), F.lit("Unknown")).alias("p_type"),
             F.lit(0).cast("int").alias("p_size"),
             F.col("unit_price").cast("double").alias("p_retailprice"),
@@ -138,6 +149,7 @@ def mount_chinook(
     spark: SparkSession,
     chinook: dict[str, DataFrame],
     handle: str = "chinook://default",
+    brand_from: str = "artist",
 ) -> str:
     """Mount adapted Chinook tables under a pseudo sf_dir handle so the
     whole query registry runs on them::
@@ -150,5 +162,19 @@ def mount_chinook(
     """
     from .session import TABLE_OVERRIDES
 
-    TABLE_OVERRIDES[handle] = adapt_chinook_tables(chinook)
+    if handle in TABLE_OVERRIDES:
+        # Re-mount: release relations cached against the old table set
+        # (the memo/view caches are also keyed on table-set identity,
+        # so stale hits are impossible either way — this frees storage).
+        from ..plans.extensions import reset_memo
+        from ..plans.views import _VIEW_CACHE
+
+        reset_memo(handle)
+        for key in [k for k in _VIEW_CACHE if k[1] == handle]:
+            try:
+                _VIEW_CACHE[key].unpersist()
+            except Exception:
+                pass
+            del _VIEW_CACHE[key]
+    TABLE_OVERRIDES[handle] = adapt_chinook_tables(chinook, brand_from=brand_from)
     return handle

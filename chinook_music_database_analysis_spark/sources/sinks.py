@@ -46,3 +46,22 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+def append_evolved(df: DataFrame, path: str) -> None:
+    """Append a batch whose schema is a superset of the existing
+    files' — the storage-level half of ``ALTER TABLE ... ADD COLUMN``
+    (ref SQL_file.sql:649-650) on plain Parquet: old files simply
+    lack the new column.  Pair with :func:`read_evolved`."""
+    df.write.mode("append").parquet(path)
+
+
+def read_evolved(spark, path: str) -> DataFrame:
+    """Read a Parquet directory written across schema versions with
+    ``mergeSchema``: the unified schema is the union of all file
+    schemas and pre-evolution rows surface NULL for added columns —
+    the same contract a warehouse ALTER TABLE ADD COLUMN gives
+    readers.  (A table format — Delta/Iceberg — would additionally
+    version the metadata; none ships in this container, so the
+    evolution contract is exercised at the Parquet layer.)"""
+    return spark.read.option("mergeSchema", "true").parquet(path)

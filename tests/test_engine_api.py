@@ -126,3 +126,59 @@ def test_orc_reader_roundtrip_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:80]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN at the Parquet layer (ref:649-650):
+    append a superset-schema batch, read with mergeSchema — unified
+    schema, NULL backfill for pre-evolution rows."""
+    from chinook_music_database_analysis_spark.sources.sinks import (
+        append_evolved,
+        read_evolved,
+        write_result,
+    )
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_result(v1, path)
+    v2 = spark.createDataFrame([(3, "c", 9.5)], "id long, s string, score double")
+    append_evolved(v2, path)
+    back = read_evolved(spark, path)
+    assert set(back.columns) == {"id", "s", "score"}
+    rows = {r.id: r for r in back.collect()}
+    assert rows[3].score == 9.5
+    assert rows[1].score is None and rows[2].score is None
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed on the join key -> SortMergeJoin with ZERO
+    Exchange: the co-located layout replaces the runtime shuffle (the
+    100 TB recurring-join policy encoded by write_bucketed)."""
+    from chinook_music_database_analysis_spark.sources.sinks import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet").limit(500)
+    li = spark.read.parquet(f"{SF_TEST_DIR}/lineitem.parquet").limit(2000)
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8)
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        # Force the bucketed SMJ path (no broadcast, no AQE replan).
+        with_conf = [("spark.sql.autoBroadcastJoinThreshold", "-1")]
+        old = {k: spark.conf.get(k) for k, _ in with_conf}
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -42,6 +42,21 @@ def test_rank_topk_plans_window_group_limit(spark):
         assert "WindowGroupLimit" in _plan(spark, name), name
 
 
+def test_q02_global_topk_is_two_stage(spark):
+    """q02's GLOBAL rank window must be two-stage: a Partial
+    WindowGroupLimit prunes each input partition to its top-5 (rank
+    semantics, tie-safe) BEFORE the SinglePartition exchange, so the
+    one single-task stage only ever sees <=5 rows per upstream
+    partition — bounded at any part cardinality."""
+    plan = _plan(spark, "q02_top_parts_nation0")
+    single_idx = plan.index("Exchange SinglePartition")
+    # Plans print top-down, so the pruning child appears after the
+    # gather in the string; the Partial-mode WindowGroupLimit must be
+    # in that below-the-exchange region.
+    below = plan[single_idx:]
+    assert "WindowGroupLimit" in below and ", Partial" in below
+
+
 def test_orderby_limit_plans_take_ordered(spark):
     """ORDER BY + LIMIT must plan TakeOrderedAndProject (bounded heap),
     never a global sort."""

@@ -143,17 +143,22 @@ def test_dup_clusters_deep_chain(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """HLL++ estimates (rsd=0.02) must track exact distinct counts."""
+    """HLL++ estimates (rsd=0.02) must track exact distinct counts.
+    q10b folds the |approx - exact| <= max(8%, 4) check into its own
+    approx_within_tol column (which the DuckDB oracle asserts TRUE);
+    here we check it holds on the test SF too, and that the exact
+    counts agree with an independent computation."""
     from pyspark.sql import functions as F
 
     from chinook_music_database_analysis_spark.plans import QUERIES
 
-    approx = (
+    out = (
         QUERIES["q10b_approx_distinct"](spark, SF_TEST_DIR)
         .toPandas()
         .set_index("o_custkey")
         .sort_index()
     )
+    assert out.approx_within_tol.all(), out[~out.approx_within_tol]
     li = spark.read.parquet(f"{SF_TEST_DIR}/lineitem.parquet")
     o = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
     exact = (
@@ -164,5 +169,4 @@ def test_approx_distinct_within_tolerance(spark):
         .set_index("o_custkey")
         .sort_index()
     )
-    rel_err = (approx.approx_parts - exact.n).abs() / exact.n.clip(lower=1)
-    assert rel_err.max() < 0.15, rel_err.max()
+    assert (out.exact_parts == exact.n).all()

@@ -1,0 +1,66 @@
+"""Corpus-scaled ANN parameter checks (VERDICT r1 items 1):
+
+The two round-1 scale defects were fixed parameters — a constant LSH
+bucket count (quadratic candidate growth) and a constant IVF centroid
+stride (cell count linear in N).  These tests pin the fix: parameters
+must grow with the corpus, and the LSH candidate count must grow
+~linearly (not quadratically) between the sf0.001 corpus (500 vectors)
+and the sf0.1 corpus (2000 vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chinook_music_database_analysis_spark.operators.similarity import (
+    N_TABLES,
+    ivf_cell_stride,
+    lsh_buckets,
+    lsh_n_bits,
+)
+
+
+def test_lsh_bits_scale_with_corpus():
+    # buckets/table ~ N/4 -> expected same-bucket pairs linear in N.
+    assert lsh_n_bits(500) == 7
+    assert lsh_n_bits(2000) == 9
+    assert lsh_n_bits(1 << 30) == 20  # capped by MAX_PLANES
+    assert lsh_n_bits(1) == 4  # floor
+
+
+def test_ivf_stride_is_ceil_sqrt():
+    # cells ~ sqrt(N): assign cost N*sqrt(N), never N^2/const.
+    assert ivf_cell_stride(500) == 23  # ceil(sqrt(500)) = 23
+    assert ivf_cell_stride(2000) == 45
+    assert ivf_cell_stride(1444) == 38  # perfect square boundary
+    assert ivf_cell_stride(1) == 1
+
+
+def _n_candidates(spark, sf_dir: str) -> tuple[int, int]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    bk = lsh_buckets(emb, lsh_n_bits(n))
+    pairs = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+        .count()
+    )
+    return pairs, n
+
+
+def test_lsh_candidate_count_grows_linearly(spark):
+    c_small, n_small = _n_candidates(spark, "/root/testdata/sf0.001")
+    c_big, n_big = _n_candidates(spark, "/root/testdata/sf0.1")
+    growth = n_big / n_small  # 4x corpus
+    assert lsh_n_bits(n_big) > lsh_n_bits(n_small)  # bits actually scaled
+    # Linear-ish: candidate growth must stay well under the quadratic
+    # growth^2 (16x here); allow 2x headroom over exactly-linear for
+    # bucket-occupancy noise.
+    assert c_big <= max(c_small, 1) * growth * 2, (c_small, c_big)
+    # And the candidate set is a real reduction, not all-pairs.
+    assert c_big < n_big * (n_big - 1) / 2 * 0.25
+    # Multi-table union really is bounded by T * per-table load.
+    assert c_big <= N_TABLES * n_big * 8
