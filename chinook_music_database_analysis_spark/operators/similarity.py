@@ -7,11 +7,14 @@ Two paths, per the standard ANN playbook:
   the query set is broadcast, so the cost is |queries| x |corpus| with
   the corpus fully partition-parallel.  Right answer for small query
   sets or as the verify stage.
-* **LSH-bucketed top-k** — the scale path: sign-random-projection
-  buckets (hyperplanes derived deterministically from md5 so the
-  oracle reproduces them) shrink the candidate set to same-bucket
-  docs before exact scoring.  At 100 TB the bucket join replaces the
-  full cross product; recall is traded via the number of planes.
+* **LSH-bucketed top-k** — the scale path: banded multi-table
+  sign-random-projection buckets (hyperplanes derived
+  deterministically from md5 so the oracle reproduces them) shrink
+  the candidate set to same-bucket docs before exact scoring.  Bucket
+  bits scale with the corpus (:func:`lsh_n_bits`), keeping expected
+  candidates linear in N; the N_TABLES any-table union buys the
+  recall back.  At 100 TB the bucket join replaces the full cross
+  product.
 
 Determinism: dot products accumulate in index order on both engines
 (``aggregate`` lambda here, ``list_sum(list_transform(...))`` in
