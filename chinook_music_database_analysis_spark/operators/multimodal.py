@@ -32,6 +32,10 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:
     import pandas as pd
 
+#: PIL availability, resolved lazily once per worker process:
+#: None = unprobed, False = absent, module = Image.
+_PIL_IMAGE = None
+
 #: Output schema of the decode stage.
 MEDIA_FEATURES_SCHEMA = StructType(
     [
@@ -99,20 +103,27 @@ def _decode_media(payload: bytes) -> tuple[int, int, int, int]:
     3. **Deterministic stub** (byte-length arithmetic) for payloads
        that are not images at all — which is every ``documents`` row,
        keeping the registered query oracle-checkable.
+
+    The PIL probe is resolved once per process (module cache), not per
+    payload — a per-row failed import costs an exception per record.
     """
-    try:
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = False
+    if _PIL_IMAGE:
         import io
 
-        from PIL import Image  # type: ignore[import-not-found]
-
         try:
-            img = Image.open(io.BytesIO(payload))
+            img = _PIL_IMAGE.open(io.BytesIO(payload))
             img.load()
             return len(payload), img.width, img.height, len(img.getbands())
         except Exception:
             pass  # not a PIL-decodable image — fall through
-    except ImportError:
-        pass
     ppm = _parse_ppm(payload)
     if ppm is not None:
         return len(payload), ppm[0], ppm[1], 3

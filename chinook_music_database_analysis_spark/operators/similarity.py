@@ -187,8 +187,18 @@ def lsh_buckets(emb: DataFrame, n_bits: int) -> DataFrame:
     )
 
 
+def with_norms(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, norm) — per-vector L2 norms computed once,
+    shared by every pair/scoring stage (N values, never N x M)."""
+    return emb.select("vec_id", "embedding", _norm("embedding").alias("norm"))
+
+
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.2, n_bits: int | None = None
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_bits: int | None = None,
+    buckets: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space analog
     of minhash dedup: candidates meet only inside an LSH bucket (any of
@@ -202,9 +212,15 @@ def embedding_near_dup_pairs(
     The threshold is corpus-relative (the driver's synthetic embeddings
     are near-orthogonal, so 0.2 is 'suspiciously similar' there; a real
     near-dup sweep over model embeddings would run ~0.95).
+
+    ``buckets``/``norms`` accept prebuilt (cached) relations — the
+    stored-signature-table pattern shared with the MinHash path; when
+    omitted they are derived here.
     """
-    b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
-    bk = lsh_buckets(emb, b)
+    if buckets is None:
+        b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
+        buckets = lsh_buckets(emb, b)
+    bk = buckets
     cand = (
         bk.alias("a")
         .join(bk.alias("b"), ["tbl", "bucket"])
@@ -212,7 +228,7 @@ def embedding_near_dup_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()  # a pair may collide in several tables
     )
-    wn = emb.select("vec_id", "embedding", _norm("embedding").alias("norm"))
+    wn = with_norms(emb) if norms is None else norms
     return (
         cand.join(
             wn.select(
@@ -365,16 +381,26 @@ def ivf_topk(
 
 
 def lsh_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, n_bits: int | None = None
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int | None = None,
+    buckets: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to candidates sharing
     an LSH bucket with the query in ANY of the N_TABLES tables (bucket
     bits corpus-scaled via :func:`lsh_n_bits`).  Returns <= k neighbors
     per query (fewer when the buckets are sparse — that's the ANN
     recall trade; the table union multiplies the collision chance).
+
+    ``buckets``/``norms`` accept prebuilt (cached) relations shared
+    with the near-dup path.
     """
-    b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
-    bk = lsh_buckets(emb, b)
+    if buckets is None:
+        b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
+        buckets = lsh_buckets(emb, b)
+    bk = buckets
     q_bk = bk.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -387,7 +413,7 @@ def lsh_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    wn = emb.select("vec_id", "embedding", _norm("embedding").alias("norm"))
+    wn = with_norms(emb) if norms is None else norms
     q_emb = wn.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -75,6 +75,10 @@ def _cached(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     return _MEMO[key]
 
 
+#: memoized scalars (corpus counts) keyed like _MEMO.
+_SCALAR_MEMO: dict[tuple, int] = {}
+
+
 def reset_memo(sf_dir: str | None = None) -> None:
     """Unpersist and drop memoized relations (all, or those built for
     one sf_dir/handle).  Long-lived sessions that re-mount table sets
@@ -85,6 +89,42 @@ def reset_memo(sf_dir: str | None = None) -> None:
         except Exception:
             pass  # session already stopped — nothing to release
         del _MEMO[key]
+    for key in [k for k in _SCALAR_MEMO if sf_dir is None or k[2] == sf_dir]:
+        del _SCALAR_MEMO[key]
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus size for ANN parameter derivation, counted once per
+    (session, table set) — the stats-collection analog."""
+    key = ("emb_count", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        _SCALAR_MEMO[key] = load_tables(spark, sf_dir)["embeddings"].count()
+    return _SCALAR_MEMO[key]
+
+
+def _emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared multi-table LSH bucket relation (the vector-side
+    signature table, cached like the MinHash bands)."""
+    from ..operators.similarity import lsh_buckets, lsh_n_bits
+
+    return _cached(
+        "emb_buckets", spark, sf_dir,
+        lambda: lsh_buckets(
+            load_tables(spark, sf_dir)["embeddings"],
+            lsh_n_bits(_emb_count(spark, sf_dir)),
+        ),
+    )
+
+
+def _emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-vector L2 norms (computed once, used by every pair
+    scoring stage)."""
+    from ..operators.similarity import with_norms
+
+    return _cached(
+        "emb_norms", spark, sf_dir,
+        lambda: with_norms(load_tables(spark, sf_dir)["embeddings"]),
+    )
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,10 +535,16 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF index: stride-sampled centroids,
-    nearest-cell assignment, n_probe-cell search (the cell-probing
-    scale path; recall < 1 by design, like sim_lsh_topk)."""
-    return ivf_topk(load_tables(spark, sf_dir)["embeddings"])
+    """Approximate top-5 via an IVF index: ceil(sqrt(N))-stride-sampled
+    centroids, nearest-cell assignment, n_probe-cell search (the
+    cell-probing scale path; recall < 1 by design, like sim_lsh_topk).
+    The stride derives from the cached corpus count."""
+    from ..operators.similarity import ivf_cell_stride
+
+    return ivf_topk(
+        load_tables(spark, sf_dir)["embeddings"],
+        stride=ivf_cell_stride(_emb_count(spark, sf_dir)),
+    )
 
 
 def _sql_table_bucket(alias: str, table: int) -> str:
@@ -567,8 +613,13 @@ _SQL_LSH_BUCKETS = f"""
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: banded multi-table sign-projection LSH with
     corpus-scaled bucket bits + exact scoring over the candidate union
-    (the scale path; recall < 1 by design)."""
-    return lsh_topk(load_tables(spark, sf_dir)["embeddings"])
+    (the scale path; recall < 1 by design).  Bucket and norm relations
+    are the cached signature tables shared with dd_embedding_cosine."""
+    return lsh_topk(
+        load_tables(spark, sf_dir)["embeddings"],
+        buckets=_emb_buckets(spark, sf_dir),
+        norms=_emb_norms(spark, sf_dir),
+    )
 
 
 @register(
@@ -592,8 +643,14 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table LSH candidates
     (corpus-scaled bucket bits, linear expected candidate count) +
-    exact cosine threshold (the vector analog of minhash dedup)."""
-    return embedding_near_dup_pairs(load_tables(spark, sf_dir)["embeddings"])
+    exact cosine threshold (the vector analog of minhash dedup).
+    Bucket and norm relations are the cached signature tables shared
+    with sim_lsh_topk."""
+    return embedding_near_dup_pairs(
+        load_tables(spark, sf_dir)["embeddings"],
+        buckets=_emb_buckets(spark, sf_dir),
+        norms=_emb_norms(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

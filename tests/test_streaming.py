@@ -76,3 +76,97 @@ def test_stateful_running_totals(spark):
         .sort_index()
     )
     assert (got.n_events == want.n_events).all()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the eviction
+    protocol without a streaming query."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_evicting_state_protocol_unit():
+    import pandas as pd
+
+    from chinook_music_database_analysis_spark.streaming.stateful import (
+        make_evicting_update,
+    )
+
+    update = make_evicting_update(1000)
+    # Fresh key accumulates, arms the timeout, emits non-final.
+    st = _FakeState()
+    out = list(update((7,), iter([pd.DataFrame({"value": [1.0, 2.5]})]), st))
+    assert len(out) == 1 and not out[0]["final"].iloc[0]
+    assert out[0]["n_events"].iloc[0] == 2 and out[0]["total_value"].iloc[0] == 3.5
+    assert st.get == (2, 3.5) and st.timeout_set == 1000
+    # Timed-out key emits its final row and removes state.
+    st2 = _FakeState(value=(5, 9.0), timed_out=True)
+    out2 = list(update((7,), iter([]), st2))
+    assert len(out2) == 1 and out2[0]["final"].iloc[0]
+    assert out2[0]["n_events"].iloc[0] == 5 and out2[0]["total_value"].iloc[0] == 9.0
+    assert st2.removed
+
+
+def test_evicting_stream_runs(spark):
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.streaming.stateful import (
+        user_running_totals_evicting_stream,
+    )
+
+    # Short idle horizon: availableNow keeps the query alive while
+    # armed processing-time timeouts are pending, so the default
+    # 30-minute horizon would hang the test harness.
+    stream = user_running_totals_evicting_stream(
+        read_events_stream(spark, SF_TEST_DIR), idle_timeout_ms=500
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=180)
+    finally:
+        q.stop()
+    got = (
+        spark.table("t_evict")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        spark.read.parquet(f"{SF_TEST_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got.n_events == want.n_events).all()
