@@ -144,6 +144,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     shingles: DataFrame | None = None,
     bands: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard, verified only on LSH candidates
     (candidate/verify split — never all-pairs).
@@ -153,10 +154,26 @@ def ngram_jaccard_pairs(
     relation twice, so callers should cache them (plans/extensions
     does, keyed per session+sf)."""
     sh = shingles if shingles is not None else doc_shingles(docs)
-    cand = minhash_candidate_pairs(docs, bands=bands)
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_candidate_pairs(docs, bands=bands)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    # Semi-restrict the shingle relation to candidate docs BEFORE the
+    # (doc, s) intersection joins: the wide shuffle then scales with
+    # the candidate set, not the corpus (the candidate set is orders
+    # of magnitude smaller by construction of the LSH band filter).
+    # Callers should pass a persisted ``candidates`` relation — it is
+    # referenced three times here (sa/sb semi-filters + the join spine)
+    # and Spark re-executes unpersisted subtrees per reference.
+    sh_cand = sh.join(
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
+        "doc_id",
+        "leftsemi",
+    )
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "s"])

@@ -143,6 +143,17 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash-LSH candidate pair relation — referenced several
+    times by the verify/cluster stages, so cached like the bands."""
+    return _cached(
+        "cand_pairs", spark, sf_dir,
+        lambda: minhash_candidate_pairs(
+            load_tables(spark, sf_dir)["documents"], bands=_bands(spark, sf_dir)
+        ),
+    )
+
+
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(
         "simhash", spark, sf_dir,
@@ -341,9 +352,7 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (b={BANDS} bands, r={ROWS}
     rows).""".format(BANDS=BANDS, ROWS=ROWS_PER_BAND)
-    return minhash_candidate_pairs(
-        load_tables(spark, sf_dir)["documents"], bands=_bands(spark, sf_dir)
-    )
+    return _cand_pairs(spark, sf_dir)
 
 
 @register(
@@ -373,7 +382,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"],
         shingles=_shingles(spark, sf_dir),
-        bands=_bands(spark, sf_dir),
+        candidates=_cand_pairs(spark, sf_dir),
     )
 
 
@@ -400,10 +409,7 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive-CTE transitive closure: min reachable doc_id ==
     component min label, so the hash compare covers the iterative
     fixpoint too."""
-    pairs = minhash_candidate_pairs(
-        load_tables(spark, sf_dir)["documents"], bands=_bands(spark, sf_dir)
-    )
-    return duplicate_clusters(pairs)
+    return duplicate_clusters(_cand_pairs(spark, sf_dir))
 
 
 _SQL_SIMHASH_CTES = f"""
