@@ -1,0 +1,228 @@
+"""Corpus-curation operators: deterministic sampling / splits, PII
+redaction, boilerplate detection, benchmark decontamination, and
+canonical-document selection.
+
+These are the dataset-curation stages of a training-data pipeline (the
+steps C4/RefinedWeb-style corpora run between raw crawl and tokenizer):
+
+* sampling / train-val-test splits must be **deterministic and
+  content-addressed** (re-running the pipeline on a grown corpus must
+  not reshuffle old docs between splits), so both use a salted md5 of
+  the stable doc key rather than ``rand()``;
+* PII redaction is a pure narrow map (regex, JVM-side codegen);
+* boilerplate detection is the n-gram analogue of C4's repeated-line
+  filter: an n-gram occurring in many distinct documents is template
+  text, and each document is scored by the fraction of its n-grams
+  that are boilerplate;
+* decontamination drops training docs sharing a wide (k=8) n-gram with
+  a held-out benchmark set — the semi-join is built so the (small,
+  fixed-size) benchmark side is the broadcast side and the corpus is
+  never shuffled;
+* canonical selection keeps one representative per near-dup cluster.
+
+Scale notes (100 TB): sampling/split/redaction are shuffle-free narrow
+maps.  Boilerplate costs one shuffle keyed by n-gram (the global
+document-frequency agg) plus one n-gram-keyed join back — both scale
+linearly and skew only on genuinely-global n-grams, which the
+``min_df`` threshold turns into tiny aggregate rows, not join fanout.
+Decontamination broadcasts the benchmark shingle set (benchmarks are
+fixed-size; the corpus is what grows), so the big side is map-side
+only.  All md5-keyed logic reproduces bit-identically in the DuckDB
+oracles (md5 is md5 everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_from_tokens, tokens_expr
+
+#: Wide shingle width for decontamination — 8-gram overlap is the
+#: common contamination test (matches the 8-13-gram range used by
+#: published decontamination recipes); 3-grams would flag nearly
+#: everything on a small vocabulary.
+DECONTAM_K = 8
+
+#: A shingle is "boilerplate" when it appears in at least this many
+#: distinct documents.
+BOILER_MIN_DF = 40
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """First 4 hex chars of md5(salt|key) — a uniform draw from
+    0x0000..0xffff, compared lexicographically against hex thresholds
+    (fixed-width lowercase hex orders identically as string or int,
+    and md5 agrees bit-for-bit between Spark and DuckDB)."""
+    return F.substring(F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 4)
+
+
+def pct_threshold(pct: float) -> str:
+    """Hex threshold h such that P[bucket < h] ~= pct/100 (exact to
+    1/65536)."""
+    return format(int(round(pct / 100.0 * 0x10000)), "04x")
+
+
+def hash_sample(df: DataFrame, key: str, pct: float, salt: str = "sample") -> DataFrame:
+    """Deterministic content-addressed sample of ~pct% of rows.
+
+    Unlike ``df.sample()`` (seeded per-partition-split, so resampling
+    after a repartition or append changes membership), the md5 bucket
+    depends only on the row key: stable under re-runs, appends and
+    repartitioning — the property curation pipelines need for
+    reproducible subsets.  Narrow map, no shuffle.
+    """
+    return df.filter(_hash_bucket(F.col(key), salt) < F.lit(pct_threshold(pct)))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_pct: float = 10.0,
+    test_pct: float = 10.0,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic ``split`` label (train/val/test).
+
+    Content-addressed like :func:`hash_sample`; a doc keeps its split
+    forever, and new docs distribute ~(100-val-test)/val/test.  Narrow
+    map, no shuffle.
+    """
+    b = _hash_bucket(F.col(key), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < F.lit(pct_threshold(test_pct)), F.lit("test"))
+        .when(b < F.lit(pct_threshold(test_pct + val_pct)), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+#: (pattern, replacement) redaction rules.  Patterns stick to the
+#: regex subset shared by Java (Spark codegen) and RE2 (DuckDB):
+#: character classes + bounded quantifiers, no lookaround.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s from ``text_col``.
+
+    Adds ``clean_text`` (redacted) and ``n_redacted`` (total matches
+    removed).  Pure narrow map — a chain of JVM-side regexp_replace
+    calls inside one codegen stage; nothing leaves the executor.  The
+    match count is taken before replacement so overlapping rule order
+    cannot double-count (IP runs after phone; the phone pattern's
+    dashes keep the two disjoint).
+    """
+    n = F.lit(0)
+    for pat, _ in PII_RULES:
+        n = n + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+    clean = F.col(text_col)
+    for pat, rep in PII_RULES:
+        clean = F.regexp_replace(clean, pat, rep)
+    return df.withColumn("n_redacted", n).withColumn("clean_text", clean)
+
+
+def boilerplate_score(
+    docs: DataFrame, min_df: int = BOILER_MIN_DF, shingles: DataFrame | None = None
+) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a doc's distinct
+    n-grams that occur in >= min_df distinct documents (C4's
+    repeated-line filter, n-gram form).
+
+    Plan (two corpus-scale shuffles, no corpus-wide distinct): per-doc
+    shingle dedup happens inside the row (``array_distinct`` before the
+    explode — a narrow map), so the only full shuffles are the
+    document-frequency agg keyed by shingle and the final doc-keyed
+    agg.  The DF relation is filtered down to the boilerplate set
+    (template n-grams only — small by construction of min_df) and
+    **broadcast** into a left join; the (doc, shingle) relation itself
+    is never join-shuffled.  At 100 TB persist the boilerplate set (it
+    is the corpus's template dictionary) and, should it outgrow the
+    broadcast threshold, drop the explicit broadcast and let AQE pick
+    the join side.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else docs.select("doc_id", tokens_expr().alias("toks")).select(
+            "doc_id", F.explode(F.array_distinct(shingles_from_tokens())).alias("s")
+        )
+    )
+    boiler_set = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= F.lit(min_df))
+        .select("s", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        sh.join(F.broadcast(boiler_set), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_pct: float = 5.0,
+    k: int = DECONTAM_K,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs sharing a wide k-gram with the held-out
+    benchmark subset (the decontamination pass run before training).
+
+    The benchmark here is the deterministic ``bench_pct``% hash-sample
+    of the corpus (standing in for an external eval set).  Returns
+    (doc_id, n_overlap) for contaminated non-benchmark docs.
+
+    Plan: the benchmark k-gram set is **broadcast** — benchmarks are
+    fixed-size while the corpus grows, so the corpus side is scanned
+    map-side only and NEVER shuffled: the exploded (doc, k-gram)
+    relation is deliberately not deduped globally (that would be a
+    corpus-sized shuffle); instead the overlap agg counts DISTINCT
+    k-grams, and its dedup shuffle holds only the broadcast-join
+    survivors (contaminated rows — orders of magnitude smaller).
+    """
+    is_bench = _hash_bucket(F.col(key), "bench") < F.lit(pct_threshold(bench_pct))
+    bench_sh = (
+        docs.filter(is_bench)  # filter BEFORE the explode: the bench
+        .select(tokens_expr().alias("toks"))  # subtree only ever
+        .select(F.explode(shingles_from_tokens(k=k)).alias("s"))  # expands
+        .distinct()  # the benchmark slice
+    )
+    probe = docs.filter(~is_bench).select("doc_id", tokens_expr().alias("toks")).select(
+        "doc_id", F.explode(shingles_from_tokens(k=k)).alias("s")
+    )
+    return (
+        probe.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("s")).alias("n_overlap"))
+    )
+
+
+def canonical_docs(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Drop non-representative near-dup cluster members: keep every doc
+    except those whose cluster label (the cluster's min doc_id) is a
+    different doc.
+
+    ``clusters`` is the (doc_id, cluster_id) output of
+    :func:`..dedup.duplicate_clusters`.  The drop set is proportional
+    to the duplicate count (small after upstream exact-dedup), so the
+    anti-join broadcasts it; the corpus side stays map-side.
+    """
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")

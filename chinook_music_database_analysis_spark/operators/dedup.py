@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles_expr, tokens_expr
+from .text import shingles_from_tokens, tokens_expr
 
 #: MinHash layout: N_HASHES salted hashes grouped into BANDS bands of
 #: ROWS_PER_BAND each (b=4, r=4 -> candidate if any band matches; the
@@ -53,7 +53,8 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     """
     return (
         docs.repartition("doc_id")
-        .select("doc_id", F.explode(shingles_expr()).alias("s"))
+        .select("doc_id", tokens_expr().alias("toks"))
+        .select("doc_id", F.explode(shingles_from_tokens()).alias("s"))
         .distinct()
     )
 

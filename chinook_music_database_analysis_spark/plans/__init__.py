@@ -9,5 +9,6 @@ from .registry import ORACLES, QUERIES, register
 
 from . import parity  # noqa: E402,F401  (registration side effects)
 from . import extensions  # noqa: E402,F401
+from . import curation_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

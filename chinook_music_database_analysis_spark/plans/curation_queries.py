@@ -1,0 +1,273 @@
+"""Registered curation queries: sampling, splits, PII redaction,
+boilerplate, decontamination, canonical-doc selection, corpus rollup.
+
+Registry glue for :mod:`..operators.curation` — same contract as
+extensions.py: every query ships a DuckDB oracle built from the same
+md5/threshold literals the Spark side uses (interpolated from shared
+constants/functions, so the two dialects cannot drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    DECONTAM_K,
+    PII_RULES,
+    benchmark_contamination,
+    boilerplate_score,
+    canonical_docs,
+    hash_sample,
+    pct_threshold,
+    redact_pii,
+    train_val_test_split,
+)
+from ..operators.dedup import duplicate_clusters
+from ..operators.text import shingles_from_tokens, tokens_expr
+from ..sources import load_tables
+from .extensions import (
+    _SCALAR_MEMO,
+    _SQL_BANDS,
+    _SQL_CAND,
+    _SQL_SHINGLES,
+    _SQL_SIG,
+    _cached,
+    _cand_pairs,
+    _table_set_id,
+)
+from .registry import register
+
+SAMPLE_PCT = 20.0
+VAL_PCT = 10.0
+TEST_PCT = 10.0
+BENCH_PCT = 5.0
+
+#: Boilerplate = bigram in >= 5% of docs (integer-exact ceil both
+#: dialects: (n*5 + 99) // 100).  Bigrams, not the dedup 3-grams: the
+#: synthetic corpus's short template phrases repeat at bigram grain.
+BOILER_K = 2
+BOILER_PCT_NUM = 5
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus size for the relative boilerplate threshold, counted once
+    per (session, table set) — same stats-collection pattern as the ANN
+    parameter derivation in extensions."""
+    key = ("doc_count", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        _SCALAR_MEMO[key] = load_tables(spark, sf_dir)["documents"].count()
+    return _SCALAR_MEMO[key]
+
+
+def _sql_shingles_k(k: int, alias: str = "wsh") -> str:
+    """DuckDB distinct (doc_id, k-gram) CTE for arbitrary k (the shared
+    _SQL_SHINGLES is fixed at the dedup family's k=3)."""
+    return (
+        f"{alias} AS (SELECT DISTINCT doc_id, "
+        f"unnest([array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in range(1, greatest(len(toks) - {k - 1}, 1) + 1)]) AS s "
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
+        "FROM documents))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cur_sample",
+    oracle=(
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < "
+        f"'{pct_threshold(SAMPLE_PCT)}'"
+    ),
+)
+def cur_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed ~20% sample (stable under re-runs/appends —
+    membership is a function of doc_id, unlike seeded df.sample)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return hash_sample(docs, "doc_id", SAMPLE_PCT).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "cur_split",
+    oracle=(
+        "SELECT doc_id, CASE "
+        f"WHEN h < '{pct_threshold(TEST_PCT)}' THEN 'test' "
+        f"WHEN h < '{pct_threshold(TEST_PCT + VAL_PCT)}' THEN 'val' "
+        "ELSE 'train' END AS split "
+        "FROM (SELECT doc_id, substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) "
+        "AS h FROM documents)"
+    ),
+)
+def cur_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return train_val_test_split(docs, "doc_id", VAL_PCT, TEST_PCT).select(
+        "doc_id", "split"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: The synthetic corpus carries no PII, so the query injects a
+#: deterministic email/phone/IP per doc before redacting — the operator
+#: must visibly remove them (n_redacted >= 3 per doc), not no-op.
+_AUG_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example or 415-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+    "' from 10.0.', CAST(doc_id % 256 AS STRING), '.7')"
+)
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+def _pii_oracle() -> str:
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_RULES
+    )
+    clean = "text"
+    for pat, rep in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return (
+        f"WITH aug AS (SELECT doc_id, {_AUG_SQL} AS text FROM documents) "
+        f"SELECT doc_id, {counts} AS n_redacted, {clean} AS clean_text FROM aug"
+    )
+
+
+@register("cur_pii_redact", oracle=_pii_oracle())
+def cur_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phones, IPv4) over PII-injected
+    docs.  Narrow map, one codegen stage, no shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    aug = docs.select("doc_id", F.expr(_AUG_SPARK).alias("text"))
+    return redact_pii(aug).select("doc_id", "n_redacted", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate / decontamination / canonicalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cur_boilerplate",
+    oracle=(
+        f"WITH {_sql_shingles_k(BOILER_K, 'sh2')}, "
+        "dfr AS (SELECT s, COUNT(*) >= "
+        f"(SELECT (COUNT(*) * {BOILER_PCT_NUM} + 99) // 100 FROM documents) "
+        "AS is_boiler FROM sh2 GROUP BY s) "
+        "SELECT doc_id, COUNT(*) AS n_shingles, "
+        "CAST(SUM(CAST(is_boiler AS INT)) AS BIGINT) AS n_boiler, "
+        "ROUND(CAST(SUM(CAST(is_boiler AS INT)) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 4) AS boiler_ratio "
+        "FROM sh2 JOIN dfr USING (s) GROUP BY doc_id"
+    ),
+)
+def cur_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate ratio (bigram document frequency >= 5% of
+    corpus — C4's repeated-line filter at n-gram grain).  The bigram
+    relation feeds both the DF agg and the probe side, so it is
+    memoized per (session, table set) like the dedup shingles."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = _doc_count(spark, sf_dir)
+    sh2 = _cached(
+        "bigrams",
+        spark,
+        sf_dir,
+        lambda: docs.select("doc_id", tokens_expr().alias("toks")).select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_from_tokens(k=BOILER_K))).alias("s"),
+        ),
+    )
+    return boilerplate_score(
+        docs, min_df=(n * BOILER_PCT_NUM + 99) // 100, shingles=sh2
+    )
+
+
+@register(
+    "cur_decontam",
+    oracle=(
+        f"WITH {_sql_shingles_k(DECONTAM_K)}, "
+        "b AS (SELECT doc_id, "
+        f"substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 4) < "
+        f"'{pct_threshold(BENCH_PCT)}' AS is_bench FROM documents), "
+        "bs AS (SELECT DISTINCT s FROM wsh JOIN b USING (doc_id) WHERE is_bench) "
+        "SELECT doc_id, COUNT(*) AS n_overlap "
+        "FROM wsh JOIN b USING (doc_id) JOIN bs USING (s) "
+        "WHERE NOT is_bench GROUP BY doc_id"
+    ),
+)
+def cur_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing an 8-gram with the held-out benchmark
+    sample — the pre-training decontamination sweep.  Benchmark shingle
+    set is broadcast; the corpus is never shuffled pre-agg."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return benchmark_contamination(docs, bench_pct=BENCH_PCT)
+
+
+@register(
+    "dd_canonical",
+    oracle=(
+        f"WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND}, "
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM cand "
+        "UNION ALL SELECT doc_b, doc_a FROM cand), "
+        "walk(doc_id, lbl) AS (SELECT src, src FROM e "
+        "UNION SELECT e.src, w.lbl FROM walk w JOIN e ON e.dst = w.doc_id), "
+        "cl AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc_id) "
+        "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)"
+    ),
+)
+def dd_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after near-dup removal: one representative (min doc_id)
+    kept per LSH cluster.  Completes the dedup family: detect
+    (dd_minhash_pairs) -> cluster (dd_dup_clusters) -> canonicalize."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    clusters = duplicate_clusters(_cand_pairs(spark, sf_dir))
+    return canonical_docs(docs, clusters).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Corpus stats rollup (exact percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cur_stats_rollup",
+    oracle=(
+        "WITH d AS (SELECT source, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens, n_chars "
+        "FROM documents) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+        "ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens, "
+        "ROUND(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens, "
+        "ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars "
+        "FROM d GROUP BY source"
+    ),
+)
+def cur_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc/token counts + exact interpolated
+    token-count percentiles (Spark `percentile` == DuckDB
+    quantile_cont).  One hash-agg shuffle on a low-cardinality key;
+    exact percentile holds per-group values — at 100 TB grain swap in
+    approx_percentile and loosen the oracle to tolerance."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"), "n_chars"
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
