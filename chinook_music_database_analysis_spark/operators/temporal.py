@@ -1,0 +1,123 @@
+"""Temporal join operators: as-of join and range join.
+
+Spark has no native ASOF or band-join operator (DuckDB/Pandas/kdb do);
+a naive translation — inequality-only join — plans a
+BroadcastNestedLoopJoin / cartesian product, the classic scale killer.
+These implement the two canonical distributed rewrites:
+
+* **as-of join** (latest right row at-or-before each left row, per
+  key): union-tag both sides, one shuffle keyed by the join key, sort
+  within partition by (ts, side), and carry right-side values forward
+  with ``last(ignorenulls)`` over a running window.  No join node at
+  all — cost is one Exchange + one in-partition sort, independent of
+  match fan-out.  This is the shape used for trades-vs-quotes at
+  market-data scale.
+
+* **range join** (aggregate right rows falling in a bounded interval
+  after each left row, per key): quantize both sides into
+  interval-width time buckets, replicate the LEFT side to its bucket
+  and successor (a window of width W spans at most 2 W-buckets), then
+  equi-join on (key, bucket) and filter the exact band residually.
+  Catalyst plans a plain shuffled hash join on (key, bucket) — no
+  nested loop — and the replication factor is exactly 2.
+
+Both keep all comparisons in integer microseconds (``unix_micros``),
+bit-identical to the DuckDB oracles' ``date_diff('microsecond')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    right_prefix: str = "r_",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row picks the most recent
+    ``right`` row with ``right.ts <= left.ts`` for the same ``key``
+    (inclusive, like DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``); no
+    match yields NULLs.  Right columns come back ``right_prefix``-ed;
+    ``tolerance_us`` (microseconds) optionally voids matches older
+    than ``left.ts - tolerance_us`` (pandas ``merge_asof`` tolerance).
+
+    Ties on (key, ts) between right rows resolve to the row latest in
+    the union sort order — supply pre-deduped right input when exact
+    tie policy matters.
+    """
+    rcols = [c for c in right.columns if c != key]
+    r = right.select(
+        key,
+        F.col(ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(right_prefix + c) for c in rcols],
+    )
+    l_ = left.select("*", F.col(ts).alias("_ats"), F.lit(1).alias("_side"))
+    u = l_.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(right_prefix + c, ignorenulls=True).over(w).alias(right_prefix + c)
+        for c in rcols
+    ]
+    out = u.select(*left.columns, "_side", "_ats", *carried).filter(
+        F.col("_side") == 1
+    )
+    if tolerance_us is not None:
+        fresh = (
+            F.unix_micros(F.col("_ats")) - F.unix_micros(F.col(right_prefix + ts))
+        ) <= F.lit(tolerance_us)
+        out = out.select(
+            *left.columns,
+            *[
+                F.when(fresh, F.col(right_prefix + c)).alias(right_prefix + c)
+                for c in rcols
+            ],
+        )
+        return out
+    return out.drop("_side", "_ats")
+
+
+def _bucket(ts_col: str, width_us: int) -> Column:
+    return F.floor(F.unix_micros(F.col(ts_col)) / F.lit(width_us))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    width_us: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Banded join: pairs of (left row, right row) with the same
+    ``key`` and ``right.ts`` in the half-open band
+    ``(left.ts, left.ts + width_us]``.
+
+    Returns the joined pairs (every non-key right column comes back
+    suffixed ``_r``); callers aggregate.  The bucket replication
+    (left -> {b, b+1}) guarantees every in-band pair co-locates in
+    exactly one (key, bucket) task, so the plan is a shuffled
+    equi-join with a residual filter — never a nested loop.
+    """
+    lb = left.withColumn(
+        "_b", F.explode(F.array(_bucket(left_ts, width_us), _bucket(left_ts, width_us) + 1))
+    )
+    rb = right.select(
+        key, *[F.col(c).alias(c + "_r") for c in right.columns if c != key]
+    ).withColumn("_b", _bucket(right_ts + "_r", width_us))
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts + "_r"))
+    return (
+        lb.join(rb, [key, "_b"])
+        .filter((r_us > l_us) & (r_us <= l_us + F.lit(width_us)))
+        .drop("_b")
+    )

@@ -878,3 +878,98 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(k).alias("sum_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of and range — the two
+# interval-join shapes Spark lacks natively, rewritten shuffle-safe.
+# ---------------------------------------------------------------------------
+
+#: 10-minute band for the range join, in integer microseconds.
+RANGE_W_US = 600_000_000
+
+
+@register(
+    "ev_asof_error_before_click",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts,
+           e.event_id AS r_event_id, e.ts AS r_ts,
+           date_diff('microsecond', e.ts, c.ts) AS gap_us
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def ev_asof_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the same user's most recent error at or
+    before it (trades-vs-quotes shape).  The Spark plan is the
+    union-tag + last(ignorenulls) window — ONE shuffle keyed by
+    user_id, no join node, fan-out-independent; the oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, errors, key="user_id", ts="ts")
+    return out.select(
+        "click_id",
+        "user_id",
+        "ts",
+        "r_event_id",
+        "r_ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
+    )
+
+
+@register(
+    "ev_range_clicks_after_error",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+          FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT e.event_id, COUNT(*) AS n_clicks, SUM(c.v) AS sv
+      FROM e JOIN c
+        ON e.user_id = c.user_id
+       AND c.ts > e.ts
+       AND date_diff('microsecond', e.ts, c.ts) <= 600000000
+      GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           COALESCE(m.n_clicks, 0) AS n_clicks,
+           CAST(ROUND(COALESCE(m.sv, 0), 2) AS DOUBLE) AS click_value
+    FROM e LEFT JOIN m USING (event_id)
+    """,
+)
+def ev_range_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks (count + exact-decimal value sum) within 10 minutes after
+    each error, per user — the band-join shape.  Spark side buckets
+    both relations to interval width and equi-joins (key, bucket) with
+    2x left replication — a shuffled hash join, never a nested loop;
+    the oracle states the band as a plain inequality join."""
+    from ..operators.temporal import range_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    pairs = range_join(errors, clicks, key="user_id", width_us=RANGE_W_US)
+    m = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"), F.sum("v_r").alias("sv")
+    )
+    return errors.join(m, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.round(F.coalesce(F.col("sv"), F.lit(0)), 2).cast("double").alias("click_value"),
+    )

@@ -1,0 +1,114 @@
+"""As-of / range join semantics and plan shapes.
+
+Oracle parity (DuckDB ASOF JOIN / inequality join) is covered by
+test_oracle_parity; here: boundary inclusivity, no-match NULLs,
+tolerance, bucket-boundary crossing, and the no-nested-loop plan
+guarantees.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from chinook_music_database_analysis_spark.operators.temporal import asof_join, range_join
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),
+            (2, 10, _ts("2024-01-01 11:00:00")),
+            (3, 20, _ts("2024-01-01 09:00:00")),
+        ],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 09:30:00")),
+            (101, 10, _ts("2024-01-01 10:00:00")),  # == left lid=1 ts (inclusive)
+            (102, 10, _ts("2024-01-01 10:59:00")),
+            (103, 20, _ts("2024-01-01 09:30:00")),  # after left lid=3 -> no match
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_inclusive_latest_and_null(spark):
+    left, right = _frames(spark)
+    rows = {r.lid: r for r in asof_join(left, right, key="user_id").collect()}
+    assert rows[1].r_rid == 101  # ts == left ts matches (inclusive), beats 100
+    assert rows[2].r_rid == 102  # latest of {100,101,102}
+    assert rows[3].r_rid is None and rows[3].r_ts is None  # nothing at-or-before
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, key="user_id", tolerance_us=60_000_000)
+    rows = {r.lid: r for r in out.collect()}
+    assert rows[1].r_rid == 101  # gap 0 <= 60s
+    assert rows[2].r_rid == 102  # gap 60s, inclusive
+    assert rows[3].r_rid is None
+
+
+def test_asof_plan_is_single_exchange_no_join(spark):
+    left, right = _frames(spark)
+    p = _plan(asof_join(left, right, key="user_id"))
+    assert p.count("Exchange") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_range_join_band_and_bucket_crossing(spark):
+    w_us = 600_000_000  # 10 min
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:09:00"))], "lid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (200, 10, _ts("2024-01-01 10:09:00")),  # == left ts: excluded (strict >)
+            (201, 10, _ts("2024-01-01 10:11:00")),  # next bucket, in band
+            (202, 10, _ts("2024-01-01 10:19:00")),  # == left ts + W: included
+            (203, 10, _ts("2024-01-01 10:19:00.000001")),  # just past W: excluded
+            (204, 99, _ts("2024-01-01 10:11:00")),  # other key
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        r.rid_r for r in range_join(left, right, key="user_id", width_us=w_us).collect()
+    )
+    assert got == [201, 202]
+
+
+def test_range_join_no_nested_loop(spark):
+    left, right = _frames(spark)
+    p = _plan(range_join(left, right, key="user_id", width_us=600_000_000))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_range_join_pairs_unique_despite_replication(spark):
+    # A pair whose band lies inside one bucket must not appear twice
+    # (left is replicated to 2 buckets; the right row lives in exactly
+    # one, so each pair joins exactly once).
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:30"))], "lid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(300, 10, _ts("2024-01-01 10:00:45"))], "rid long, user_id long, ts timestamp"
+    )
+    out = range_join(left, right, key="user_id", width_us=600_000_000).collect()
+    assert len(out) == 1
