@@ -1289,3 +1289,113 @@ def s11_geo_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio2(F.sum("n_items"), n).alias("avg_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r2 aggregation-surface additions: CUBE, PIVOT, set operations.  None
+# exist in the reference (SURVEY §2.4/§2.7 note their absence) but all
+# belong to the engine's beyond-reference analytics surface alongside
+# q04c's ROLLUP and q10b's HLL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q04d_cube_geo",
+    oracle="""
+    SELECT r.r_name, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE(r.r_name, c.c_mktsegment)
+    """,
+)
+def q04d_cube_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All cross-dimension subtotals via CUBE (region x segment + both
+    marginals + grand total).  Like ROLLUP, Spark plans one Expand (4
+    grouping sets) over a single scan — the pre-aggregation pipeline is
+    shared, not re-scanned per grouping level."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .cube("r_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            round2(money_sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+#: Explicit pivot values: passing them (vs letting Spark run a distinct
+#: job to discover them) keeps PIVOT a single-pass plan — at 100 TB the
+#: discovery job is a full extra scan.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "ev_pivot_user_types",
+    oracle="""
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+    """.format(
+        cols=",\n           ".join(
+            f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+            for t in EVENT_TYPES
+        )
+    ),
+)
+def ev_pivot_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per user pivoted to one column per type.  Explicit
+    value list => single Expand+agg pass (no distinct-discovery job);
+    the oracle states the same relation as conditional aggregates."""
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in EVENT_TYPES],
+    )
+
+
+@register(
+    "s12_retention_setops",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995),
+         y00 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000)
+    SELECT 'retained' AS cohort, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y00)
+    UNION ALL
+    SELECT 'lost' AS cohort, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y00)
+    """,
+)
+def s12_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one cohort query: customers
+    ordering in both 1995 and 2000 vs only 1995.  Spark plans
+    intersect/exceptAll as hash semi/anti aggregates over the deduped
+    key sets — same shuffle count as the equivalent semi/anti joins."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    y00 = (
+        orders.filter(F.year("o_orderdate") == 2000).select("o_custkey").distinct()
+    )
+    retained = y95.intersect(y00).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("retained").alias("cohort"), "n_customers"
+    )
+    lost = y95.exceptAll(y00).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("lost").alias("cohort"), "n_customers"
+    )
+    return retained.unionAll(lost)

@@ -73,3 +73,23 @@ def test_ivf_stages_broadcast(spark):
     """IVF assign/probe must broadcast the centroid set — the corpus
     side must never shuffle for the cross score."""
     assert "Broadcast" in _plan(spark, "sim_ivf_topk")
+
+
+def test_cube_and_pivot_are_single_scan_expand(spark):
+    """CUBE/PIVOT must evaluate all grouping sets / pivot columns in
+    one Expand + aggregate over ONE scan — never one scan per level.
+    The explicit pivot value list also means no distinct-discovery job
+    (nothing runs at plan-build time)."""
+    p = _plan(spark, "q04d_cube_geo")
+    assert p.count("FileScan parquet") <= 4 and "Expand" in p
+    # Pivot with an explicit value list + count compiles further still:
+    # a single-scan __pivot aggregate (PivotFirst), no Expand at all.
+    p = _plan(spark, "ev_pivot_user_types")
+    assert p.count("FileScan parquet") == 1 and "__pivot" in p
+
+
+def test_setops_plan_as_hash_aggregates(spark):
+    """INTERSECT/EXCEPT must come out as joins/aggregates over deduped
+    key sets — no cartesian or nested-loop fallback."""
+    p = _plan(spark, "s12_retention_setops")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
