@@ -48,3 +48,66 @@ def null_report(df: DataFrame) -> DataFrame:
             for c in df.columns
         ]
     )
+
+
+def expectation_report(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Constraint-check report (Delta-Live-Tables-style expectations):
+    one output row per rule — (rule, n_rows, n_violations,
+    violation_rate).
+
+    A row VIOLATES a rule when the predicate is false OR null (null
+    comparisons must not silently pass).  All rules evaluate in ONE
+    scan: a single global aggregate computes every violation count
+    plus the row total, then ``stack`` unpivots the scalar row —
+    no shuffle beyond the tiny partial->final agg, however many rules.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)).alias(f"_v_{i}")
+        for i, rule in enumerate(rules.values())
+    ]
+    pairs = ", ".join(f"'{name}', _v_{i}" for i, name in enumerate(rules))
+    return (
+        df.agg(*aggs)
+        .select(
+            "_n",
+            F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
+        )
+        .select(
+            "rule",
+            F.col("_n").alias("n_rows"),
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("_n"), 6).alias("violation_rate"),
+        )
+    )
+
+
+def fk_violation_report(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    rule_name: str,
+) -> DataFrame:
+    """Referential-integrity expectation: child rows whose key has no
+    parent (anti-join), reported in the same shape as
+    :func:`expectation_report` so the two union into one report.
+
+    The anti-join shuffles on the key (or broadcasts the deduped
+    parent-key set if it fits — left to AQE); the two scalar aggregates
+    cross-join into a single row.
+    """
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    viol = (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    return total.crossJoin(viol).select(
+        F.lit(rule_name).alias("rule"),
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+    )

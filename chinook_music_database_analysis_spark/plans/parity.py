@@ -1399,3 +1399,51 @@ def s12_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lost").alias("cohort"), "n_customers"
     )
     return retained.unionAll(lost)
+
+
+@register(
+    "dq_order_expectations",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS v0,
+             COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END) AS v1,
+             COUNT(CASE WHEN NOT COALESCE(o_totalprice < 20000, FALSE) THEN 1 END) AS v2,
+             COUNT(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F'), FALSE) THEN 1 END) AS v3
+      FROM orders
+    ), fk AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS n,
+             COUNT(*) AS v
+      FROM orders o
+      WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'custkey_not_null' AS rule, n AS n_rows, v0 AS n_violations,
+           ROUND(CAST(v0 AS DOUBLE)/n, 6) AS violation_rate FROM a
+    UNION ALL SELECT 'price_positive', n, v1, ROUND(CAST(v1 AS DOUBLE)/n, 6) FROM a
+    UNION ALL SELECT 'price_under_20k', n, v2, ROUND(CAST(v2 AS DOUBLE)/n, 6) FROM a
+    UNION ALL SELECT 'status_closed', n, v3, ROUND(CAST(v3 AS DOUBLE)/n, 6) FROM a
+    UNION ALL SELECT 'fk_customer', n, v, ROUND(CAST(v AS DOUBLE)/n, 6) FROM fk
+    """,
+)
+def dq_order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report over orders: not-null, range, bound,
+    set-membership (all in ONE scan via operators.quality.
+    expectation_report) plus a referential-integrity anti-join check,
+    unioned into a single (rule, n_rows, n_violations, rate) relation.
+    Rules are engine-demo policy: price_under_20k and status_closed
+    violate on real rows; the rest measure zero."""
+    from ..operators.quality import expectation_report, fk_violation_report
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    report = expectation_report(
+        orders,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "price_under_20k": F.col("o_totalprice") < 20000,
+            "status_closed": F.col("o_orderstatus").isin("O", "F"),
+        },
+    )
+    fk = fk_violation_report(orders, t["customer"], "o_custkey", "c_custkey", "fk_customer")
+    return report.unionAll(fk)

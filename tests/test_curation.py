@@ -120,3 +120,25 @@ def test_pct_threshold_exact_hex():
     assert pct_threshold(20) == "3333"
     assert pct_threshold(10) == "199a"
     assert pct_threshold(5) == "0ccd"
+
+
+def test_expectation_report_null_counts_as_violation(spark):
+    from chinook_music_database_analysis_spark.operators.quality import (
+        expectation_report,
+        fk_violation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, amount double"
+    )
+    rows = {
+        r.rule: r
+        for r in expectation_report(
+            df, {"amount_positive": F.col("amount") > 0}
+        ).collect()
+    }
+    r = rows["amount_positive"]
+    assert r.n_rows == 3 and r.n_violations == 2  # -5 fails, NULL fails too
+    parent = spark.createDataFrame([(1,), (3,)], "id long")
+    fk = fk_violation_report(df, parent, "id", "id", "fk").collect()[0]
+    assert fk.n_rows == 3 and fk.n_violations == 1  # id=2 orphaned
