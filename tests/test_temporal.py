@@ -112,3 +112,57 @@ def test_range_join_pairs_unique_despite_replication(spark):
     )
     out = range_join(left, right, key="user_id", width_us=600_000_000).collect()
     assert len(out) == 1
+
+
+# ---------------------------------------------------------------------------
+# Randomized brute-force equivalence (seeded, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _random_frames(spark, seed: int, n_left: int = 60, n_right: int = 80):
+    import random
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000  # epoch micros
+    left = [
+        (i, rng.randrange(5), base + rng.randrange(0, 3_600_000_000))
+        for i in range(n_left)
+    ]
+    right = [
+        (100 + i, rng.randrange(5), base + rng.randrange(0, 3_600_000_000))
+        for i in range(n_right)
+    ]
+    ldf = spark.createDataFrame(
+        [(i, k, u) for i, k, u in left], "lid long, user_id long, us long"
+    ).select("lid", "user_id", F.timestamp_micros("us").alias("ts"))
+    rdf = spark.createDataFrame(
+        [(i, k, u) for i, k, u in right], "rid long, user_id long, us long"
+    ).select("rid", "user_id", F.timestamp_micros("us").alias("ts"))
+    return left, right, ldf, rdf
+
+
+def test_asof_matches_bruteforce_on_random_data(spark):
+    for seed in (7, 23, 99):
+        left, right, ldf, rdf = _random_frames(spark, seed)
+        got = {
+            r.lid: r.r_rid for r in asof_join(ldf, rdf, key="user_id").collect()
+        }
+        for lid, k, lu in left:
+            cands = [(ru, rid) for rid, rk, ru in right if rk == k and ru <= lu]
+            want = max(cands)[1] if cands else None
+            assert got[lid] == want, (seed, lid)
+
+
+def test_range_join_matches_bruteforce_on_random_data(spark):
+    w = 600_000_000
+    for seed in (11, 42):
+        left, right, ldf, rdf = _random_frames(spark, seed)
+        pairs = range_join(ldf, rdf, key="user_id", width_us=w).collect()
+        got = {(r.lid, r.rid_r) for r in pairs}
+        want = {
+            (lid, rid)
+            for lid, lk, lu in left
+            for rid, rk, ru in right
+            if rk == lk and lu < ru <= lu + w
+        }
+        assert got == want, seed
