@@ -93,3 +93,37 @@ def test_setops_plan_as_hash_aggregates(spark):
     key sets — no cartesian or nested-loop fallback."""
     p = _plan(spark, "s12_retention_setops")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+#: Queries whose plans intentionally contain BroadcastNestedLoopJoin:
+#: 1-row scalar-anchor broadcasts (uncorrelated scalar subqueries) and
+#: the deliberate broadcast-query-set ANN scorers.  Build sides are
+#: O(1) or fixed-size — harmless at any corpus scale.
+BNLJ_ALLOWED = {
+    "q08_churn_rate",
+    "q12_inactive_3mo",
+    "s05_regional_churn",
+    "s06_risk_profile",
+    "s07_clv_segments",
+    "dq_order_expectations",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+}
+
+
+def test_registry_has_no_unintentional_nested_loops(spark):
+    """Global scale guard: no query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin only where the build side is a 1-row
+    scalar anchor or the fixed-size ANN query set (allowlist above).
+    Catches any future query or rewrite that degrades an equi-join
+    into a nested loop."""
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    offenders = []
+    for name in sorted(QUERIES):
+        p = _plan(spark, name)
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoop" in p and name not in BNLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
