@@ -83,3 +83,42 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def interval_join_stream(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks within 10
+    minutes AFTER each error, per user — the streaming form of
+    ``operators.temporal.range_join`` (same band, verified equivalent
+    in tests).
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    event-time distance, so Spark can size the state store and expire
+    rows: error-side state is held exactly watermark + band long.
+    Without the time bound this join would be unbounded-state (Spark
+    rejects it in append mode) — the band IS the scale contract.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("err_id", "user_id", "err_ts", "click_ts", "click_value")

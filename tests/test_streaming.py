@@ -170,3 +170,27 @@ def test_evicting_stream_runs(spark):
         .sort_index()
     )
     assert (got.n_events == want.n_events).all()
+
+
+def test_interval_join_stream_matches_batch_range_join(spark):
+    from chinook_music_database_analysis_spark.operators.temporal import range_join
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.streaming.events import (
+        interval_join_stream,
+    )
+    from pyspark.sql import functions as F
+
+    stream = interval_join_stream(read_events_stream(spark, SF_TEST_DIR))
+    got = run_to_memory(stream, "t_interval", output_mode="append").toPandas()
+
+    ev = load_tables(spark, SF_TEST_DIR)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    want = range_join(errors, clicks, key="user_id", width_us=600_000_000).toPandas()
+    got_pairs = set(map(tuple, got[["err_id", "click_ts"]].itertuples(index=False)))
+    want_pairs = set(map(tuple, want[["err_id", "ts_r"]].itertuples(index=False)))
+    assert got_pairs == want_pairs and got_pairs
