@@ -1,0 +1,163 @@
+"""Empirical scaling probe: run the corpus-sensitive query families at
+sf0.1 and at a generated 10x corpus, and report measured time ratios.
+
+The 100 TB claims in PERF.md are plan-shape arguments; this script is
+the measurement backing them.  It synthesizes a seeded corpus with the
+same vocabulary/length/cluster structure as the driver's documents +
+embeddings tables (plus ~5% injected near-duplicates so the dedup path
+does real work), then cold-times each query at both scales in the SAME
+session (fresh memo caches per sf_dir — `_cached` keys include sf_dir).
+
+Expected exponents (time ~ N^e): ~1 for the hash/shuffle families
+(minhash, simhash, boilerplate, stats), ~1.5 for IVF (N*sqrt(N)
+assign), with LSH pair candidates ~linear by the log2(N) plane scaling.
+A measured e >= 2 anywhere is a regression against the scale design.
+
+Usage:  python scripts/scalecheck.py [--factor 10]
+Writes the generated corpus under .scratch/ (gitignored) and prints a
+table; exits nonzero if any family's exponent exceeds the bound below.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+
+#: families timed, with the exponent bound each must stay under
+#: (measured-time ratio <= factor**bound * slack).
+QUERIES = {
+    "tx_stats": 1.3,
+    "dd_exact": 1.3,
+    "dd_minhash_pairs": 1.3,
+    "dd_ngram_jaccard": 1.5,
+    "dd_simhash_pairs": 1.3,
+    "dd_dup_clusters": 1.5,
+    "dd_embedding_cosine": 1.6,
+    "sim_lsh_topk": 1.6,
+    "sim_ivf_topk": 1.7,
+    "sim_bruteforce_topk": 1.3,
+    "cur_boilerplate": 1.3,
+    "cur_decontam": 1.3,
+    "pipe_clean_corpus": 1.3,
+}
+#: fixed per-query scheduling overhead subtracted before the exponent
+#: check (local-mode job setup dominates sub-second runs).
+OVERHEAD_SEC = 0.25
+SLACK = 2.0
+
+
+def generate(out_dir: str, factor: int, seed: int = 7) -> None:
+    rng = np.random.default_rng(seed)
+    import duckdb
+
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT unnest(string_split(text, ' ')) FROM '{BASE}/documents.parquet'"
+        ).fetchall()
+    ]
+    n_docs = 5000 * factor
+    lengths = rng.integers(10, 101, size=n_docs)
+    texts = [
+        " ".join(rng.choice(vocab, size=ln).tolist()) for ln in lengths
+    ]
+    # ~5% near-duplicates: copy an earlier doc and mutate one token.
+    n_dup = n_docs // 20
+    for i in rng.choice(np.arange(n_docs // 2, n_docs), size=n_dup, replace=False):
+        src = int(rng.integers(0, n_docs // 2))
+        toks = texts[src].split()
+        toks[int(rng.integers(0, len(toks)))] = str(rng.choice(vocab))
+        texts[i] = " ".join(toks)
+    langs = rng.choice(["en", "de", "es", "fr", "zh"], size=n_docs)
+    sources = [f"src_{i}" for i in rng.integers(0, 20, size=n_docs)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs.tolist()),
+                "source": pa.array(sources),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{out_dir}/documents.parquet",
+    )
+    n_vec = 2000 * factor
+    centers = rng.normal(size=(10, 64))
+    labels = rng.integers(0, 10, size=n_vec)
+    vecs = centers[labels] + 0.3 * rng.normal(size=(n_vec, 64))
+    # a few exact-ish duplicates for the near-dup query
+    for i in rng.choice(np.arange(n_vec // 2, n_vec), size=n_vec // 50, replace=False):
+        vecs[i] = vecs[int(rng.integers(0, n_vec // 2))] + 1e-4
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vec), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels.astype(np.int32), pa.int32()),
+            }
+        ),
+        f"{out_dir}/embeddings.parquet",
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    out_dir = os.path.join(REPO, ".scratch", f"scale{args.factor}")
+    os.makedirs(out_dir, exist_ok=True)
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        print(f"# generating {args.factor}x corpus under {out_dir}", file=sys.stderr)
+        generate(out_dir, args.factor)
+
+    from chinook_music_database_analysis_spark.plans import QUERIES as REG
+    from chinook_music_database_analysis_spark.sources import get_spark
+
+    spark = get_spark("scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    print(f"{'query':26s} {'base_s':>8} {'scaled_s':>9} {'ratio':>7} {'bound':>7}")
+    for name, bound in QUERIES.items():
+        t0 = time.perf_counter()
+        REG[name](spark, BASE).count()
+        base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        REG[name](spark, out_dir).count()
+        scaled = time.perf_counter() - t0
+        eff_base = max(base - OVERHEAD_SEC, 0.05)
+        eff_scaled = max(scaled - OVERHEAD_SEC, 0.05)
+        ratio = eff_scaled / eff_base
+        limit = (args.factor ** bound) * SLACK
+        ok = ratio <= limit
+        if not ok:
+            failures.append((name, ratio, limit))
+        print(
+            f"{name:26s} {base:8.2f} {scaled:9.2f} {ratio:7.1f} "
+            f"{limit:7.1f} {'ok' if ok else 'FAIL'}"
+        )
+    if failures:
+        print("SCALE REGRESSIONS:", failures, file=sys.stderr)
+        return 1
+    print("# all families within scaling bounds", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
