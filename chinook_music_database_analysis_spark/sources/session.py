@@ -82,12 +82,30 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as nanos-since-epoch long (see nanosAsLong conf);
-        # the generator's values are microsecond-grained, so the
-        # nanos->micros conversion is lossless.
-        from pyspark.sql import functions as F
+        df = _normalize_event_ts(df)
+    return df
 
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Map events.ts to a timestamp regardless of the generator's
+    physical type: older datasets store nanos-since-epoch longs
+    (surfaced via the nanosAsLong conf), newer ones a native
+    timestamp[us] that Spark reads as TIMESTAMP_NTZ.  Both normalize
+    to TimestampType: the long path divides to micros losslessly (the
+    generator's values are microsecond-grained); the NTZ path is a
+    wall-clock-preserving cast under the UTC session timezone.
+    TimestampType (not NTZ) is required for streaming watermarks and
+    matches what timestamp_micros produced for the round-1 data, so
+    every downstream plan and oracle is type-stable across generator
+    versions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

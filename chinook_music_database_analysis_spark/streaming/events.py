@@ -26,13 +26,17 @@ from ..functions import money_sum, round2
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table (file source standing in for Kafka).
 
-    The nanos->micros ts conversion matches sources.session._load_one.
+    The ts normalization matches sources.session._normalize_event_ts
+    (nanos-long datasets divide to micros; native timestamps pass
+    through untouched).
     """
+    from ..sources.session import _normalize_event_ts
+
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source wants a directory base path — glob the
     # single file so the base resolves to the sf directory.
     raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(raw)
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:
