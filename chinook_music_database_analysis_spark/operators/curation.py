@@ -214,6 +214,139 @@ def benchmark_contamination(
     )
 
 
+def domain_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    key: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Re-weight a corpus to per-domain target rates — the data-mixing
+    stage that turns raw domain proportions into a training mixture.
+
+    ``rates[source]`` is the expected number of copies of each doc from
+    that source: rates < 1 downsample (deterministic hash membership,
+    same md5 bucket as :func:`hash_sample`); rates >= 1 emit
+    ``floor(rate)`` guaranteed copies plus one more for the
+    content-addressed ``frac(rate)`` slice.  A rate of 0 drops the
+    domain.  Output repeats each kept doc once per copy with an
+    ``epoch`` index (0-based) so downstream shuffles can spread copies.
+
+    Determinism: membership and copy counts are functions of
+    (salt, key) only — append-stable and repartition-stable, and the
+    DuckDB oracle reproduces them bit-for-bit.  Scale: a narrow map +
+    per-row explode of at most ``ceil(rate)`` elements; no shuffle, no
+    driver state.  The rates dict compiles to a CASE ladder (domains
+    are a config-sized set, not data)."""
+    n_base = F.lit(None)
+    frac_thresh = F.lit(None)
+    base_case = None
+    frac_case = None
+    for src, rate in rates.items():
+        base, frac = int(rate), round((rate - int(rate)) * 100, 6)
+        cond = F.col(source_col) == src
+        base_case = (base_case.when(cond, base) if base_case is not None
+                     else F.when(cond, base))
+        frac_case = (frac_case.when(cond, F.lit(pct_threshold(frac))) if frac_case is not None
+                     else F.when(cond, F.lit(pct_threshold(frac))))
+    d_base, d_frac = int(default_rate), round((default_rate - int(default_rate)) * 100, 6)
+    n_base = base_case.otherwise(d_base) if base_case is not None else F.lit(d_base)
+    frac_thresh = (frac_case.otherwise(F.lit(pct_threshold(d_frac)))
+                   if frac_case is not None else F.lit(pct_threshold(d_frac)))
+    extra = (_hash_bucket(F.col(key), salt) < frac_thresh).cast("int")
+    return (
+        df.withColumn("n_copies", n_base + extra)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), (F.col("n_copies") - 1).cast("bigint")
+                )
+            ),
+        )
+        .drop("n_copies")
+    )
+
+
+#: prefix-sum block width for pack_sequences: docs per offset group.
+#: The per-group offset relation has N/PACK_BLOCK rows — at 100 TB
+#: (~1e11 docs) that is ~2.4e7 rows for the single-partition running
+#: sum, still a trivial window; raise the block (or add one more
+#: prefix level) long before that becomes the bottleneck.
+PACK_BLOCK = 4096
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 2048,
+    text_col: str = "text",
+    key: str = "doc_id",
+    block: int = PACK_BLOCK,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay all docs end-to-end in
+    deterministic ``key`` order and cut the token stream into fixed
+    ``ctx_len`` context windows.  Returns one row per doc with its
+    token count, the pack (chunk) its first token lands in, and the
+    offset inside that pack — the map a tokenizer shard uses to build
+    training sequences (docs crossing a boundary continue into the
+    next pack, standard GPT-style packing).
+
+    The naive plan is a single global ordered cumsum — one partition
+    holding the whole corpus.  This implements the two-level
+    distributed prefix sum instead:
+
+    1. per-doc token counts (narrow map);
+    2. group docs into ``key // block`` ranges and aggregate per-group
+       token sums — a corpus-wide shuffle of ONE row per group;
+    3. running offsets over that tiny per-group relation (single
+       partition, N/block rows — see :data:`PACK_BLOCK`);
+    4. broadcast-join offsets back and window-cumsum WITHIN each group
+       (partitioned by group — fully parallel).
+
+    The only corpus-scale shuffles are the per-group agg and the
+    within-group window; both are keyed by the block id, so partition
+    counts stay balanced regardless of doc length skew."""
+    from pyspark.sql import Window
+
+    counted = docs.select(
+        F.col(key),
+        F.expr(f"{key} div {block}").alias("grp"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    grp_offsets = (
+        counted.groupBy("grp")
+        .agg(F.sum("n_tokens").alias("grp_tokens"))
+        .withColumn(
+            "grp_offset",
+            F.coalesce(
+                F.sum("grp_tokens").over(
+                    Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("grp", "grp_offset")
+    )
+    w_in = (
+        Window.partitionBy("grp").orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        counted.join(F.broadcast(grp_offsets), "grp")
+        .withColumn(
+            "cum_before",
+            F.col("grp_offset") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .select(
+            key,
+            "n_tokens",
+            F.expr(f"cum_before div {ctx_len}").alias("pack_id"),
+            (F.col("cum_before") % ctx_len).alias("pack_offset"),
+        )
+    )
+
+
 def canonical_docs(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     """Drop non-representative near-dup cluster members: keep every doc
     except those whose cluster label (the cluster's min doc_id) is a

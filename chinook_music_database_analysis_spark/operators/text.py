@@ -152,3 +152,46 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5("norm_text").alias("content_hash"),
         F.expr("array_min(transform(sh, s -> md5(s)))").alias("min_shingle_sig"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, n_docs: int, top_k: int = 3, idf_scale: int = 1_000_000) -> DataFrame:
+    """Top ``top_k`` characteristic terms per document by TF-IDF — the
+    keyword-extraction pass feeding corpus exploration and topic
+    labeling.
+
+    IDF is **integer-quantized**: ``idf_q = (n_docs * idf_scale) div
+    document_frequency`` (monotone in N/df, a fixed-point inverse
+    document frequency).  All scoring stays in exact int64 arithmetic,
+    so the ranking — and the DuckDB oracle — is bit-deterministic; a
+    float ``ln`` would rank identically but hash-differently across
+    libm builds.  ``n_docs`` is the corpus count, derived once by the
+    caller (same stats-pass pattern as the ANN parameter derivation).
+
+    Plan (all linear, no corpus-wide sort): explode tokens → hash-agg
+    term frequency keyed by (doc, term) → hash-agg document frequency
+    keyed by term (one row per vocab term) → join idf back keyed by
+    term → per-doc top-k window keyed by doc.  The vocab relation is
+    data-sized, so the idf join is a plain shuffled hash join (AQE
+    broadcasts it when small); no stage holds more than the exploded
+    (doc, term) relation, which is the corpus token stream itself.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.expr(f"CAST({n_docs} AS BIGINT) * {idf_scale} div count(1)").alias("idf_q")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        tf.join(idf, "term")
+        .select("doc_id", "term", "tf", (F.col("tf") * F.col("idf_q")).alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

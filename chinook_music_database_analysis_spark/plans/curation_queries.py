@@ -271,3 +271,99 @@ def cur_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95_tokens"),
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing / sequence packing / TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+#: Training-mixture rates: guaranteed+fractional upsample, pure
+#: fractional upsample, downsample, full drop; unlisted sources pass
+#: through at the default 1.0.
+MIX_RATES: dict[str, float] = {"src0": 2.5, "src1": 1.25, "src2": 0.6, "src3": 0.0}
+MIX_DEFAULT = 1.0
+
+#: Context window for pack_sequences (tokens per training sequence).
+PACK_CTX = 2048
+
+
+def _mix_oracle() -> str:
+    """DuckDB mirror of operators.curation.domain_mix built from the
+    SAME rates dict + pct_threshold helper, so dialects cannot drift."""
+    base_arms = " ".join(
+        f"WHEN '{s}' THEN {int(r)}" for s, r in MIX_RATES.items()
+    )
+    frac_arms = " ".join(
+        f"WHEN '{s}' THEN '{pct_threshold(round((r - int(r)) * 100, 6))}'"
+        for s, r in MIX_RATES.items()
+    )
+    d_base = int(MIX_DEFAULT)
+    d_frac = pct_threshold(round((MIX_DEFAULT - int(MIX_DEFAULT)) * 100, 6))
+    return (
+        "WITH r AS (SELECT doc_id, source, "
+        f"CASE source {base_arms} ELSE {d_base} END AS n_base, "
+        f"CASE source {frac_arms} ELSE '{d_frac}' END AS frac_t, "
+        "substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents), "
+        "c AS (SELECT doc_id, source, n_base + CAST(h < frac_t AS INT) AS n_copies FROM r) "
+        "SELECT doc_id, source, unnest(range(n_copies)) AS epoch "
+        "FROM c WHERE n_copies > 0"
+    )
+
+
+@register("cur_mix", oracle=_mix_oracle())
+def cur_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted training mixture: per-source up/down-sampling
+    with a deterministic epoch index per copy.  Narrow map + bounded
+    explode; no shuffle."""
+    from ..operators.curation import domain_mix
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return domain_mix(docs, MIX_RATES, default_rate=MIX_DEFAULT).select(
+        "doc_id", "source", "epoch"
+    )
+
+
+@register(
+    "cur_pack",
+    oracle=(
+        "WITH c AS (SELECT doc_id, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "cum AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS cum_before FROM c) "
+        f"SELECT doc_id, n_tokens, cum_before // {PACK_CTX} AS pack_id, "
+        f"cum_before % {PACK_CTX} AS pack_offset FROM cum"
+    ),
+)
+def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing map (doc -> context window).
+    Two-level distributed prefix sum — the oracle's single global
+    window is exactly what the operator avoids at scale."""
+    from ..operators.curation import pack_sequences
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return pack_sequences(docs, ctx_len=PACK_CTX)
+
+
+@register(
+    "tx_tfidf",
+    oracle=(
+        "WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) "
+        "AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term), "
+        "idf AS (SELECT term, (SELECT COUNT(*) FROM documents) * 1000000 // COUNT(*) "
+        "AS idf_q FROM tf GROUP BY term), "
+        "s AS (SELECT doc_id, term, tf, tf * idf_q AS score FROM tf JOIN idf USING (term)) "
+        "SELECT doc_id, term, tf, score, rnk FROM (SELECT *, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) "
+        "AS INTEGER) AS rnk FROM s) WHERE rnk <= 3"
+    ),
+)
+def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (integer-quantized IDF so
+    both engines rank in exact int64 arithmetic)."""
+    from ..operators.text import tfidf_top_terms
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return tfidf_top_terms(docs, n_docs=_doc_count(spark, sf_dir), top_k=3)

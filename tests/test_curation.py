@@ -142,3 +142,113 @@ def test_expectation_report_null_counts_as_violation(spark):
     parent = spark.createDataFrame([(1,), (3,)], "id long")
     fk = fk_violation_report(df, parent, "id", "id", "fk").collect()[0]
     assert fk.n_rows == 3 and fk.n_violations == 1  # id=2 orphaned
+
+
+def test_domain_mix_copy_counts_and_stability(docs):
+    from chinook_music_database_analysis_spark.operators.curation import domain_mix
+
+    rates = {"src0": 2.5, "src1": 1.25, "src2": 0.6, "src3": 0.0}
+    mixed = domain_mix(docs, rates, default_rate=1.0)
+    per_doc = (
+        mixed.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_src = {r.source: 0 for r in per_doc}
+    for r in per_doc:
+        base = int(rates.get(r.source, 1.0))
+        # every kept doc has floor(rate) or floor(rate)+1 copies
+        assert r.n in (base, base + 1), (r.doc_id, r.source, r.n)
+        n_src[r.source] = n_src.get(r.source, 0) + r.n
+    assert "src3" not in n_src  # rate 0 drops the domain entirely
+    # epoch indexes are dense 0..n-1 per doc
+    bad = (
+        mixed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx"), F.min("epoch").alias("mn"))
+        .filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+        .count()
+    )
+    assert bad == 0
+    # membership is repartition-stable
+    again = domain_mix(docs.repartition(13), rates, default_rate=1.0)
+    assert sorted(map(tuple, mixed.select("doc_id", "epoch").collect())) == sorted(
+        map(tuple, again.select("doc_id", "epoch").collect())
+    )
+
+
+def test_domain_mix_plan_is_shuffle_free(docs):
+    from chinook_music_database_analysis_spark.operators.curation import domain_mix
+
+    plan = _plan(domain_mix(docs, {"src0": 2.0}).select("doc_id", "epoch"))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_matches_naive_global_cumsum(spark, docs):
+    """The two-level distributed prefix sum must equal the single
+    global-window formulation exactly (tiny block to force many
+    groups)."""
+    from pyspark.sql import Window
+
+    from chinook_music_database_analysis_spark.operators.curation import pack_sequences
+
+    ctx = 512
+    packed = pack_sequences(docs, ctx_len=ctx, block=7)
+    naive = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"cum_before div {ctx}").alias("pack_id"),
+            (F.col("cum_before") % ctx).alias("pack_offset"),
+        )
+    )
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_pack_sequences_windows_are_partitioned_not_global(docs):
+    """No single-partition global window in the operator's plan: every
+    window/sort runs keyed by the block id (the per-group offset
+    relation is group-count-sized, so its global window is fine —
+    but the corpus-scale window must show a partition key)."""
+    from chinook_music_database_analysis_spark.operators.curation import pack_sequences
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pack_sequences(docs, ctx_len=1024).explain(mode="formatted")
+    plan = buf.getvalue()
+    # The corpus-scale within-group cumsum shuffles BY THE BLOCK KEY
+    assert "hashpartitioning(grp" in plan
+    # Exactly one SinglePartition exchange — the tiny per-group offset
+    # relation's running sum (N/block rows), never the corpus itself.
+    assert plan.count("SinglePartition") == 1
+
+
+def test_tfidf_rank_properties(spark, docs):
+    from chinook_music_database_analysis_spark.operators.text import tfidf_top_terms
+
+    n = docs.count()
+    out = tfidf_top_terms(docs, n_docs=n, top_k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        # scores non-increasing with rank; ties broken by term ascending
+        for a, b in zip(rows, rows[1:]):
+            assert (a.score, b.term) >= (b.score, a.term) or a.score > b.score or (
+                a.score == b.score and a.term < b.term
+            )
