@@ -367,3 +367,45 @@ def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return tfidf_top_terms(docs, n_docs=_doc_count(spark, sf_dir), top_k=3)
+
+
+@register(
+    "cur_stats_approx",
+    oracle=(
+        "WITH d AS (SELECT source, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "ROUND(quantile_cont(n_tokens, 0.5), 4) AS exact_p50, "
+        "TRUE AS approx_within_tol FROM d GROUP BY source"
+    ),
+)
+def cur_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-source median token count via approx_percentile
+    (the Greenwald-Khanna sketch — the 100 TB path where exact
+    percentile's per-group value buffering is too expensive).
+
+    Sketch outputs are engine-specific, so like q10b the tolerance is
+    folded INTO the result: |approx - exact_interpolated| must be
+    within max(8% of exact, 4) — covering both sketch error and the
+    element-vs-interpolated gap — and the oracle asserts the boolean.
+    A production user reads the approx column alone; the exact column
+    here is the verification harness.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("approx_percentile(n_tokens, 0.5, 10000)").alias("approx_p50"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("exact_p50"),
+    )
+    tol = F.greatest(F.col("exact_p50") * 0.08, F.lit(4.0))
+    return agg.select(
+        "source",
+        "n_docs",
+        "exact_p50",
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= tol).alias(
+            "approx_within_tol"
+        ),
+    )

@@ -1447,3 +1447,72 @@ def dq_order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = fk_violation_report(orders, t["customer"], "o_custkey", "c_custkey", "fk_customer")
     return report.unionAll(fk)
+
+
+@register(
+    "q13_no_big_order",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    """,
+)
+def q13_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO order above 450k — the NOT EXISTS / anti-join
+    shape (complement of the J4 semi-join family).  Plan: the orders
+    side filters BEFORE the anti-join, so the join probe holds only
+    big-ticket orders; Spark runs a shuffled hash anti-join keyed by
+    custkey (nullable-key NOT IN would need a null-aware variant —
+    NOT EXISTS avoids that trap by construction)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 450000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q04e_grouping_sets",
+    oracle="""
+    SELECT r.r_name, c.c_mktsegment,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, c.c_mktsegment), (r.r_name), ())
+    """,
+)
+def q04e_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-subtotal generalization
+    of q04c's ROLLUP / q04d's CUBE, with grouping_id disambiguating a
+    real NULL group value from a subtotal row.  One Expand (3 sets)
+    over one scan; the gid bitmask (left col = MSB) matches the
+    oracle's GROUPING() composition exactly."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupingSets(
+            [[F.col("r_name"), F.col("c_mktsegment")], [F.col("r_name")], []],
+            "r_name",
+            "c_mktsegment",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("o_orderkey").alias("n_orders"),
+            round2(money_sum("o_totalprice")).alias("revenue"),
+        )
+        .select("r_name", "c_mktsegment", "gid", "n_orders", "revenue")
+    )
