@@ -194,3 +194,41 @@ def test_interval_join_stream_matches_batch_range_join(spark):
     got_pairs = set(map(tuple, got[["err_id", "click_ts"]].itertuples(index=False)))
     want_pairs = set(map(tuple, want[["err_id", "ts_r"]].itertuples(index=False)))
     assert got_pairs == want_pairs and got_pairs
+
+
+def test_exactly_once_sink_restart_and_replay(spark, tmp_path):
+    """foreachBatch exactly-once contract: (1) a drained query delivers
+    every source row once; (2) restarting from the same checkpoint
+    re-delivers NOTHING; (3) replaying a batch id (simulated failure
+    retry) overwrites its own directory — total row count never
+    changes."""
+    from chinook_music_database_analysis_spark.streaming.sinks import (
+        start_exactly_once_sink,
+        write_batch,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, SF_TEST_DIR).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = start_exactly_once_sink(src, out, ckpt)
+    q.awaitTermination()
+    n_src = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet").count()
+    delivered = spark.read.parquet(out)
+    assert delivered.count() == n_src
+    assert delivered.select("event_id").distinct().count() == n_src
+
+    # Restart with the same checkpoint: source fully committed, so the
+    # drained run writes nothing new.
+    q2 = start_exactly_once_sink(src, out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_src
+
+    # Failure-replay simulation: re-write an already-committed batch id
+    # with the full source batch — idempotent overwrite, same count.
+    batch_df = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_batch(batch_df, 0, out)
+    assert spark.read.parquet(out).count() == n_src
