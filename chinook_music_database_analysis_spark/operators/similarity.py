@@ -437,3 +437,78 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def sq8_dequantized(emb: DataFrame) -> DataFrame:
+    """Scalar-quantize each embedding to int8 and return the
+    dequantized reconstruction — the SQ8 compression step that cuts an
+    ANN corpus's resident vector memory 4x vs float32 (8x vs double)
+    at ~1% cosine error, standard practice before IVF/LSH at corpus
+    sizes where full-precision vectors don't fit the cluster.
+
+    Per-vector symmetric quantization: scale s = 127 / max|x_i| (the
+    1e-30 floor guards all-zero vectors), q_i = round(x_i * s) stored
+    as TINYINT, reconstruction q_i / s.  Every step is deterministic
+    double arithmetic + away-from-zero rounds that Spark and DuckDB
+    share, so the oracle reproduces reconstructions bit-for-bit.
+
+    Returns (vec_id, qarr tinyint[], s, de double[]) — qarr is what a
+    production pipeline persists; ``de`` feeds exact rescoring here.
+    """
+    z = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "127.0 / greatest(array_max(transform(embedding,"
+            " x -> abs(CAST(x AS DOUBLE)))), 1e-30d)"
+        ).alias("s"),
+    )
+    return z.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * s, 0) AS TINYINT))"
+        ).alias("qarr"),
+        "s",
+    ).select(
+        "vec_id",
+        "qarr",
+        "s",
+        F.expr("transform(qarr, v -> CAST(v AS DOUBLE) / s)").alias("de"),
+    )
+
+
+def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Top-k cosine neighbors scored against the SQ8-dequantized
+    corpus (full-precision queries, compressed corpus) — the memory-
+    bounded rescoring mode.  Same plan shape as :func:`cosine_topk`:
+    corpus-parallel scoring fan-out against a broadcast query set,
+    per-corpus-vector norms computed once, window top-k per query."""
+    dq = sq8_dequantized(emb)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+    )
+    pairs = (
+        dq.repartition("vec_id")
+        .withColumn("n_norm", F.sqrt(F.expr(
+            "aggregate(zip_with(de, de, (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(q_emb, de, (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            / (F.col("q_norm") * F.col("n_norm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

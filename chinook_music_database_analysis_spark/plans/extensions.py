@@ -973,3 +973,42 @@ def ev_range_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
         F.round(F.coalesce(F.col("sv"), F.lit(0)), 2).cast("double").alias("click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8-compressed similarity (registered with the sim_* family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_sq8_topk",
+    oracle=f"""
+    WITH z AS (
+      SELECT vec_id, embedding,
+             127.0 / greatest(list_max(list_transform(embedding,
+                     x -> abs(x::DOUBLE))), 1e-30) AS s
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * s, 0) / s) AS de
+      FROM z
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_sql_cos('q.qe', 'e.de')} AS cos_sim
+      FROM e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """,
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors scored against the int8 scalar-quantized corpus
+    (full-precision queries) — the 4x-memory-compression rescoring mode
+    of the similarity family."""
+    from ..operators.similarity import sq8_topk
+
+    return sq8_topk(load_tables(spark, sf_dir)["embeddings"])

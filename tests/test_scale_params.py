@@ -64,3 +64,48 @@ def test_lsh_candidate_count_grows_linearly(spark):
     assert c_big < n_big * (n_big - 1) / 2 * 0.25
     # Multi-table union really is bounded by T * per-table load.
     assert c_big <= N_TABLES * n_big * 8
+
+
+def test_sq8_quantization_type_and_recall(spark):
+    """SQ8 storage must actually be int8 (the 4x memory claim), the
+    reconstruction error must be small (~1/254 per component), and
+    rescoring on the dequantized corpus must keep high recall vs exact
+    brute force."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        cosine_topk,
+        sq8_dequantized,
+        sq8_topk,
+    )
+    from chinook_music_database_analysis_spark.sources import load_tables
+
+    from conftest import SF_TEST_DIR
+
+    emb = load_tables(spark, SF_TEST_DIR)["embeddings"]
+    dq = sq8_dequantized(emb)
+    assert isinstance(dq.schema["qarr"].dataType, ArrayType)
+    assert isinstance(dq.schema["qarr"].dataType.elementType, ByteType)
+    # max per-component reconstruction error <= 0.5/s = max|x|/254
+    err = (
+        dq.join(emb, "vec_id")
+        .select(
+            F.expr(
+                "array_max(transform(zip_with(embedding, de,"
+                " (x, y) -> abs(CAST(x AS DOUBLE) - y)), v -> v))"
+            ).alias("e"),
+            F.expr(
+                "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 253.9"
+            ).alias("bound"),
+        )
+        .filter(F.col("e") > F.col("bound"))
+        .count()
+    )
+    assert err == 0
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, 10, 5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in sq8_topk(emb, 10, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
