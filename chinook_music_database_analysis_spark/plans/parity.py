@@ -1516,3 +1516,84 @@ def q04e_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r_name", "c_mktsegment", "gid", "n_orders", "revenue")
     )
+
+
+@register(
+    "q14_rolling_90d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS spend_90d
+    FROM orders
+    """,
+)
+def q14_rolling_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-90-day spend per customer at every order — the RANGE
+    window frame (value-based, not row-based: same-day orders all see
+    the same trailing sum regardless of intra-day order).  The frame
+    orders by an integer day ordinal, giving identical boundary
+    semantics on both engines.  Scale: partitioned by custkey — frame
+    state is per-customer and the window input is the raw orders
+    relation, one shuffle."""
+    t = load_tables(spark, sf_dir)
+    day_ord = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_ord)
+        .rangeBetween(-90, 0)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        round2(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)).alias(
+            "spend_90d"
+        ),
+    )
+
+
+@register(
+    "q15_spend_distribution",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend_d
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT c_nationkey, o_custkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM s
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend_d DESC, o_custkey)
+    """,
+)
+def q15_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend distribution per nation via the analytic trio
+    NTILE / PERCENT_RANK / CUME_DIST (rank-family completion beyond
+    RANK/DENSE_RANK/ROW_NUMBER).  The (spend, custkey) ordering is a
+    unique key, so all three are deterministic; percent_rank and
+    cume_dist are exact rationals computed identically by both
+    engines.  Window input is the per-customer aggregate — already
+    reduced before the sort."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(money_sum("o_totalprice").alias("spend_d"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend_d").desc(), F.col("o_custkey")
+    )
+    return s.select(
+        "c_nationkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
