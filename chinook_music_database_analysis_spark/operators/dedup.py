@@ -353,3 +353,33 @@ def simhash(docs: DataFrame) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+def incremental_candidate_pairs(bands: DataFrame, new_min_id: int) -> DataFrame:
+    """Near-dup candidates for a NEW ingest batch (doc_id >=
+    ``new_min_id``) against everything already in the corpus — the
+    continuous-ingestion form of :func:`minhash_candidate_pairs`.
+
+    The full self-join re-pairs the whole corpus every run; at 100 TB
+    the store of band signatures is instead PERSISTED (it is exactly
+    the ``bands`` relation — ~BANDS rows per doc), only the new batch
+    is shingled+hashed, and the join probes new-batch bands against
+    the store.  The probe side is batch-sized, so per-ingest cost is
+    O(|batch| + collisions), not O(|corpus|).
+
+    Output = every candidate pair whose newer member is in the batch
+    ((old, new) cross pairs plus in-batch pairs), which is precisely
+    the increment of the full pair set — verified by the equivalence
+    test and the driver oracle."""
+    new_bands = bands.filter(F.col("doc_id") >= new_min_id)
+    return (
+        bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

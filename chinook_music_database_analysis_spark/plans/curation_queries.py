@@ -409,3 +409,24 @@ def cur_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_tol"
         ),
     )
+
+
+@register(
+    "dd_incremental",
+    oracle=(
+        f"WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND} "
+        "SELECT doc_a, doc_b FROM cand "
+        "WHERE doc_b >= (SELECT (COUNT(*) * 8) // 10 FROM documents)"
+    ),
+)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates of the newest 20% ingest batch vs the whole
+    corpus: probe-side = batch bands only, store-side = the persisted
+    band table (here the shared cached relation).  The oracle states
+    the same set as the full pair relation filtered to pairs whose
+    newer member is in the batch."""
+    from ..operators.dedup import incremental_candidate_pairs
+    from .extensions import _bands
+
+    n = _doc_count(spark, sf_dir)
+    return incremental_candidate_pairs(_bands(spark, sf_dir), (n * 8) // 10)

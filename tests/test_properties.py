@@ -170,3 +170,34 @@ def test_approx_distinct_within_tolerance(spark):
         .sort_index()
     )
     assert (out.exact_parts == exact.n).all()
+
+
+def test_incremental_pairs_equal_full_pairs_increment(spark):
+    """incremental_candidate_pairs(bands, t) must equal the full
+    candidate pair set restricted to pairs whose newer doc is >= t."""
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+        minhash_candidate_pairs,
+    )
+    from chinook_music_database_analysis_spark.sources import load_tables
+
+    from conftest import SF_TEST_DIR
+
+    docs = load_tables(spark, SF_TEST_DIR)["documents"]
+    bands = minhash_bands(docs).cache()
+    try:
+        n = docs.count()
+        t = (n * 8) // 10
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_candidate_pairs(docs, bands=bands).collect()
+        }
+        inc = {
+            (r.doc_a, r.doc_b)
+            for r in incremental_candidate_pairs(bands, t).collect()
+        }
+        assert inc == {p for p in full if p[1] >= t}
+        assert inc  # non-trivial at the test scale
+    finally:
+        bands.unpersist()
