@@ -1012,3 +1012,37 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import sq8_topk
 
     return sq8_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
+@register(
+    "ev_enriched_segments",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def ev_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event activity by customer segment — the stream-static
+    enrichment join (batch form; the readStream version is
+    streaming.events.enriched_stream, equivalence-tested).  The
+    customer dimension is broadcast: at 100 TB the event stream stays
+    map-side through the join and only the segment aggregate
+    shuffles."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            round2(money_sum("value")).alias("total_value"),
+        )
+    )

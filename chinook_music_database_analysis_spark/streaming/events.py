@@ -126,3 +126,15 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     ).select("err_id", "user_id", "err_ts", "click_ts", "click_value")
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins the (broadcast) static dimension — stateless, no
+    watermark needed; the dim is re-resolved per batch, so a slowly
+    updated dimension table is picked up on the next trigger.  The
+    100 TB shape: stream side never shuffles for the join itself."""
+    return events.join(
+        F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+        events["user_id"] == F.col("c_custkey"),
+    )

@@ -232,3 +232,28 @@ def test_exactly_once_sink_restart_and_replay(spark, tmp_path):
     )
     write_batch(batch_df, 0, out)
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static join drained to completion, then aggregated, must
+    equal the oracle-gated batch enrichment query."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.functions import money_sum, round2
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.streaming.events import enriched_stream
+
+    dim = load_tables(spark, SF_TEST_DIR)["customer"]
+    stream = enriched_stream(read_events_stream(spark, SF_TEST_DIR), dim)
+    enriched = run_to_memory(stream, "t_enriched", output_mode="append")
+    got = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            round2(money_sum("value")).alias("total_value"),
+        )
+        .toPandas()
+    )
+    want = QUERIES["ev_enriched_segments"](spark, SF_TEST_DIR).toPandas()
+    assert_frames_match(got, want, "stream_static_enrichment")
