@@ -50,6 +50,12 @@ QUERIES = {
     "cur_boilerplate": 1.3,
     "cur_decontam": 1.3,
     "pipe_clean_corpus": 1.3,
+    # later-r2 families
+    "tx_tfidf": 1.3,
+    "cur_pack": 1.3,
+    "cur_mix": 1.3,
+    "dd_incremental": 1.3,
+    "sim_sq8_topk": 1.3,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
