@@ -65,3 +65,34 @@ def read_evolved(spark, path: str) -> DataFrame:
     version the metadata; none ships in this container, so the
     evolution contract is exercised at the Parquet layer.)"""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a Parquet directory into
+    ~``target_file_bytes`` files and return the new file count.
+
+    Long-lived ingest (streaming foreachBatch sinks, frequent small
+    appends) fragments a table into thousands of tiny files; scan cost
+    then goes per-file (footer reads, task scheduling), not per-byte.
+    Compaction = read → repartition to ceil(bytes/target) → atomic
+    swap via a staging directory.  The repartition is round-robin (no
+    key), so it is one shuffle of the table with perfectly balanced
+    output files; run it per-partition-directory at 100 TB so each
+    date partition compacts independently (and concurrently).
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    staging = path.rstrip("/") + ".compacting"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_out

@@ -209,3 +209,23 @@ def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path):
     # the runtime-pruned scan is the fact's partition column
     assert "_date" in plan.split("dynamicpruning")[0][-300:]
     joined.collect()  # sanity: executes
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Fragmented table (64 tiny files) compacts to the computed file
+    count with identical content."""
+    import glob
+
+    from chinook_music_database_analysis_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+    orders.repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    before = orders.count()
+    n_out = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    files_after = glob.glob(f"{path}/*.parquet")
+    assert len(files_after) == n_out == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert set(after.columns) == set(orders.columns)
