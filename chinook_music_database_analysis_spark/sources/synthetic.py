@@ -1,0 +1,100 @@
+"""Custom Python Data Source (Spark 4 connector API): deterministic
+synthetic events.
+
+The engine's file readers cover Parquet/ORC/CSV/JSON/JDBC; this module
+exercises the remaining connector surface — ``pyspark.sql.datasource``,
+the pure-Python DataSource V2 binding — with a generator source that
+needs no external system: ``spark.read.format("synthevents")`` yields
+a deterministic events relation sized by options.
+
+Shape at scale: the source reports ``n_partitions`` input partitions
+and each executor generates ONLY its partition's rows (seeded by
+(seed, partition), no driver materialization, no skew — rows are
+dealt round-robin-by-construction).  This is the standard pattern for
+load-generation and connector smoke tests on a 1000-executor cluster:
+data volume scales with the partition count while the driver holds
+one integer per partition.
+
+Determinism: row i of partition p is a pure function of (seed, p, i)
+via blake2b — re-reads, repartitions, and re-runs see identical rows,
+which is what makes the source usable in correctness tests.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+#: epoch anchor for generated timestamps (naive UTC, matching the
+#: engine's UTC session timezone).
+_T0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, value double, ts timestamp"
+)
+
+
+def _h(seed: int, part: int, i: int) -> bytes:
+    return hashlib.blake2b(
+        f"{seed}|{part}|{i}".encode(), digest_size=16
+    ).digest()
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``format("synthevents")`` — options: ``n_rows`` (total, default
+    1000), ``n_partitions`` (default 4), ``n_users`` (default 100),
+    ``seed`` (default 7)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthevents"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class _Part(InputPartition):
+    def __init__(self, index: int, start: int, count: int):
+        self.index = index
+        self.start = start
+        self.count = count
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = max(1, int(options.get("n_partitions", 4)))
+        self.n_users = max(1, int(options.get("n_users", 100)))
+        self.seed = int(options.get("seed", 7))
+
+    def partitions(self):  # noqa: D102 — API contract
+        base, rem = divmod(self.n_rows, self.n_parts)
+        parts, start = [], 0
+        for p in range(self.n_parts):
+            cnt = base + (1 if p < rem else 0)
+            parts.append(_Part(p, start, cnt))
+            start += cnt
+        return parts
+
+    def read(self, partition: _Part) -> Iterator[tuple]:
+        for i in range(partition.count):
+            d = _h(self.seed, partition.index, i)
+            event_id = partition.start + i
+            user_id = int.from_bytes(d[0:4], "big") % self.n_users
+            etype = _EVENT_TYPES[d[4] % len(_EVENT_TYPES)]
+            value = round(int.from_bytes(d[5:9], "big") % 10_000_00 / 100.0, 2)
+            ts = _T0 + _dt.timedelta(seconds=int.from_bytes(d[9:13], "big") % 86_400_00)
+            yield (event_id, user_id, etype, value, ts)
+
+
+def register(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(SyntheticEventsDataSource)
