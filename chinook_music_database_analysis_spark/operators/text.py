@@ -195,3 +195,39 @@ def tfidf_top_terms(docs: DataFrame, n_docs: int, top_k: int = 3, idf_scale: int
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+def sentence_udtf():
+    """Python UDTF (Spark 4 table-function API) splitting a document
+    into numbered sentences — the lateral-join text surface for
+    row-expanding transforms whose output cardinality varies per row.
+
+    UDTFs are row-at-a-time Python: correct for control-flow-heavy
+    expansion logic, but the HOT path for simple splits remains the
+    JVM-side ``explode(split(...))`` (see tokens_expr) — this exists
+    to cover the API surface, and the test pins its equivalence to the
+    builtin form so either can serve.
+
+    Returns the udtf class; register with
+    ``spark.udtf.register("split_sentences", sentence_udtf())``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: D102 — UDTF contract
+            if text is None:
+                return
+            start, sent_id = 0, 0
+            for i, ch in enumerate(text):
+                if ch in ".!?":
+                    s = text[start : i + 1].strip()
+                    if s:
+                        yield sent_id, s
+                        sent_id += 1
+                    start = i + 1
+            tail = text[start:].strip()
+            if tail:
+                yield sent_id, tail
+
+    return SplitSentences

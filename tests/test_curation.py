@@ -252,3 +252,46 @@ def test_tfidf_rank_properties(spark, docs):
             assert (a.score, b.term) >= (b.score, a.term) or a.score > b.score or (
                 a.score == b.score and a.term < b.term
             )
+
+
+def test_sentence_udtf_lateral_join_matches_builtin_split(spark, docs):
+    """The UDTF lateral join must agree with the JVM-side
+    explode(split) formulation on sentence counts (the builtin is the
+    hot path; the UDTF is the control-flow escape hatch)."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.text import sentence_udtf
+
+    spark.udtf.register("split_sentences", sentence_udtf())
+    docs.limit(50).createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_id, s.sentence
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+    n_udtf = got.groupBy("doc_id").count()
+    builtin = (
+        docs.limit(50)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col("text"), r"(?<=[.!?])"), lambda s: F.trim(s)
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("sentence"),
+        )
+        .groupBy("doc_id")
+        .count()
+    )
+    a = {r.doc_id: r["count"] for r in n_udtf.collect()}
+    b = {r.doc_id: r["count"] for r in builtin.collect()}
+    assert a == b
+    # sentence ids are dense per doc
+    bad = got.groupBy("doc_id").agg(
+        F.max("sent_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).filter(F.col("mx") != F.col("n") - 1).count()
+    assert bad == 0
