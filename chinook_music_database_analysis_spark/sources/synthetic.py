@@ -26,7 +26,12 @@ import datetime as _dt
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -59,6 +64,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class _Part(InputPartition):
@@ -98,3 +106,56 @@ class SyntheticEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Register the source on a session (idempotent)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream reader for the same deterministic generator:
+    each ``latestOffset`` call advances the row cursor by
+    ``rows_per_batch``, bounded by ``max_rows``; ``partitions(start,
+    end)`` splits the [start, end) row range into ``n_partitions``
+    executor-side slices.  Offsets are plain row counters — replaying
+    a committed range regenerates identical rows (the determinism the
+    batch reader pins), so checkpoint recovery is exact."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.n_parts = max(1, int(options.get("n_partitions", 4)))
+        self.n_users = max(1, int(options.get("n_users", 100)))
+        self.seed = int(options.get("seed", 7))
+        self._cursor = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._cursor = min(self._cursor + self.rows_per_batch, self.max_rows)
+        return {"row": self._cursor}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        n = hi - lo
+        base, rem = divmod(n, self.n_parts)
+        parts, s = [], lo
+        for p in range(self.n_parts):
+            cnt = base + (1 if p < rem else 0)
+            if cnt:
+                parts.append(_Part(p, s, cnt))
+            s += cnt
+        return parts or [_Part(0, lo, 0)]
+
+    def read(self, partition: _Part) -> Iterator[tuple]:
+        # Global row ids seed the hash, so a row's content is
+        # independent of batch boundaries and partition layout.
+        for rid in range(partition.start, partition.start + partition.count):
+            d = _h(self.seed, 0, rid)
+            user_id = int.from_bytes(d[0:4], "big") % self.n_users
+            etype = _EVENT_TYPES[d[4] % len(_EVENT_TYPES)]
+            value = round(int.from_bytes(d[5:9], "big") % 10_000_00 / 100.0, 2)
+            ts = _T0 + _dt.timedelta(seconds=int.from_bytes(d[9:13], "big") % 86_400_00)
+            yield (rid, user_id, etype, value, ts)
+
+    def commit(self, end: dict) -> None:
+        pass  # counters need no cleanup
+
+

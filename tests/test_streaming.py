@@ -257,3 +257,46 @@ def test_stream_static_enrichment_matches_batch(spark):
     )
     want = QUERIES["ev_enriched_segments"](spark, SF_TEST_DIR).toPandas()
     assert_frames_match(got, want, "stream_static_enrichment")
+
+
+def test_python_datasource_stream_reader(spark, tmp_path):
+    """Streaming side of the custom Python data source: offset-tracked
+    micro-batches drain to exactly max_rows distinct rows, and the
+    stream rows equal the batch reader's rows for the same seed (batch
+    ids 0 with global row ids — content is batch-boundary
+    independent)."""
+    from chinook_music_database_analysis_spark.sources.synthetic import register
+
+    register(spark)
+    opts = {"rows_per_batch": 150, "max_rows": 600, "n_partitions": 3, "n_users": 20}
+    stream = spark.readStream.format("synthevents")
+    for k, v in opts.items():
+        stream = stream.option(k, v)
+    q = (
+        stream.load()
+        .writeStream.format("memory")
+        .queryName("t_synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # The offset cursor advances rows_per_batch per micro-batch and
+    # caps at max_rows, so processAllAvailable() drains exactly
+    # max_rows rows across 4 batches and returns.
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("t_synth_stream")
+    assert got.count() == 600
+    assert got.select("event_id").distinct().count() == 600
+    # Stream content must equal the deterministic generator output:
+    # regenerate via the stream reader's own read() (seed partition 0).
+    from chinook_music_database_analysis_spark.sources.synthetic import (
+        SyntheticEventsStreamReader,
+        _Part,
+    )
+
+    want = sorted(SyntheticEventsStreamReader({**{k: str(v) for k, v in opts.items()}}).read(_Part(0, 0, 600)))
+    have = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value, r.ts) for r in got.collect()
+    )
+    assert have == want
