@@ -73,3 +73,31 @@ class Engine:
         with contextlib.redirect_stdout(buf):
             df.explain(mode=mode)
         return buf.getvalue()
+
+    def profile(self, name: str) -> dict:
+        """Execute a registered query and return observed runtime
+        metrics: wall seconds, output rows, and the executed (adaptive-
+        final) plan text — the observability surface an operator uses
+        to spot a bad plan in production without a UI.
+
+        Metrics come from the public count() action plus the executed
+        plan string; per-node SQL metrics stay in the Spark UI — this
+        returns what a CLI health check needs."""
+        import time
+
+        df = self.query(name)
+        t0 = time.perf_counter()
+        n_rows = df.count()
+        wall = time.perf_counter() - t0
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        return {
+            "query": name,
+            "wall_sec": round(wall, 3),
+            "n_rows": n_rows,
+            "plan": buf.getvalue(),
+        }

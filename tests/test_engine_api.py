@@ -263,3 +263,11 @@ def test_python_datasource_synthetic_events(spark):
     agg = df.groupBy("event_type").count().collect()
     assert sum(r["count"] for r in agg) == 5000
     assert {r.event_type for r in agg} <= {"click", "error", "purchase", "signup", "view"}
+
+
+def test_engine_profile_metrics(spark):
+    eng = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    prof = eng.profile("q04_rev_by_geo")
+    assert prof["n_rows"] == 25
+    assert prof["wall_sec"] > 0
+    assert "HashAggregate" in prof["plan"] or "Aggregate" in prof["plan"]

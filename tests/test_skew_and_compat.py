@@ -106,3 +106,41 @@ def test_month_diff_property_vs_counting_reference(spark):
     got = df.select(month_diff(F.col("a"), F.col("b")).alias("got"), "want").collect()
     bad = [(r.got, r.want) for r in got if r.got != r.want]
     assert not bad, bad[:10]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling must engage on a pathologically skewed
+    join once the skew thresholds are scaled to test-size data: the
+    final adaptive SMJ shows skew=true — the runtime half of the skew
+    story (operators/skew.py salting is the explicit-plan half)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 200k-row left side, 95% of rows on one hot key.
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        joined = left.join(right, "k").select(F.sum("payload").alias("s"), F.sum("rv").alias("r"))
+        joined.collect()  # adaptive plan finalizes after execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
