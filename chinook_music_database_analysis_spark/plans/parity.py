@@ -1597,3 +1597,42 @@ def q15_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q16_order_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price,
+           CAST(ROUND(CAST(LEAD(o_totalprice) OVER w AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS next_price,
+           CAST(ROUND(CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,4)), 2)
+             AS DOUBLE) AS first_price,
+           CAST(ROUND(CAST(NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS DECIMAL(18,4)), 2) AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q16_order_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function completion (LEAD / FIRST_VALUE / NTH_VALUE
+    — LAG's q07 counterparts) over each customer's order history.
+    NTH_VALUE needs the full-partition frame (default frames stop at
+    CURRENT ROW and would NULL rows before the 2nd); the (date,
+    orderkey) ordering is a unique key so every value is
+    deterministic.  One custkey Exchange; both window specs share the
+    same sort order, so Spark plans a single Sort feeding both."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    money = lambda c: round2(c.cast("decimal(18,4)"))  # noqa: E731
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.col("o_totalprice")).alias("price"),
+        money(F.lead("o_totalprice").over(w)).alias("next_price"),
+        money(F.first("o_totalprice").over(w)).alias("first_price"),
+        money(F.nth_value("o_totalprice", 2).over(w_full)).alias("second_price"),
+    )

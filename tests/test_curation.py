@@ -295,3 +295,30 @@ def test_sentence_udtf_lateral_join_matches_builtin_split(spark, docs):
         F.max("sent_id").alias("mx"), F.count(F.lit(1)).alias("n")
     ).filter(F.col("mx") != F.col("n") - 1).count()
     assert bad == 0
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Packing invariants independent of the oracle: offsets live in
+    [0, ctx), pack ids are non-decreasing in doc order, and token
+    conservation holds (cum of all n_tokens == last doc's cum_before +
+    its n_tokens)."""
+    from chinook_music_database_analysis_spark.operators.curation import pack_sequences
+
+    ctx = 777
+    rows = sorted(
+        pack_sequences(docs, ctx_len=ctx, block=31).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert all(0 <= r.pack_offset < ctx for r in rows)
+    assert all(a.pack_id <= b.pack_id for a, b in zip(rows, rows[1:]))
+    total = sum(r.n_tokens for r in rows)
+    last = rows[-1]
+    assert last.pack_id * ctx + last.pack_offset + last.n_tokens >= total
+    # every pack id up to the last is actually started by some doc OR
+    # covered by a doc spanning it (no unreachable gaps beyond spans)
+    covered = set()
+    for r in rows:
+        start = r.pack_id * ctx + r.pack_offset
+        for p in range(r.pack_id, (start + r.n_tokens - 1) // ctx + 1):
+            covered.add(p)
+    assert covered == set(range(last.pack_id + 1)) | covered
