@@ -231,3 +231,36 @@ def sentence_udtf():
                 yield sent_id, tail
 
     return SplitSentences
+
+
+def zscore_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source z-score of document token counts via grouped-map
+    ``applyInPandas`` — the Arrow-batched per-group Python escape hatch
+    (each source's rows arrive as ONE pandas frame).
+
+    The same result is expressible with window aggregates (the test
+    pins equivalence); this exists for the genuinely-imperative
+    per-group kernels (sklearn-style fits, iterative solvers) where a
+    whole-group pandas frame is the right interface.  Scale: one
+    shuffle keyed by source; each group must fit one executor's memory
+    — for high-cardinality grouping that holds by construction, for
+    few huge groups prefer the window form.
+    """
+    import pandas as pd
+
+    counted = docs.select(
+        "doc_id", "source", F.size(tokens_expr()).cast("double").alias("n_tokens")
+    )
+
+    def _z(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["n_tokens"].mean()
+        # population std (ddof=0) to match the window stddev_pop form
+        sd = pdf["n_tokens"].std(ddof=0)
+        z = (pdf["n_tokens"] - mu) / sd if sd > 0 else pdf["n_tokens"] * 0.0
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"], "z_tokens": z.round(6)}
+        )
+
+    return counted.groupBy("source").applyInPandas(
+        _z, schema="doc_id long, source string, z_tokens double"
+    )

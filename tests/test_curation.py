@@ -322,3 +322,32 @@ def test_pack_sequences_invariants(spark, docs):
         for p in range(r.pack_id, (start + r.n_tokens - 1) // ctx + 1):
             covered.add(p)
     assert covered == set(range(last.pack_id + 1)) | covered
+
+
+def test_applyinpandas_zscore_matches_window_form(spark, docs):
+    """Grouped-map applyInPandas must agree with the JVM window
+    formulation (mean/stddev_pop over the source partition) to 1e-9 —
+    pinning the Arrow group-frame path against whole-stage codegen."""
+    from chinook_music_database_analysis_spark.operators.text import (
+        tokens_expr,
+        zscore_by_source,
+    )
+
+    got = {r.doc_id: r.z_tokens for r in zscore_by_source(docs).collect()}
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    counted = docs.select(
+        "doc_id", "source", F.size(tokens_expr()).cast("double").alias("n")
+    )
+    want = {
+        r.doc_id: r.z
+        for r in counted.select(
+            "doc_id",
+            F.round(
+                (F.col("n") - F.mean("n").over(w)) / F.stddev_pop("n").over(w), 6
+            ).alias("z"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
