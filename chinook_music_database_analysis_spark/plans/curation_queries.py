@@ -430,3 +430,54 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _doc_count(spark, sf_dir)
     return incremental_candidate_pairs(_bands(spark, sf_dir), (n * 8) // 10)
+
+
+#: minimum token count a doc needs to enter the training set.
+TRAIN_MIN_TOKENS = 10
+
+
+@register(
+    "pipe_training_set",
+    oracle=(
+        "WITH h AS (SELECT doc_id, text, "
+        "md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ch, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "reps AS (SELECT MIN(doc_id) AS doc_id FROM h GROUP BY ch), "
+        "surv AS (SELECT h.doc_id, h.n_tokens FROM h JOIN reps USING (doc_id) "
+        f"WHERE h.n_tokens >= {TRAIN_MIN_TOKENS} "
+        "AND substr(md5('split|' || CAST(h.doc_id AS VARCHAR)), 1, 4) >= "
+        f"'{pct_threshold(TEST_PCT + VAL_PCT)}'), "
+        "cum AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS cb FROM surv) "
+        f"SELECT doc_id, n_tokens, cb // {PACK_CTX} AS pack_id, "
+        f"cb % {PACK_CTX} AS pack_offset FROM cum"
+    ),
+)
+def pipe_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-set build: exact dedup (keep the
+    min-id representative per content hash) → quality floor (token
+    count) → deterministic train split → sequence packing into context
+    windows.  Composes four curation operators into the pipeline a
+    tokenizer shard actually consumes.
+
+    Scale: dedup is one content-hash shuffle + a doc-keyed semi-join;
+    quality/split are narrow maps; packing is the two-level prefix sum
+    (no global single-partition stage).  Every stage is deterministic,
+    so the whole pipeline re-runs to identical packs on a grown corpus
+    prefix."""
+    from ..operators.curation import pack_sequences
+    from ..operators.dedup import exact_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
+    surv = (
+        docs.join(reps, "doc_id", "left_semi")
+        .withColumn("n_tok", F.size(tokens_expr()))
+        .filter(F.col("n_tok") >= TRAIN_MIN_TOKENS)
+    )
+    train = train_val_test_split(surv, "doc_id", VAL_PCT, TEST_PCT).filter(
+        F.col("split") == "train"
+    )
+    return pack_sequences(train.select("doc_id", "text"), ctx_len=PACK_CTX)
