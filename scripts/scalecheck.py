@@ -56,6 +56,7 @@ QUERIES = {
     "cur_mix": 1.3,
     "dd_incremental": 1.3,
     "sim_sq8_topk": 1.3,
+    "pipe_training_set": 1.3,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
