@@ -481,3 +481,47 @@ def pipe_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split") == "train"
     )
     return pack_sequences(train.select("doc_id", "text"), ctx_len=PACK_CTX)
+
+
+@register(
+    "cur_winsorize",
+    oracle=(
+        "WITH d AS (SELECT doc_id, source, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens "
+        "FROM documents), "
+        "b AS (SELECT source, quantile_cont(n_tokens, 0.05) AS p05, "
+        "quantile_cont(n_tokens, 0.95) AS p95 FROM d GROUP BY source) "
+        "SELECT doc_id, d.source, "
+        "ROUND(LEAST(GREATEST(n_tokens, p05), p95), 4) AS n_tokens_w, "
+        "(n_tokens < p05 OR n_tokens > p95) AS clipped "
+        "FROM d JOIN b USING (source)"
+    ),
+)
+def cur_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization of token counts (clip to [p05, p95]) —
+    the outlier-taming step before corpus statistics or length-based
+    mixing.  Bounds come from a tiny per-source aggregate (one row per
+    domain) broadcast back onto the corpus: no corpus-wide window sort,
+    one agg shuffle + a narrow clipped map.  Spark `percentile` is
+    interpolated exactly like DuckDB `quantile_cont`, so bounds (and
+    every clipped value) hash-match."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("n_tokens"),
+    )
+    b = d.groupBy("source").agg(
+        F.expr("percentile(n_tokens, 0.05)").alias("p05"),
+        F.expr("percentile(n_tokens, 0.95)").alias("p95"),
+    )
+    return d.join(F.broadcast(b), "source").select(
+        "doc_id",
+        "source",
+        F.round(F.least(F.greatest(F.col("n_tokens"), F.col("p05")), F.col("p95")), 4).alias(
+            "n_tokens_w"
+        ),
+        ((F.col("n_tokens") < F.col("p05")) | (F.col("n_tokens") > F.col("p95"))).alias(
+            "clipped"
+        ),
+    )

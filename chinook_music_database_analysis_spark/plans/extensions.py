@@ -1046,3 +1046,52 @@ def ev_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(money_sum("value")).alias("total_value"),
         )
     )
+
+
+@register(
+    "ev_user_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           t_signup IS NOT NULL AS did_signup,
+           (t_signup IS NOT NULL AND t_click > t_signup) AS clicked_after_signup,
+           (t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click)
+             AS purchased_after_click
+    FROM m
+    """,
+)
+def ev_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel (signup -> first click after signup
+    -> first purchase after that click) from ONE conditional-MIN pass
+    over the events table — the funnel shape that naive implementations
+    express as 3 self-joins (3 shuffles of the fact) and this plan
+    computes with a single user-keyed hash aggregate.  NULL timestamp
+    comparisons yield NULL -> false on both engines via the explicit
+    IS NOT NULL guard."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+        )
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return m.select(
+        "user_id",
+        signed.alias("did_signup"),
+        clicked.alias("clicked_after_signup"),
+        purchased.alias("purchased_after_click"),
+    )
