@@ -96,3 +96,26 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(old)
     return n_out
+
+
+def write_sorted_by(
+    df: DataFrame, path: str, col: str, n_files: int = 8, mode: str = "overwrite"
+) -> None:
+    """Range-partitioned, per-file-sorted layout on ``col`` — the
+    clustering policy that makes Parquet min/max row-group statistics
+    selective (z-order-lite for a single key).
+
+    ``repartitionByRange`` gives each output file a disjoint value
+    range; ``sortWithinPartitions`` orders rows inside, so every row
+    group's [min, max] span is narrow and a reader's pushed predicate
+    (`col = k` / `col BETWEEN a AND b`) skips all but the matching
+    groups at footer level — no data pages read.  At 100 TB this is
+    the difference between scanning one file and scanning all of them
+    for a point lookup; layout is verified structurally in
+    test_engine_api (footer stats, engine-independent)."""
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )

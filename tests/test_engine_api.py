@@ -271,3 +271,45 @@ def test_engine_profile_metrics(spark):
     assert prof["n_rows"] == 25
     assert prof["wall_sec"] > 0
     assert "HashAggregate" in prof["plan"] or "Aggregate" in prof["plan"]
+
+
+def test_sorted_write_layout_enables_rowgroup_skipping(spark, tmp_path):
+    """write_sorted_by must produce files with DISJOINT value ranges
+    and narrow row-group min/max spans (verified from Parquet footers
+    via pyarrow — engine-independent), so pushed range predicates can
+    skip row groups at footer level."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from chinook_music_database_analysis_spark.sources.sinks import write_sorted_by
+
+    orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+    path = str(tmp_path / "sorted")
+    write_sorted_by(orders, path, "o_custkey", n_files=8)
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("o_custkey")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    # files/row-groups cover disjoint, ordered ranges
+    spans.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max <= b_min, (a_min, a_max, b_min, b_max)
+    # and the total span is partitioned, not replicated per group
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    assert len(spans) >= 4 and hi > lo
+    # a point-lookup filter still pushes to the scan
+    from pyspark.sql import functions as F
+
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("o_custkey") == 42)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
