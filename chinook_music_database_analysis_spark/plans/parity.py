@@ -1636,3 +1636,39 @@ def q16_order_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.first("o_totalprice").over(w)).alias("first_price"),
         money(F.nth_value("o_totalprice", 2).over(w_full)).alias("second_price"),
     )
+
+
+@register(
+    "q17_top_spender_maxby",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend_d
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT c_nationkey,
+           (ARRAY_AGG(o_custkey ORDER BY spend_d DESC, o_custkey ASC))[1] AS top_custkey,
+           CAST(ROUND(MAX(spend_d), 2) AS DOUBLE) AS top_spend,
+           (ARRAY_AGG(o_custkey ORDER BY spend_d ASC, o_custkey DESC))[1] AS bottom_custkey
+    FROM s GROUP BY c_nationkey
+    """,
+)
+def q17_top_spender_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top/bottom spender per nation via MAX_BY / MIN_BY — the
+    hash-aggregate argmax that replaces a window top-1 (q06's shape)
+    when only the extreme row is needed: map-side partial combine, no
+    sort, no window state.  The (spend, -custkey) struct makes the
+    argmax key unique, so results are deterministic on both engines."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(money_sum("o_totalprice").alias("spend_d"))
+    )
+    return s.groupBy("c_nationkey").agg(
+        F.expr("max_by(o_custkey, struct(spend_d, -o_custkey))").alias("top_custkey"),
+        round2(F.max("spend_d")).alias("top_spend"),
+        F.expr("min_by(o_custkey, struct(spend_d, -o_custkey))").alias("bottom_custkey"),
+    )
