@@ -128,3 +128,34 @@ def test_registry_has_no_unintentional_nested_loops(spark):
         if "BroadcastNestedLoop" in p and name not in BNLJ_ALLOWED:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_column_pruning_reaches_scans(spark):
+    """Representative queries must push projection into every parquet
+    scan: lineitem (11 cols) reads <= 5 for q02, documents (5 cols)
+    reads exactly (doc_id, text) for tx_tfidf, orders (9 cols) reads
+    <= 4 for the rolling window — a scan reading all columns for a
+    narrow projection is a 100 TB regression."""
+    import re
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    import io
+    from contextlib import redirect_stdout
+
+    def read_schemas(name):
+        # formatted mode prints full (untruncated) ReadSchema lines
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[name](spark, SF_TEST_DIR).explain(mode="formatted")
+        return [
+            set(re.findall(r"(\w+):", m))
+            for m in re.findall(r"ReadSchema: struct<([^\n]*?)>\n", buf.getvalue() + "\n")
+        ]
+
+    for cols in read_schemas("q02_top_parts_nation0"):
+        assert len(cols) <= 5, cols
+    doc_scans = [c for c in read_schemas("tx_tfidf") if "text" in c]
+    assert doc_scans and all(c == {"doc_id", "text"} for c in doc_scans)
+    for cols in read_schemas("q14_rolling_90d_spend"):
+        assert len(cols) <= 4, cols
