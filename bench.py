@@ -9,8 +9,11 @@ driver).  Warm-run methodology: every query executes once untimed
 before the timed pass, so the numbers measure steady-state engine
 throughput (codegen compiled, file footers cached, shared memoized
 relations built) rather than JVM/JIT cold-start — matching how these
-queries run in a long-lived session or cluster.  The cold pass is
-timed too and emitted in the same JSON line ("cold_total" /
+queries run in a long-lived session or cluster.  The warm number per
+query is the MIN across SPARK_GRAFT_BENCH_REPS (default 2) timed
+passes — single-pass local[32] timings move ~±15% with scheduler
+noise, and min-of-2 is the standard steady-state estimator.  The cold
+pass is timed too and emitted in the same JSON line ("cold_total" /
 "cold_queries") so both methodologies are machine-readable.
 Failures never kill the run:
 broken queries land in an "errors" key with their message and elapsed
@@ -51,21 +54,25 @@ def main() -> None:
                 print(f"# cold {name}: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
         cold_total = round(time.perf_counter() - t_cold, 3)
 
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
         timings: dict[str, float] = {}
         errors: dict[str, dict] = {}
-        t_all = time.perf_counter()
-        for name in names:
-            t0 = time.perf_counter()
-            try:
-                n = QUERIES[name](spark, sf_dir).count()
-                timings[name] = round(time.perf_counter() - t0, 3)
-                print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-            except Exception as ex:  # one broken query must not kill the bench
-                elapsed = round(time.perf_counter() - t0, 3)
-                msg = f"{type(ex).__name__}: {ex}"[:200]
-                errors[name] = {"error": msg, "sec": elapsed}
-                print(f"# {name}: ERROR after {elapsed:.3f}s {msg}", file=sys.stderr)
-        total = round(time.perf_counter() - t_all, 3)
+        for rep in range(reps):
+            for name in names:
+                t0 = time.perf_counter()
+                try:
+                    n = QUERIES[name](spark, sf_dir).count()
+                    sec = round(time.perf_counter() - t0, 3)
+                    if name not in timings or sec < timings[name]:
+                        timings[name] = sec
+                    if rep == reps - 1:
+                        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+                except Exception as ex:  # one broken query must not kill the bench
+                    elapsed = round(time.perf_counter() - t0, 3)
+                    msg = f"{type(ex).__name__}: {ex}"[:200]
+                    errors[name] = {"error": msg, "sec": elapsed}
+                    print(f"# {name}: ERROR after {elapsed:.3f}s {msg}", file=sys.stderr)
+        total = round(sum(timings.values()), 3)
 
         # Streaming micro-bench: the applyInPandasWithState path over
         # the events table (availableNow -> noop sink), so state-store
