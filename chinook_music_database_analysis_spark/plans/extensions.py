@@ -1095,3 +1095,52 @@ def ev_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicked.alias("clicked_after_signup"),
         purchased.alias("purchased_after_click"),
     )
+
+
+@register(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_n
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_week, CAST(week_n AS BIGINT) AS week_n,
+           COUNT(*) AS n_users
+    FROM a GROUP BY cohort_week, week_n
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted in each subsequent activity week — the standard
+    retention triangle, computed self-join-free: one user-keyed MIN
+    agg for cohorts, one user-keyed join back (both sides already
+    reduced/keyed by user), one distinct + count.  Week arithmetic is
+    Monday-truncated dates diffed in integer days / 7, identical on
+    both engines."""
+    t = load_tables(spark, sf_dir)
+    f = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    a = (
+        t["events"]
+        .join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_n").agg(F.count(F.lit(1)).alias("n_users"))
