@@ -351,3 +351,23 @@ def test_applyinpandas_zscore_matches_window_form(spark, docs):
     }
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
+def test_pack_sequences_prefix_stable_under_corpus_growth(spark, docs):
+    """Packing a corpus PREFIX yields exactly the rows the full-corpus
+    packing assigns to those docs — the append-stability that lets an
+    ingest pipeline re-pack a grown corpus without invalidating
+    already-materialized shards."""
+    from chinook_music_database_analysis_spark.operators.curation import pack_sequences
+
+    n = docs.count()
+    half = n // 2
+    full = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs, ctx_len=512).collect()
+    }
+    prefix = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs.filter(F.col("doc_id") < half), ctx_len=512).collect()
+    }
+    assert prefix and all(full[k] == v for k, v in prefix.items())
