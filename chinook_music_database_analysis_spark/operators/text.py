@@ -174,6 +174,10 @@ def tfidf_top_terms(docs: DataFrame, n_docs: int, top_k: int = 3, idf_scale: int
     data-sized, so the idf join is a plain shuffled hash join (AQE
     broadcasts it when small); no stage holds more than the exploded
     (doc, term) relation, which is the corpus token stream itself.
+    Skew note: universal terms ("the") put ~n_docs rows in one join
+    partition — AQE's skew-join split handles it (the idf side is
+    1 row per term, freely replicable), or pre-filter stopwords when
+    the ranking doesn't need them.
     """
     from pyspark.sql import Window
 
