@@ -525,3 +525,66 @@ def cur_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+def _minhash_est_oracle() -> str:
+    from ..operators.dedup import N_HASHES
+
+    matches = " + ".join(
+        f"CASE WHEN sa.h{h} = sb.h{h} THEN 1 ELSE 0 END" for h in range(N_HASHES)
+    )
+    return (
+        f"WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND} "
+        f"SELECT c.doc_a, c.doc_b, "
+        f"ROUND(CAST({matches} AS DOUBLE) / {N_HASHES}, 4) AS est_jaccard "
+        "FROM cand c "
+        "JOIN sig sa ON sa.doc_id = c.doc_a "
+        "JOIN sig sb ON sb.doc_id = c.doc_b"
+    )
+
+
+@register("dd_minhash_estimate", oracle=_minhash_est_oracle())
+def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-side Jaccard estimate for each LSH candidate pair: the
+    fraction of agreeing minhash slots (E[agreement] = true Jaccard —
+    the estimator LSH banding is built on).  This is what a 100 TB
+    dedup run uses to rank candidates WITHOUT touching shingle sets
+    again: the signature table (N_HASHES ints per doc) is the only
+    input, so the verify stage reads kilobytes per pair instead of
+    re-shuffling the corpus (dd_ngram_jaccard is the exact-verify
+    alternative when precision matters)."""
+    from ..operators.dedup import N_HASHES, minhash_signatures
+
+    from .extensions import _shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # The signature table is the persisted artifact of a production
+    # dedup store — memoized like the band/shingle relations.
+    sig = _cached(
+        "minhash_sig",
+        spark,
+        sf_dir,
+        lambda: minhash_signatures(docs, shingles=_shingles(spark, sf_dir)),
+    )
+    cand = _cand_pairs(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{h}").alias(f"a{h}") for h in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{h}").alias(f"b{h}") for h in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+    )
