@@ -1672,3 +1672,55 @@ def q17_top_spender_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.max("spend_d")).alias("top_spend"),
         F.expr("min_by(o_custkey, struct(spend_d, -o_custkey))").alias("bottom_custkey"),
     )
+
+
+@register(
+    "q18_price_profile_arrays",
+    oracle="""
+    SELECT o_custkey,
+           CAST(len(prices) AS INT) AS n_orders,
+           CAST(ROUND(prices[1], 2) AS DOUBLE) AS cheapest,
+           CAST(ROUND(prices[(len(prices) + 1) // 2], 2) AS DOUBLE) AS middle,
+           CAST(ROUND(prices[-1], 2) AS DOUBLE) AS priciest
+    FROM (
+      SELECT o_custkey,
+             list(CAST(o_totalprice AS DECIMAL(18,4)) ORDER BY o_totalprice, o_orderkey)
+               AS prices
+      FROM orders GROUP BY o_custkey
+    )
+    """,
+)
+def q18_price_profile_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-price profile via the array surface:
+    collect_list → sort_array → element_at (first / lower-median /
+    last).  collect_list is UNORDERED by contract — sort_array with an
+    orderkey tie-break restores determinism (same trap s04's basket
+    rewrite handles).  Lower-median indexing ``(n+1)/2`` is integer
+    math, identical both engines.  One customer-keyed agg; array size
+    = that customer's order count, bounded per group."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+                        F.col("o_orderkey").alias("k"),
+                    )
+                )
+            ).alias("pk")
+        )
+        .select("o_custkey", F.expr("transform(pk, x -> x.p)").alias("prices"))
+    )
+    n = F.size("prices")
+    return g.select(
+        "o_custkey",
+        n.alias("n_orders"),
+        round2(F.element_at("prices", 1)).alias("cheapest"),
+        round2(
+            F.expr("element_at(prices, CAST((size(prices) + 1) div 2 AS INT))")
+        ).alias("middle"),
+        round2(F.element_at("prices", -1)).alias("priciest"),
+    )
