@@ -12,12 +12,18 @@ relations built) rather than JVM/JIT cold-start — matching how these
 queries run in a long-lived session or cluster.  The warm number per
 query is the MIN across SPARK_GRAFT_BENCH_REPS (default 2) timed
 passes — single-pass local[32] timings move ~±15% with scheduler
-noise, and min-of-2 is the standard steady-state estimator.  The cold
-pass is timed too and emitted in the same JSON line ("cold_total" /
-"cold_queries") so both methodologies are machine-readable.
-Failures never kill the run:
-broken queries land in an "errors" key with their message and elapsed
-time, and the JSON line prints regardless.
+noise, and min-of-2 is the standard steady-state estimator.
+
+Output discipline (round-3 fix): the capture that parses this line
+keeps only the LAST ~2000 bytes of stdout, so the final line must stay
+under that budget no matter how large the suite grows.  The final
+stdout line therefore carries the headline totals plus as many
+per-query warm timings as fit a byte budget (slowest first — the
+perf-relevant tail); the COMPLETE per-query detail (warm + cold +
+errors) is written to BENCH_DETAIL.json next to this file and echoed
+to stderr.  Failures never kill the run: broken queries land in an
+"errors" section of the sidecar (and an "errors_n" count in the
+headline line), and the JSON line prints regardless.
 """
 
 from __future__ import annotations
@@ -65,12 +71,19 @@ def main() -> None:
                     sec = round(time.perf_counter() - t0, 3)
                     if name not in timings or sec < timings[name]:
                         timings[name] = sec
+                    # A query appears in exactly one of timings/errors:
+                    # any successful rep clears an earlier failure.
+                    errors.pop(name, None)
                     if rep == reps - 1:
                         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
                 except Exception as ex:  # one broken query must not kill the bench
                     elapsed = round(time.perf_counter() - t0, 3)
                     msg = f"{type(ex).__name__}: {ex}"[:200]
                     errors[name] = {"error": msg, "sec": elapsed}
+                    # ...and a failure evicts any stale min timing, so a
+                    # flaky query never counts toward "total" while also
+                    # being reported broken.
+                    timings.pop(name, None)
                     print(f"# {name}: ERROR after {elapsed:.3f}s {msg}", file=sys.stderr)
         total = round(sum(timings.values()), 3)
 
@@ -100,25 +113,101 @@ def main() -> None:
         except Exception as ex:
             print(f"# streaming_stateful: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
 
+        # Source-throughput micro-bench: the custom Python streaming
+        # DataSource driven to completion (availableNow), so Python-
+        # source regressions (per-row generator, Arrow handoff) show
+        # up as a rows/sec drop.
+        source_rows_per_sec = None
+        try:
+            from chinook_music_database_analysis_spark.sources.synthetic import (
+                register as register_synth,
+            )
+
+            register_synth(spark)
+            n_rows = 50_000
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("synthevents")
+                .option("rows_per_batch", n_rows)
+                .option("max_rows", n_rows)
+                .option("n_partitions", 8)
+                .load()
+                .writeStream.format("noop")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            source_rows_per_sec = round(n_rows / (time.perf_counter() - t0), 1)
+            print(f"# synthetic_source: {source_rows_per_sec} rows/s", file=sys.stderr)
+        except Exception as ex:
+            print(f"# synthetic_source: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
+
         sf_token = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         try:
             sf = float(sf_token)
         except ValueError:
             sf = None
+
+        # Complete machine-readable detail -> sidecar next to this file
+        # (committed per round, so per-query history survives even when
+        # the stdout line can only carry a subset).
+        detail = {
+            "metric": "total_query_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": timings,
+            "cold_total": cold_total,
+            "cold_queries": cold,
+            "errors": errors,
+        }
+        if streaming_sec is not None:
+            detail["streaming_stateful_sec"] = streaming_sec
+        if source_rows_per_sec is not None:
+            detail["source_rows_per_sec"] = source_rows_per_sec
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+            print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
+        except OSError as ex:
+            print(f"# could not write {detail_path}: {ex}", file=sys.stderr)
+
+        # Final stdout line: must fit the parser's ~2000-byte tail
+        # capture.  Headline totals always; per-query warm timings
+        # slowest-first until the byte budget is reached (the slow tail
+        # is what perf grading needs — fast queries are in the sidecar).
         out = {
             "metric": "total_query_wall",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": {},
             "sf": sf,
             "cold_total": cold_total,
-            "cold_queries": cold,
+            "n_queries": len(timings),
+            "errors_n": len(errors),
+            "detail": "BENCH_DETAIL.json",
         }
         if streaming_sec is not None:
             out["streaming_stateful_sec"] = streaming_sec
-        if errors:
-            out["errors"] = errors
-        print(json.dumps(out))
+        if source_rows_per_sec is not None:
+            out["source_rows_per_sec"] = source_rows_per_sec
+        budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1900"))
+        for name in sorted(timings, key=lambda n: (-timings[n], n)):
+            out["queries"][name] = timings[name]
+            if len(json.dumps(out, separators=(",", ":"))) > budget:
+                del out["queries"][name]
+                break
+        out["queries_omitted"] = len(timings) - len(out["queries"])
+        line = json.dumps(out, separators=(",", ":"))
+        while len(line) > budget and out["queries"]:
+            # defensive: keys added after the over-budget check (e.g.
+            # queries_omitted) could overflow — trim the fastest entry.
+            fastest = min(out["queries"], key=lambda n: (out["queries"][n], n))
+            del out["queries"][fastest]
+            out["queries_omitted"] += 1
+            line = json.dumps(out, separators=(",", ":"))
+        print(line)
     finally:
         spark.stop()
 
