@@ -279,22 +279,113 @@ def l2_norms_pandas(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", l2("embedding").alias("l2_norm"))
 
 
+#: Lloyd iterations for the k-means centroid training pass.  Fixed and
+#: small on purpose: each iteration is one bounded-sample sweep, and a
+#: fixed count lets the DuckDB oracle unroll the exact same iterations
+#: as CTE stages.
+KMEANS_ITERS = 2
+
+#: sample-size multiple: k-means trains on ~KMEANS_C * sqrt(N) vectors
+#: (C points per centroid on average).
+KMEANS_C = 4
+
+
+def kmeans_sample_stride(n: int) -> int:
+    """Modulo stride selecting the k-means training sample: every
+    ``stride``-th vec_id, sized so the sample is ~KMEANS_C * sqrt(N)
+    vectors (bounded training cost at any corpus size).  Integer-exact
+    on both engines."""
+    k = ivf_cell_stride(n)  # == ceil(sqrt(N)) == centroid count target
+    return max(1, n // (KMEANS_C * k))
+
+
+def kmeans_centroids(emb: DataFrame, n: int, iters: int = KMEANS_ITERS) -> DataFrame:
+    """K-means-trained IVF centroids at the same ~sqrt(N) cardinality
+    as the stride sample — the quality upgrade over stride-sampled
+    centroids for clustered real-world corpora (stride sampling lands
+    centroids proportional to data density; Lloyd iterations move them
+    to cluster centers, cutting the probe-miss rate).
+
+    Deterministic distributed training, no driver-side state:
+
+    * **sample**: every kmeans_sample_stride(N)-th vector (~C*sqrt(N)
+      rows) — a narrow filter, no shuffle.
+    * **init**: every C-th sample vector seeds a cell (~sqrt(N) seeds,
+      cell_id = seed vec_id) — the stride sample IS the init, so the
+      stride variant is exactly "0 iterations" of this operator.
+    * **iterate** (fixed ``iters`` Lloyd steps): assign each sample
+      vector to its nearest centroid (ROUNDed cosine, cell_id
+      tie-break — deterministic), then recompute each cell's
+      element-wise mean.  The mean accumulates in DECIMAL(28,12) after
+      a 6-dp round, so it is ORDER-INDEPENDENT and bit-identical on
+      any partitioning and in the DuckDB oracle (float-double sums
+      would drift with aggregation order); the final divide is exact
+      double / int.
+    * cells that attract no sample vectors die identically on both
+      engines (k-means cell starvation — expected, K shrinks).
+
+    Scale: every stage is bounded by the sample (C*sqrt(N) x sqrt(N)
+    scoring fan-out = O(C*N) — same order as one corpus assign pass),
+    centroids stay a broadcast-sized relation, and nothing ever
+    collects to the driver.  Returns (cell_id, c_emb double[], c_norm).
+    """
+    ss = kmeans_sample_stride(n)
+    sample = emb.filter(F.col("vec_id") % ss == 0).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("s_emb"),
+    )
+    sample = sample.withColumn("s_norm", _norm("s_emb"))
+    cents = sample.filter(F.col("vec_id") % (ss * KMEANS_C) == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("s_emb").alias("c_emb")
+    )
+    for _ in range(iters):
+        cn = cents.withColumn("c_norm", _norm("c_emb"))
+        w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell_id"))
+        assigned = (
+            sample.crossJoin(F.broadcast(cn))
+            .withColumn("c_sim", _cos("s_emb", "c_emb", "s_norm", "c_norm"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell_id", "s_emb")
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode("s_emb").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val"), 6).cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = means.groupBy("cell_id").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias(
+                "c_emb"
+            )
+        )
+    return cents.select("cell_id", "c_emb", _norm("c_emb").alias("c_norm"))
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
     stride: int | None = None,
     n_probe: int = IVF_N_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     cell-probing alternative to sign-projection LSH.
 
-    * **Centroids**: every ``stride``-th vector with stride =
-      ceil(sqrt(N)) (:func:`ivf_cell_stride`), giving ~√N cells — the
-      balance point where assign (N·cells) and probe (|q|·cells) stay
-      subquadratic at any corpus size.  Deterministic, no training
-      pass — at 100 TB swap the centroid SELECT for a k-means sample
-      of the same √N cardinality; the plan shape is identical.
+    * **Centroids**: either a prebuilt ``centroids`` relation
+      (:func:`kmeans_centroids` — the production path) or, when
+      omitted, every ``stride``-th vector with stride = ceil(sqrt(N))
+      (:func:`ivf_cell_stride`).  Both give ~√N cells — the balance
+      point where assign (N·cells) and probe (|q|·cells) stay
+      subquadratic at any corpus size — and the plan shape downstream
+      is identical, so the stride variant remains the zero-training
+      baseline the k-means variant is measured against
+      (scripts/scalecheck.py asserts the recall ordering).
     * **Assign**: each corpus vector joins the broadcast centroid set
       and keeps its single nearest cell (rounded cosine, cell_id
       tie-break) via a ``max_by`` hash aggregation — map-side partial
@@ -311,13 +402,16 @@ def ivf_topk(
     is missed) — that is the IVF trade; raise ``n_probe`` toward the
     cell count to converge on the brute-force result.
     """
-    if stride is None:
-        stride = ivf_cell_stride(emb.count())
-    cents = emb.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm("embedding").alias("c_norm"),
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        if stride is None:
+            stride = ivf_cell_stride(emb.count())
+        cents = emb.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            _norm("embedding").alias("c_norm"),
+        )
     # max_by over struct(c_sim, -cell_id) == "highest cosine, then
     # lowest cell_id" — a unique key, so the argmax is deterministic.
     # Corpus norms computed once per vector (N values) before the
@@ -437,6 +531,40 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def persist_ann_store(
+    spark, emb: DataFrame, prefix: str, n_bits: int, n_buckets: int = 16
+) -> None:
+    """Persist the ANN signature relations as BUCKETED tables — the
+    production shape of the session-cached `_emb_buckets`/`_emb_norms`
+    relations: at 100 TB the signature store is written once per
+    corpus version and every near-dup / top-k run reads it back, so
+    the bucket-projection work is paid once and the candidate
+    self-join's shuffle disappears entirely.
+
+    * ``{prefix}_buckets`` (vec_id, tbl, bucket) bucketed+sorted by
+      (tbl, bucket) — exactly the candidate self-join's keys, so both
+      sides are co-located by layout and the join plans as a
+      zero-Exchange sort-merge join (tests/test_ann_store.py asserts
+      this on the executed plan).
+    * ``{prefix}_norms`` (vec_id, embedding, norm) bucketed by
+      ``vec_id``: the verify stage's two key-joins against surviving
+      candidate pairs read co-located buckets.
+    """
+    from ..sources.sinks import write_bucketed
+
+    write_bucketed(
+        lsh_buckets(emb, n_bits), f"{prefix}_buckets", ["tbl", "bucket"], n_buckets
+    )
+    write_bucketed(with_norms(emb), f"{prefix}_norms", "vec_id", n_buckets)
+
+
+def load_ann_store(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """Read back a persisted signature store: (buckets, norms) in the
+    exact shape ``embedding_near_dup_pairs`` / ``lsh_topk`` accept via
+    their ``buckets=``/``norms=`` parameters."""
+    return spark.table(f"{prefix}_buckets"), spark.table(f"{prefix}_norms")
 
 
 def sq8_dequantized(emb: DataFrame) -> DataFrame:

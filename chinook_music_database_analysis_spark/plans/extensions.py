@@ -34,6 +34,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import media_features, resize_media, sample_frames
 from ..operators.similarity import (
     IVF_N_PROBE,
+    KMEANS_ITERS,
     MAX_PLANES,
     N_TABLES,
     cosine_topk,
@@ -505,8 +506,109 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_tables(spark, sf_dir)["embeddings"])
 
 
+def _sql_kmeans_cents() -> str:
+    """DuckDB mirror of operators.similarity.kmeans_centroids: the
+    fixed KMEANS_ITERS Lloyd iterations unrolled as CTE stages (same
+    modulo sample/seed selection, same rounded-cosine assignment with
+    cell_id tie-break, same order-independent DECIMAL(28,12) means).
+    Yields a CTE chain whose final relation ``kc{KMEANS_ITERS}`` is
+    (cell_id, ce DOUBLE[]).
+    """
+    from ..operators.similarity import EMB_DIM, KMEANS_C, KMEANS_ITERS
+
+    parts = [
+        f"""kprm AS (
+      SELECT GREATEST(1, COUNT(*) // ({KMEANS_C} * CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS ss
+      FROM embeddings
+    ), ksmp AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS se
+      FROM embeddings WHERE vec_id % (SELECT ss FROM kprm) = 0
+    ), kc0 AS (
+      SELECT vec_id AS cell_id, se AS ce FROM ksmp
+      WHERE vec_id % (SELECT ss * {KMEANS_C} FROM kprm) = 0
+    )"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""ka{it} AS (
+      SELECT s.vec_id, s.se, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+               ORDER BY {_sql_cos("s.se", "c.ce")} DESC, c.cell_id) AS rn
+      FROM ksmp s, kc{it - 1} c QUALIFY rn = 1
+    ), km{it} AS (
+      SELECT cell_id, g.pos,
+             CAST(SUM(CAST(ROUND(se[g.pos], 6) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM ka{it} CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS pos) g
+      GROUP BY cell_id, g.pos
+    ), kc{it} AS (
+      SELECT cell_id, list(m ORDER BY pos) AS ce FROM km{it} GROUP BY cell_id
+    )"""
+        )
+    return ", ".join(parts)
+
+
+def _ivf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared k-means IVF centroid relation (trained once per
+    (session, table set) on the bounded modulo sample — the persisted
+    index table of a production IVF deployment)."""
+    from ..operators.similarity import kmeans_centroids
+
+    return _cached(
+        "ivf_cents", spark, sf_dir,
+        lambda: kmeans_centroids(
+            load_tables(spark, sf_dir)["embeddings"], _emb_count(spark, sf_dir)
+        ),
+    )
+
+
 @register(
     "sim_ivf_topk",
+    oracle=f"""
+    WITH {_sql_kmeans_cents()}, c AS (
+      SELECT cell_id, ce FROM kc{KMEANS_ITERS}
+    ), a AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      QUALIFY rn = 1
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      WHERE e.vec_id < 10
+      QUALIFY rn <= {IVF_N_PROBE}
+    ), p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+      FROM a e JOIN q ON e.cell_id = q.cell_id
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index with K-MEANS-trained
+    centroids (operators.similarity.kmeans_centroids — bounded-sample
+    Lloyd iterations at the same ~sqrt(N) cell cardinality), nearest-
+    cell assignment, n_probe-cell search (the cell-probing scale path;
+    recall < 1 by design, like sim_lsh_topk).  The centroid relation
+    is trained once per session and cached — a production deployment
+    persists it as the index table."""
+    return ivf_topk(
+        load_tables(spark, sf_dir)["embeddings"],
+        centroids=_ivf_cents(spark, sf_dir),
+    )
+
+
+@register(
+    "sim_ivf_stride_topk",
     oracle=f"""
     WITH st AS (
       -- ceil(sqrt(N)) centroid stride == operators.similarity.ivf_cell_stride
@@ -540,11 +642,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p QUALIFY rnk <= 5
     """,
 )
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF index: ceil(sqrt(N))-stride-sampled
-    centroids, nearest-cell assignment, n_probe-cell search (the
-    cell-probing scale path; recall < 1 by design, like sim_lsh_topk).
-    The stride derives from the cached corpus count."""
+def sim_ivf_stride_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-sampled-centroid IVF — the zero-training baseline
+    sim_ivf_topk's k-means variant is measured against (identical plan
+    shape downstream of the centroid relation; scripts/scalecheck.py
+    asserts the recall ordering on a clustered corpus)."""
     from ..operators.similarity import ivf_cell_stride
 
     return ivf_topk(
@@ -1060,8 +1162,10 @@ def ev_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            t_signup IS NOT NULL AS did_signup,
-           (t_signup IS NOT NULL AND t_click > t_signup) AS clicked_after_signup,
-           (t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click)
+           COALESCE(t_signup IS NOT NULL AND t_click > t_signup, FALSE)
+             AS clicked_after_signup,
+           COALESCE(t_signup IS NOT NULL AND t_click > t_signup
+                    AND t_purchase > t_click, FALSE)
              AS purchased_after_click
     FROM m
     """,
@@ -1071,9 +1175,11 @@ def ev_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> first purchase after that click) from ONE conditional-MIN pass
     over the events table — the funnel shape that naive implementations
     express as 3 self-joins (3 shuffles of the fact) and this plan
-    computes with a single user-keyed hash aggregate.  NULL timestamp
-    comparisons yield NULL -> false on both engines via the explicit
-    IS NOT NULL guard."""
+    computes with a single user-keyed hash aggregate.  A user who
+    signed up but never clicked would leave ``TRUE AND NULL = NULL``
+    in the flag columns; both engines wrap the step flags in
+    ``coalesce(..., false)`` so non-converted steps read as false and
+    downstream ``= false`` filters see them."""
     t = load_tables(spark, sf_dir)
     m = (
         t["events"]
@@ -1087,8 +1193,10 @@ def ev_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     signed = F.col("t_signup").isNotNull()
-    clicked = signed & (F.col("t_click") > F.col("t_signup"))
-    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    clicked = F.coalesce(signed & (F.col("t_click") > F.col("t_signup")), F.lit(False))
+    purchased = F.coalesce(
+        clicked & (F.col("t_purchase") > F.col("t_click")), F.lit(False)
+    )
     return m.select(
         "user_id",
         signed.alias("did_signup"),

@@ -35,15 +35,24 @@ def write_fact_by_date(
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32, mode: str = "overwrite"
+    df: DataFrame,
+    table_name: str,
+    bucket_col: "str | list[str]",
+    n_buckets: int = 32,
+    mode: str = "overwrite",
 ) -> None:
     """Bucketed managed table: co-locates both sides of a recurring
     equi-join (e.g. lineitem/orders on the order key) so the join
-    becomes shuffle-free (storage-partitioned)."""
+    becomes shuffle-free (storage-partitioned).  ``bucket_col`` may be
+    a list when the recurring join is multi-key — the bucket spec must
+    match the join keys exactly for Spark to keep the bucketed scan
+    (a partial match makes the planner fall back to a shuffled join).
+    """
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     (
         df.write.mode(mode)
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
+        .bucketBy(n_buckets, cols[0], *cols[1:])
+        .sortBy(cols[0], *cols[1:])
         .saveAsTable(table_name)
     )
 
@@ -76,11 +85,19 @@ def compact_parquet(
     Long-lived ingest (streaming foreachBatch sinks, frequent small
     appends) fragments a table into thousands of tiny files; scan cost
     then goes per-file (footer reads, task scheduling), not per-byte.
-    Compaction = read → repartition to ceil(bytes/target) → atomic
-    swap via a staging directory.  The repartition is round-robin (no
-    key), so it is one shuffle of the table with perfectly balanced
-    output files; run it per-partition-directory at 100 TB so each
-    date partition compacts independently (and concurrently).
+    Compaction = read → repartition to ceil(bytes/target) → swap via a
+    staging directory.  The repartition is round-robin (no key), so it
+    is one shuffle of the table with perfectly balanced output files;
+    run it per-partition-directory at 100 TB so each date partition
+    compacts independently (and concurrently).
+
+    Swap atomicity: the two-rename swap (path→.old, staging→path) has
+    a window where ``path`` does not exist; a crash inside it strands
+    the data under ``.old`` (recovery: rename ``.old`` back), and a
+    concurrent reader can see ENOENT.  Plain filesystems offer no
+    multi-path atomic rename — a table format (Delta/Iceberg) makes
+    compaction a metadata swap and is the production answer; this
+    helper is for bounded maintenance windows.
     """
     import glob
     import os

@@ -46,6 +46,7 @@ QUERIES = {
     "dd_embedding_cosine": 1.6,
     "sim_lsh_topk": 1.6,
     "sim_ivf_topk": 1.7,
+    "sim_ivf_stride_topk": 1.7,
     "sim_bruteforce_topk": 1.3,
     "cur_boilerplate": 1.3,
     "cur_decontam": 1.3,
@@ -159,6 +160,32 @@ def main() -> int:
             f"{name:26s} {base:8.2f} {scaled:9.2f} {ratio:7.1f} "
             f"{limit:7.1f} {'ok' if ok else 'FAIL'}"
         )
+    # --- IVF recall: k-means centroids must not lose to the stride
+    # baseline on the clustered corpus (the corpus k-means exists for;
+    # centers drawn from 10 Gaussian clusters above).  Ground truth =
+    # exact brute-force top-5.
+    def topk_sets(name: str) -> dict[int, set[int]]:
+        rows = REG[name](spark, out_dir).select("query_id", "neighbor_id").collect()
+        out: dict[int, set[int]] = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_sets("sim_bruteforce_topk")
+
+    def recall(name: str) -> float:
+        approx = topk_sets(name)
+        per_q = [
+            len(approx.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ]
+        return sum(per_q) / len(per_q)
+
+    r_kmeans, r_stride = recall("sim_ivf_topk"), recall("sim_ivf_stride_topk")
+    print(f"ivf recall@5 (clustered {args.factor}x corpus): "
+          f"kmeans={r_kmeans:.3f} stride={r_stride:.3f}")
+    if r_kmeans < r_stride:
+        failures.append(("ivf_kmeans_recall", r_kmeans, r_stride))
+
     if failures:
         print("SCALE REGRESSIONS:", failures, file=sys.stderr)
         return 1

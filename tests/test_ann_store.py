@@ -1,0 +1,61 @@
+"""Persisted bucketed ANN signature store: results identical to the
+session-cached relations, and the candidate self-join over the
+bucketed table plans with ZERO Exchange (the layout replaces the
+runtime shuffle — the 100 TB signature-store shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chinook_music_database_analysis_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    load_ann_store,
+    lsh_n_bits,
+    lsh_topk,
+    persist_ann_store,
+)
+
+from conftest import SF_TEST_DIR
+
+
+def _pairs_set(df):
+    return {(r.vec_a, r.vec_b, r.cos_sim) for r in df.collect()}
+
+
+def test_persisted_store_matches_and_dedup_join_is_shuffle_free(spark):
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    n_bits = lsh_n_bits(emb.count())
+    persist_ann_store(spark, emb, "ann_t", n_bits)
+    try:
+        buckets, norms = load_ann_store(spark, "ann_t")
+
+        # 1. Same answers as the derive-in-session path.
+        stored = embedding_near_dup_pairs(emb, buckets=buckets, norms=norms)
+        derived = embedding_near_dup_pairs(emb, n_bits=n_bits)
+        assert _pairs_set(stored) == _pairs_set(derived)
+
+        # 2. The candidate self-join (keys tbl+bucket == the table's
+        # bucket spec, so both sides' layout already satisfies the
+        # join's distribution) must plan with no Exchange.  Broadcast
+        # disabled to force the SMJ path.
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = (
+                buckets.alias("a")
+                .join(buckets.alias("b"), ["tbl", "bucket"])
+                .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert cand.count() >= 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        # 3. The top-k path accepts the stored relations too.
+        got = lsh_topk(emb, buckets=buckets, norms=norms)
+        ref = lsh_topk(emb, n_bits=n_bits)
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_t_buckets")
+        spark.sql("DROP TABLE IF EXISTS ann_t_norms")

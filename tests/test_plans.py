@@ -108,6 +108,7 @@ BNLJ_ALLOWED = {
     "dq_order_expectations",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_ivf_stride_topk",
     "sim_sq8_topk",
 }
 
