@@ -239,8 +239,6 @@ def domain_mix(
     per-row explode of at most ``ceil(rate)`` elements; no shuffle, no
     driver state.  The rates dict compiles to a CASE ladder (domains
     are a config-sized set, not data)."""
-    n_base = F.lit(None)
-    frac_thresh = F.lit(None)
     base_case = None
     frac_case = None
     for src, rate in rates.items():

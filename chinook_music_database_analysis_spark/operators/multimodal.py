@@ -122,6 +122,12 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes | None:
     import numpy as np
 
     w0, h0 = parsed
+    # Degenerate-but-well-formed headers (e.g. b"P6\n0 2\n255\n") pass
+    # the exact-length check with an empty raster; resampling from a
+    # zero-sized axis would raise inside mapInPandas and fail the whole
+    # job, so degrade to the caller's stub path instead.
+    if w0 == 0 or h0 == 0:
+        return None
     off = _ppm_raster_offset(payload)
     arr = np.frombuffer(payload, dtype=np.uint8, offset=off).reshape(h0, w0, 3)
     ys = np.arange(height) * h0 // height
