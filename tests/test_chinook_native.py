@@ -143,6 +143,70 @@ def test_q03_demographics_golden(spark, chinook_handle):
     assert got == {"USA": 2, "Canada": 1, "Germany": 1}
 
 
+def test_s05_regional_churn_golden(spark, chinook_handle):
+    """Micro-fixture analogue of the strongest docx churn anchors
+    (BASELINE.md: 100%-churn countries, USA 15.38% formula): the
+    per-country churn-rate FORMULA asserted on hand-computed data.
+    Anchor = max invoice date 2020-12-31; month_diff >= 6 churns.
+    Last orders: Alice 06-10 (6 mo, churned), Bob 06-15 (6 mo,
+    churned), Carol 2019-12-01 (13 mo, churned), Dan 12-31 (active) —
+    so USA and Canada are the fixture's '100% churn countries'."""
+    got = {
+        r.n_name: (r.n_customers, r.churned_customers, r.churn_rate_pct)
+        for r in QUERIES["s05_regional_churn"](spark, chinook_handle).collect()
+    }
+    assert got == {
+        "USA": (2, 2, 100.0),
+        "Canada": (1, 1, 100.0),
+        "Germany": (1, 0, 0.0),
+    }
+    assert {c for c, (_, ch, _pct) in got.items() if _pct == 100.0} == {"USA", "Canada"}
+
+
+def test_s03_old_new_golden(spark, chinook_handle, monkeypatch):
+    """Micro-fixture analogue of the docx chart2-4 old/new split
+    (customer counts, total/avg spend, order frequency, basket size)
+    with the old-year boundary at 2019: Carol (first order 2019) is
+    the fixture's 'old' cohort, everyone else 'new'."""
+    monkeypatch.setattr(parity, "OLD_YEAR", 2019)
+    got = {
+        r.status: (
+            r.n_customers,
+            r.n_orders,
+            r.total_spend,
+            r.avg_spend_per_cust,
+            r.avg_orders_per_cust,
+            r.avg_basket_size,
+        )
+        for r in QUERIES["s03_old_vs_new"](spark, chinook_handle).collect()
+    }
+    # old: Carol — 1 order (inv4, 1 line) of 1.50.
+    # new: Alice (inv1: 2 lines / 4.00, inv2: 1 line / 2.00),
+    #      Bob (inv3: 2 lines / 3.50), Dan (inv5: 1 line / 6.00)
+    #      -> 3 customers, 4 orders, 15.50 spend, 5.17 avg spend,
+    #         1.33 orders/cust, 6 items / 4 orders = 1.5 basket.
+    assert got == {
+        "old": (1, 1, 1.50, 1.50, 1.0, 1.0),
+        "new": (3, 4, 15.50, 5.17, 1.33, 1.5),
+    }
+
+
+def test_s11_geo_behavior_golden(spark, chinook_handle):
+    """Micro-fixture analogue of the docx chart7 per-country averages
+    (Argentina 39.6 / Brazil 85.54 shape): avg spend and avg items per
+    customer by country, hand-computed."""
+    got = {
+        r.n_name: (r.n_customers, r.avg_spend, r.avg_items)
+        for r in QUERIES["s11_geo_behavior"](spark, chinook_handle).collect()
+    }
+    # USA: Alice 6.00 spend / 3 items, Bob 3.50 / 2 -> avg 4.75 / 2.5.
+    assert got == {
+        "USA": (2, 4.75, 2.5),
+        "Canada": (1, 1.50, 1.0),
+        "Germany": (1, 6.00, 1.0),
+    }
+
+
 def test_q05_top_customers_golden(spark, chinook_handle):
     # Per-nation spend: USA Alice 6.00 > Bob 3.50; Canada Carol 1.50;
     # Germany Dan 6.00.
