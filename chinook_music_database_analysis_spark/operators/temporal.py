@@ -121,3 +121,61 @@ def range_join(
         .filter((r_us > l_us) & (r_us <= l_us + F.lit(width_us)))
         .drop("_b")
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resampling with forward fill: bucket each key's
+    events into fixed ``step`` windows, materialize the FULL bucket
+    grid between the key's first and last bucket (gaps included), and
+    carry the last observed value forward across gaps — the
+    regular-grid densification every downstream window/feature
+    pipeline assumes (and which SQL engines ship as ``time_bucket`` +
+    gap-fill in the time-series extensions; Spark composes it from
+    sequence/explode + last(ignorenulls)).
+
+    Per-bucket value = exact DECIMAL sum of the bucket's events
+    (deterministic under any partitioning, like the windowed aggs);
+    ``is_gap`` marks grid rows with no observations.
+
+    Scale: one bucket-grain aggregation shuffle, a per-key min/max agg
+    (tiny), the grid explode (narrow — output rows only), one
+    key+bucket equi-join, and one in-partition window per key.  Grid
+    size is span/step per key — bound ``step`` to the key's activity
+    horizon at 100 TB (a years-long span at 1-second step would
+    explode; this is inherent to densification, not to the plan).
+    """
+    unit = step.split()[-1]  # "1 hour" -> date_trunc('hour'); sequence steps by `step`
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    b = (
+        events.select(F.col(key), bucket.alias("bucket"), F.col(value_col))
+        .groupBy(key, "bucket")
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    span = b.groupBy(key).agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    grid = span.select(
+        key, F.explode(F.sequence("mn", "mx", F.expr(f"interval {step}"))).alias("bucket")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, [key, "bucket"], "left")
+        .select(
+            key,
+            "bucket",
+            F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )

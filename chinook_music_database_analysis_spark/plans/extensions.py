@@ -1252,3 +1252,39 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return a.groupBy("cohort_week", "week_n").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "ev_gapfill_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.bucket, b.v
+      FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+    )
+    SELECT user_id, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with gap fill: each user's event stream
+    densified onto its full hourly grid (sequence/explode), per-bucket
+    exact DECIMAL sums, and last-observation-carried-forward across
+    empty buckets (operators/temporal.resample_ffill) — the
+    regular-grid densification feature pipelines assume, with the
+    gap rows flagged."""
+    from ..operators.temporal import resample_ffill
+
+    return resample_ffill(load_tables(spark, sf_dir)["events"])

@@ -1476,6 +1476,86 @@ def q13_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def not_in_anti(
+    left: DataFrame, left_key: str, sub: DataFrame, sub_key: str
+) -> DataFrame:
+    """Null-aware NOT IN, decorrelated for scale.
+
+    SQL's ``k NOT IN (SELECT x FROM s)`` is three-valued: if ``s``
+    contains ANY NULL the predicate is never true (every comparison is
+    UNKNOWN), and a NULL ``k`` never qualifies either.  A plain
+    left-anti join implements neither rule — it would silently keep
+    rows SQL drops.  This expansion restores both:
+
+    * anti-join on the NON-NULL subquery values (the ∉ part; a NULL
+      probe key never matches, so the anti-join passes it through to
+      the guard below);
+    * a broadcast 1-row guard carrying the subquery's null and total
+      counts — any NULL in the subquery empties the result (SQL's
+      trap), and a NULL probe key survives ONLY when the subquery is
+      empty (the empty conjunction is TRUE, so even NULL qualifies).
+
+    Plan: shuffled hash anti-join keyed by the probe column + one
+    broadcast scalar — no nested loop at any cardinality (the
+    null-aware anti-join Catalyst plans for literal ``NOT IN`` SQL is
+    a BroadcastHashJoin variant limited to broadcastable subqueries;
+    this form scales to non-broadcastable lists too).
+    tests/test_skew_and_compat.py pins the NULL semantics against
+    DuckDB on the null-free, has-null, and empty-list cases.
+    """
+    vals = sub.select(F.col(sub_key).alias("_niv"))
+    guard = vals.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_niv").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("_n_nulls"),
+        F.count(F.lit(1)).alias("_n_vals"),
+    )
+    return (
+        left.join(
+            vals.filter(F.col("_niv").isNotNull()),
+            F.col(left_key) == F.col("_niv"),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(guard))
+        .filter(
+            (F.col("_n_nulls") == 0)
+            & (F.col(left_key).isNotNull() | (F.col("_n_vals") == 0))
+        )
+        .drop("_n_nulls", "_n_vals")
+    )
+
+
+@register(
+    "q13b_not_in_null_aware",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey NOT IN (
+      SELECT CASE WHEN o.o_orderpriority IS NOT NULL THEN o.o_custkey END
+      FROM orders o WHERE o.o_totalprice > 500000
+    )
+    """,
+)
+def q13b_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers outside the 500k+ big-spender set via NOT IN over a
+    NULLABLE subquery expression — the null-aware anti-join complement
+    of q13's NOT EXISTS (which sidesteps the NULL trap by
+    construction).  The oracle runs literal SQL NOT IN; the Spark side
+    is the :func:`not_in_anti` decorrelation, so the driver compare
+    pins the three-valued semantics end-to-end."""
+    t = load_tables(spark, sf_dir)
+    sub = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 500000)
+        .select(
+            F.when(F.col("o_orderpriority").isNotNull(), F.col("o_custkey")).alias("k")
+        )
+    )
+    return not_in_anti(t["customer"], "c_custkey", sub, "k").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 @register(
     "q04e_grouping_sets",
     oracle="""

@@ -106,6 +106,7 @@ BNLJ_ALLOWED = {
     "s06_risk_profile",
     "s07_clv_segments",
     "dq_order_expectations",
+    "q13b_not_in_null_aware",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_ivf_stride_topk",

@@ -144,3 +144,32 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_not_in_anti_three_valued_semantics(spark, ddb):
+    """not_in_anti must reproduce SQL NOT IN exactly, including the
+    two NULL traps: a NULL anywhere in the subquery empties the
+    result, and a NULL probe key never qualifies.  Pinned against
+    DuckDB running literal NOT IN on the same rows."""
+    from chinook_music_database_analysis_spark.plans.parity import not_in_anti
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "d")], "k int, tag string"
+    )
+    for sub_rows, label in [
+        ([(2,), (9,)], "null_free"),
+        ([(2,), (None,)], "has_null"),
+        ([], "empty_list"),
+    ]:
+        sub = spark.createDataFrame(sub_rows, "x int")
+        got = sorted(
+            r.tag for r in not_in_anti(left, "k", sub, "x").collect()
+        )
+        vals = ", ".join("NULL" if r[0] is None else str(r[0]) for r in sub_rows)
+        want_sql = f"""
+            WITH l(k, tag) AS (VALUES (1,'a'),(2,'b'),(3,'c'),(NULL,'d')),
+                 s(x) AS ({'VALUES ' + ', '.join(f'({v})' for v in vals.split(', ')) if sub_rows else 'SELECT 1 WHERE false'})
+            SELECT tag FROM l WHERE k NOT IN (SELECT x FROM s) ORDER BY tag
+        """
+        want = [r[0] for r in ddb.sql(want_sql).fetchall()]
+        assert got == want, f"{label}: spark={got} duckdb={want}"
