@@ -640,3 +640,302 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — r3
+# ---------------------------------------------------------------------------
+
+#: PQ layout: EMB_DIM is split into PQ_M contiguous subspaces of
+#: PQ_DSUB dims; each gets a PQ_K-codeword codebook, so a vector
+#: stores as PQ_M small codes (4 bytes here vs 256 float32 bytes —
+#: 64x).  PQ_C is the training-sample multiple per codeword.
+PQ_M = 4
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_K = 256
+PQ_C = 8
+
+#: ADC candidate depth for the exact-rerank stage of pq_topk.
+PQ_RERANK = 100
+
+
+def _sq_l2(a: str, b: str) -> F.Column:
+    """Rounded squared-L2 distance of two double arrays, accumulating
+    in index order (the PQ assignment metric; rounding makes the
+    argmin tie-set identical on both engines)."""
+    return F.round(
+        F.expr(
+            f"aggregate(zip_with({a}, {b},"
+            f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            f"          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+        6,
+    )
+
+
+def pq_sample_stride(n: int) -> int:
+    """Modulo stride for the PQ training sample (~PQ_K * PQ_C vectors;
+    codebooks are tiny, so the sample is too)."""
+    return max(1, n // (PQ_K * PQ_C))
+
+
+def pq_codebooks(emb: DataFrame, n: int, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Per-subspace PQ codebooks — k-means in each of the PQ_M
+    16-dim slices, with the same determinism contract as
+    :func:`kmeans_centroids`: modulo sample (~PQ_K*PQ_C vectors),
+    modulo seeds (~PQ_K), fixed Lloyd iterations, squared-L2
+    assignment on ROUNDed distances with codeword-id tie-break, and
+    order-independent DECIMAL(28,12) means — so the DuckDB oracle
+    reproduces training bit-for-bit by unrolling the same stages per
+    subspace.
+
+    Returns (m, cell_id, c_emb double[PQ_DSUB]) — PQ_M * ~PQ_K rows,
+    broadcast-sized at any corpus scale.  Scale: training cost is
+    O(sample * PQ_K) per subspace per iteration — constant-bounded.
+    """
+    ss = pq_sample_stride(n)
+    seed_s = ss * PQ_C
+    books = []
+    for m in range(PQ_M):
+        lo = m * PQ_DSUB + 1
+        sub = emb.filter(F.col("vec_id") % ss == 0).select(
+            "vec_id",
+            F.expr(
+                f"transform(slice(embedding, {lo}, {PQ_DSUB}), x -> CAST(x AS DOUBLE))"
+            ).alias("s_emb"),
+        )
+        cents = sub.filter(F.col("vec_id") % seed_s == 0).select(
+            F.col("vec_id").alias("cell_id"), F.col("s_emb").alias("c_emb")
+        )
+        for _ in range(iters):
+            w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell_id"))
+            assigned = (
+                sub.crossJoin(F.broadcast(cents))
+                .withColumn("d2", _sq_l2("s_emb", "c_emb"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("cell_id", "s_emb")
+            )
+            means = (
+                assigned.select("cell_id", F.posexplode("s_emb").alias("pos", "val"))
+                .groupBy("cell_id", "pos")
+                .agg(
+                    (
+                        F.sum(F.round(F.col("val"), 6).cast("decimal(28,12)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1))
+                    ).alias("mv")
+                )
+            )
+            cents = means.groupBy("cell_id").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
+                ).alias("c_emb")
+            )
+        books.append(cents.select(F.lit(m).alias("m"), "cell_id", "c_emb"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
+    """Assign every vector its nearest codeword per subspace:
+    (vec_id, m, code).  One broadcast join against the ~PQ_M*PQ_K-row
+    codebook with a per-(vector, subspace) argmin — the narrow encode
+    pass a production pipeline persists as the compressed corpus."""
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("cell_id"))
+    return (
+        emb.select("vec_id", "embedding")  # drop any carrier columns (e.g. a
+        .repartition("vec_id")             # coarse cell id) that would collide
+        .crossJoin(F.broadcast(books))     # with the codebook's cell_id
+        .withColumn(
+            "s_emb",
+            F.expr(f"transform(slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+                   f" x -> CAST(x AS DOUBLE))"),
+        )
+        .withColumn("d2", _sq_l2("s_emb", "c_emb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cell_id").alias("code"))
+    )
+
+
+def pq_reconstruct(codes: DataFrame, books: DataFrame) -> DataFrame:
+    """Decode: concatenate each vector's codewords in subspace order
+    -> (vec_id, recon double[EMB_DIM])."""
+    return (
+        codes.join(
+            F.broadcast(books), (codes.m == books.m) & (codes.code == books.cell_id)
+        )
+        .select("vec_id", codes.m.alias("sm"), "c_emb")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list(struct(sm, c_emb))),"
+                " s -> s.c_emb))"
+            ).alias("recon")
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    books: DataFrame | None = None,
+    recon: DataFrame | None = None,
+    rerank: int | None = PQ_RERANK,
+) -> DataFrame:
+    """Approximate top-k via the ADC + exact-rerank pipeline: score
+    every corpus vector against the query on its PQ RECONSTRUCTION
+    (64x-compressed: PQ_M 1-byte codes vs 256 float32 bytes), keep the
+    top ``rerank`` candidates per query, then rescore exactly those
+    with the full-precision vectors and emit the top ``k``.
+
+    This is the standard memory-bounded serving shape (compressed
+    corpus resident, full vectors touched only for the candidate
+    slice): the ADC pass is the same plan as :func:`cosine_topk` with
+    the corpus side decoded from codes + broadcast codebook; the
+    rerank stage joins full embeddings for |q| * rerank rows only.
+    Recall = P(true top-k survives the ADC top-``rerank``) — set
+    ``rerank=None`` to rank purely on reconstructions (the no-rerank
+    mode that shows raw quantization quality).
+
+    ``books``/``recon`` accept prebuilt (cached) relations — in
+    production both persist beside the corpus as the PQ index.
+    """
+    if recon is None:
+        if books is None:
+            books = pq_codebooks(emb, emb.count())
+        recon = pq_reconstruct(pq_encode(emb, books), books)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+    )
+    pairs = (
+        recon.withColumn("n_norm", _norm("recon"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "q_emb",
+        "q_norm",
+        _cos("q_emb", "recon", "q_norm", "n_norm").alias("adc_sim"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    if rerank is None:
+        out = scored.withColumn("rnk", F.row_number().over(w_adc)).filter(
+            F.col("rnk") <= k
+        )
+        return out.select(
+            "query_id", "neighbor_id", F.col("adc_sim").alias("cos_sim"), "rnk"
+        )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id", "q_emb", "q_norm")
+    )
+    exact = cand.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            _norm("embedding").alias("n_norm"),
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cos("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return exact.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivfpq_residuals(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Coarse-assign every vector to its nearest k-means cell (rounded
+    cosine, cell_id tie-break — the same max_by argmax as
+    :func:`ivf_topk`'s assign stage) and subtract the centroid:
+    (vec_id, cell_id, embedding = residual double[EMB_DIM]).
+
+    The residual column keeps the name ``embedding`` on purpose so the
+    PQ train/encode operators run on it unchanged.
+    """
+    assigned = (
+        emb.repartition("vec_id")
+        .withColumn("norm", _norm("embedding"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            "c_emb",
+            _cos("embedding", "c_emb", "norm", "c_norm").alias("c_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(cell_id, embedding, c_emb), struct(c_sim, -cell_id))"
+            ).alias("a")
+        )
+    )
+    return assigned.select(
+        "vec_id",
+        F.col("a.cell_id").alias("cell_id"),
+        F.expr(
+            "zip_with(a.embedding, a.c_emb, (x, c) -> CAST(x AS DOUBLE) - c)"
+        ).alias("embedding"),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    cents: DataFrame | None = None,
+    recon: DataFrame | None = None,
+    rerank: int | None = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ: product quantization of the RESIDUAL after coarse
+    k-means assignment — the composition real ANN services deploy
+    (FAISS's IVFPQ).  Plain PQ quantizes absolute positions, so on
+    clustered corpora every member of a cluster collapses to nearly
+    the same reconstruction and within-cluster ranking is lost; the
+    coarse centroid absorbs the cluster mean and the codebooks spend
+    their entire budget on the informative residual
+    (reconstruction = centroid + residual decode).
+
+    Pipeline: coarse cells (:func:`kmeans_centroids`, ~sqrt(N)) →
+    residuals (:func:`ivfpq_residuals`) → per-subspace residual
+    codebooks + encode (:func:`pq_codebooks`/:func:`pq_encode`
+    unchanged — the residual relation exposes the same column shape)
+    → reconstruction = centroid + decoded residual → the same
+    ADC + exact-rerank tail as :func:`pq_topk`.  Storage per vector:
+    PQ_M bytes + one cell id.
+
+    scripts/scalecheck.py measures the recall ladder
+    (plain-PQ ≤ IVF-PQ) on its clustered corpus.
+    """
+    n = emb.count()
+    if cents is None:
+        cents = kmeans_centroids(emb, n)
+    if recon is None:
+        resid = ivfpq_residuals(emb, cents)
+        books = pq_codebooks(resid, n)
+        rrec = pq_reconstruct(pq_encode(resid, books), books)
+        recon = (
+            rrec.join(resid.select("vec_id", "cell_id"), "vec_id")
+            .join(F.broadcast(cents.select("cell_id", "c_emb")), "cell_id")
+            .select(
+                "vec_id",
+                F.expr("zip_with(c_emb, recon, (c, r) -> c + r)").alias("recon"),
+            )
+        )
+    return pq_topk(emb, n_queries, k, recon=recon, rerank=rerank)

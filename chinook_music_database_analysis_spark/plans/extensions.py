@@ -655,6 +655,258 @@ def sim_ivf_stride_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_sq_l2(a: str, b: str) -> str:
+    """DuckDB mirror of operators.similarity._sq_l2: rounded squared-L2
+    distance with index-ordered accumulation."""
+    return (
+        f"ROUND(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 6)"
+    )
+
+
+def _sql_pq_books(src: str = "embeddings", col: str = "embedding", p: str = "pq") -> str:
+    """DuckDB mirror of operators.similarity.pq_codebooks: per-subspace
+    k-means chains (same modulo sample/seeds, rounded-L2 assignment
+    with codeword-id tie-break, DECIMAL(28,12) means) unrolled as CTE
+    stages, unioned into ``{p}books`` (m, cell_id, ce DOUBLE[PQ_DSUB]).
+    ``src``/``col`` select the training relation (the base embeddings,
+    or a residual relation for IVF-PQ)."""
+    from ..operators.similarity import KMEANS_ITERS, PQ_C, PQ_DSUB, PQ_K, PQ_M
+
+    parts = [
+        f"""{p}prm AS (
+      SELECT GREATEST(1, COUNT(*) // ({PQ_K} * {PQ_C})) AS ss FROM {src}
+    )"""
+    ]
+    for m in range(PQ_M):
+        lo = m * PQ_DSUB + 1
+        hi = (m + 1) * PQ_DSUB
+        parts.append(
+            f"""{p}{m}s AS (
+      SELECT vec_id, list_transform({col}[{lo}:{hi}], x -> x::DOUBLE) AS se
+      FROM {src} WHERE vec_id % (SELECT ss FROM {p}prm) = 0
+    ), {p}{m}c0 AS (
+      SELECT vec_id AS cell_id, se AS ce FROM {p}{m}s
+      WHERE vec_id % (SELECT ss * {PQ_C} FROM {p}prm) = 0
+    )"""
+        )
+        for it in range(1, KMEANS_ITERS + 1):
+            parts.append(
+                f"""{p}{m}a{it} AS (
+      SELECT s.vec_id, s.se, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+               ORDER BY {_sql_sq_l2("s.se", "c.ce")} ASC, c.cell_id) AS rn
+      FROM {p}{m}s s, {p}{m}c{it - 1} c QUALIFY rn = 1
+    ), {p}{m}m{it} AS (
+      SELECT cell_id, g.pos,
+             CAST(SUM(CAST(ROUND(se[g.pos], 6) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM {p}{m}a{it} CROSS JOIN (SELECT unnest(generate_series(1, {PQ_DSUB})) AS pos) g
+      GROUP BY cell_id, g.pos
+    ), {p}{m}c{it} AS (
+      SELECT cell_id, list(mv ORDER BY pos) AS ce FROM {p}{m}m{it} GROUP BY cell_id
+    )"""
+            )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT {m} AS m, cell_id, ce FROM {p}{m}c{KMEANS_ITERS}" for m in range(PQ_M)
+    )
+    parts.append(f"""{p}books AS (
+      {union}
+    )""")
+    return ", ".join(parts)
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ codebook relation (trained once per session — the
+    persisted-codebook pattern of a production PQ deployment)."""
+    from ..operators.similarity import pq_codebooks
+
+    return _cached(
+        "pq_books", spark, sf_dir,
+        lambda: pq_codebooks(
+            load_tables(spark, sf_dir)["embeddings"], _emb_count(spark, sf_dir)
+        ),
+    )
+
+
+def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ reconstruction relation (encode + decode run once per
+    session — the compressed-corpus table a production deployment
+    persists beside the codebook)."""
+    from ..operators.similarity import pq_encode, pq_reconstruct
+
+    return _cached(
+        "pq_recon", spark, sf_dir,
+        lambda: pq_reconstruct(
+            pq_encode(
+                load_tables(spark, sf_dir)["embeddings"], _pq_books(spark, sf_dir)
+            ),
+            _pq_books(spark, sf_dir),
+        ),
+    )
+
+
+def _register_sim_pq() -> None:
+    from ..operators.similarity import PQ_DSUB, PQ_RERANK, pq_topk
+
+    oracle = f"""
+    WITH {_sql_pq_books()}, pqcode AS (
+      SELECT e.vec_id, b.m, b.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
+               ORDER BY {_sql_sq_l2(f"e.embedding[b.m * {PQ_DSUB} + 1 : (b.m + 1) * {PQ_DSUB}]", "b.ce")} ASC,
+                        b.cell_id) AS rn
+      FROM embeddings e, pqbooks b
+      QUALIFY rn = 1
+    ), pqrecon AS (
+      SELECT c.vec_id, flatten(list(b.ce ORDER BY c.m)) AS recon
+      FROM pqcode c JOIN pqbooks b ON b.m = c.m AND b.cell_id = c.cell_id
+      GROUP BY c.vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), adc AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id, q.qe,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {_sql_cos("q.qe", "r.recon")} DESC, r.vec_id) AS rn
+      FROM pqrecon r, q
+      WHERE r.vec_id <> q.query_id
+      QUALIFY rn <= {PQ_RERANK}
+    ), p AS (
+      SELECT a.query_id, a.neighbor_id,
+             {_sql_cos("a.qe", "e.embedding")} AS cos_sim
+      FROM adc a JOIN embeddings e ON e.vec_id = a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """
+
+    @register("sim_pq_topk", oracle=oracle)
+    def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Approximate top-5 via product quantization with exact
+        rerank: per-subspace k-means codebooks (PQ_M x PQ_K one-byte
+        codewords, trained like the IVF centroids — deterministic
+        modulo sample, rounded-L2 assignment, DECIMAL means), every
+        vector encoded to PQ_M codes (64x memory cut vs float32), ADC
+        scoring on the reconstructions to a top-PQ_RERANK candidate
+        slice, then exact full-precision rescoring of that slice —
+        the standard compressed-corpus serving pipeline.  Codebooks
+        and the reconstructed corpus are built once per session and
+        cached (the persisted PQ index shape)."""
+        return pq_topk(
+            load_tables(spark, sf_dir)["embeddings"],
+            books=_pq_books(spark, sf_dir),
+            recon=_pq_recon(spark, sf_dir),
+        )
+
+
+_register_sim_pq()
+
+
+def _ivfpq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF-PQ reconstruction relation: coarse cells from the
+    cached k-means centroids, residual codebooks + encode, decode,
+    centroid added back.  Built once per session (the compressed-
+    corpus table of an IVF-PQ index)."""
+    from ..operators.similarity import (
+        ivfpq_residuals,
+        pq_codebooks,
+        pq_encode,
+        pq_reconstruct,
+    )
+
+    def build():
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        cents = _ivf_cents(spark, sf_dir)
+        resid = ivfpq_residuals(emb, cents)
+        books = pq_codebooks(resid, _emb_count(spark, sf_dir))
+        rrec = pq_reconstruct(pq_encode(resid, books), books)
+        return (
+            rrec.join(resid.select("vec_id", "cell_id"), "vec_id")
+            .join(F.broadcast(cents.select("cell_id", "c_emb")), "cell_id")
+            .select(
+                "vec_id",
+                F.expr("zip_with(c_emb, recon, (c, r) -> c + r)").alias("recon"),
+            )
+        )
+
+    return _cached("ivfpq_recon", spark, sf_dir, build)
+
+
+def _register_sim_ivfpq() -> None:
+    from ..operators.similarity import EMB_DIM, KMEANS_ITERS, PQ_DSUB, PQ_RERANK, pq_topk
+
+    oracle = f"""
+    WITH {_sql_kmeans_cents()}, ivfc AS (
+      SELECT cell_id, ce FROM kc{KMEANS_ITERS}
+    ), iasg AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sql_cos("e.embedding", "c.ce")} DESC, c.cell_id) AS rn
+      FROM embeddings e, ivfc c QUALIFY rn = 1
+    ), resid AS (
+      SELECT a.vec_id, a.cell_id,
+             list_transform(range(1, {EMB_DIM} + 1),
+                            i -> a.embedding[i]::DOUBLE - c.ce[i]) AS ve
+      FROM iasg a JOIN ivfc c ON c.cell_id = a.cell_id
+    ), {_sql_pq_books(src="resid", col="ve", p="rq")}, rqcode AS (
+      SELECT e.vec_id, b.m, b.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
+               ORDER BY {_sql_sq_l2(f"e.ve[b.m * {PQ_DSUB} + 1 : (b.m + 1) * {PQ_DSUB}]", "b.ce")} ASC,
+                        b.cell_id) AS rn
+      FROM resid e, rqbooks b
+      QUALIFY rn = 1
+    ), rqrecon AS (
+      SELECT c.vec_id, flatten(list(b.ce ORDER BY c.m)) AS rv
+      FROM rqcode c JOIN rqbooks b ON b.m = c.m AND b.cell_id = c.cell_id
+      GROUP BY c.vec_id
+    ), fullr AS (
+      SELECT r.vec_id,
+             list_transform(range(1, {EMB_DIM} + 1), i -> c.ce[i] + d.rv[i]) AS recon
+      FROM rqrecon d
+      JOIN resid r ON r.vec_id = d.vec_id
+      JOIN ivfc c ON c.cell_id = r.cell_id
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), adc AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id, q.qe,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {_sql_cos("q.qe", "r.recon")} DESC, r.vec_id) AS rn
+      FROM fullr r, q
+      WHERE r.vec_id <> q.query_id
+      QUALIFY rn <= {PQ_RERANK}
+    ), p AS (
+      SELECT a.query_id, a.neighbor_id,
+             {_sql_cos("a.qe", "e.embedding")} AS cos_sim
+      FROM adc a JOIN embeddings e ON e.vec_id = a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """
+
+    @register("sim_ivfpq_topk", oracle=oracle)
+    def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-PQ top-5: product quantization of the residual after
+        coarse k-means assignment (reconstruction = centroid + decoded
+        residual), then the same ADC + exact-rerank tail as
+        sim_pq_topk — the composition that preserves within-cluster
+        detail plain PQ collapses (operators.similarity.ivfpq_topk).
+        Coarse centroids, residual codebooks, and the reconstructed
+        corpus are all session-cached index relations."""
+        from ..operators.similarity import pq_topk as _pq_topk
+
+        return _pq_topk(
+            load_tables(spark, sf_dir)["embeddings"],
+            recon=_ivfpq_recon(spark, sf_dir),
+        )
+
+
+_register_sim_ivfpq()
+
+
 def _sql_table_bucket(alias: str, table: int) -> str:
     """DuckDB mirror of operators.similarity._table_bucket_expr: the
     FULL MAX_PLANES-bit bucket for one table (same build-time sign

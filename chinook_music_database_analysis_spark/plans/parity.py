@@ -1804,3 +1804,132 @@ def q18_price_profile_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("middle"),
         round2(F.element_at("prices", -1)).alias("priciest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q20 — statistical profile via exact decimal moments (r3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_stats_profile",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    ), m AS (
+      -- DECIMAL(19,2) operands: money is 2dp, so every product has
+      -- <= 4 fractional digits and both engines' multiply results
+      -- (Spark (38,4), DuckDB (38,4)) hold it EXACTLY; width 19 also
+      -- pushes DuckDB off int64 storage, whose 18-digit multiply
+      -- overflows.
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n,
+             SUM(CAST(o.o_totalprice AS DECIMAL(19,2))) AS sx,
+             SUM(CAST(o.o_totalprice AS DECIMAL(19,2))
+                 * CAST(o.o_totalprice AS DECIMAL(19,2))) AS sx2,
+             SUM(li.n_items) AS sy,
+             SUM(li.n_items * li.n_items) AS sy2,
+             SUM(CAST(o.o_totalprice AS DECIMAL(19,2))
+                 * CAST(li.n_items AS DECIMAL(10,0))) AS sxy
+      FROM orders o
+      JOIN li ON o.o_orderkey = li.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 2) AS avg_value,
+           ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 4)
+             AS std_value,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_value_items
+    FROM m
+    """,
+)
+def q20_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment mean / sample-stddev of order value and its
+    correlation with basket size — computed from EXACT DECIMAL moments
+    (sum, sum of squares, cross sum), with the double arithmetic
+    applied only to the final closed-form expressions.
+
+    Spark's built-in ``stddev_samp``/``corr`` accumulate in floating
+    point, so their low digits depend on partition order and differ
+    run-to-run and engine-to-engine; the moments are exact integers/
+    decimals under any partitioning, the derived doubles are
+    bit-identical to the oracle's, and at scale this is also the
+    cheaper plan: one pass, three extra SUM columns, no second
+    aggregation.  (Same discipline as the money pipeline: exact until
+    the last projection.)
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    x = F.col("o_totalprice").cast("decimal(19,2)")
+    yd = F.col("n_items").cast("decimal(10,0)")
+    m = (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sx2"),
+            F.sum("n_items").alias("sy"),
+            F.sum(F.col("n_items") * F.col("n_items")).alias("sy2"),
+            F.sum(x * yd).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sx2 = F.col("sx").cast("double"), F.col("sx2").cast("double")
+    sy, sy2 = F.col("sy").cast("double"), F.col("sy2").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_num = nd * sx2 - sx * sx
+    return m.select(
+        "c_mktsegment",
+        "n",
+        F.round(sx / nd, 2).alias("avg_value"),
+        F.round(F.sqrt(var_num / (nd * (nd - F.lit(1.0)))), 4).alias("std_value"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(var_num) * F.sqrt(nd * sy2 - sy * sy)),
+            6,
+        ).alias("corr_value_items"),
+    )
+
+
+@register(
+    "ev_unpivot_user_types",
+    oracle="""
+    SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (SELECT unnest(['{types}']) AS event_type) t
+    LEFT JOIN (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """.replace("{types}", "', '".join(EVENT_TYPES)),
+)
+def ev_unpivot_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-user event-count matrix
+    (ev_pivot_user_types) folded back to long form via DataFrame
+    ``unpivot`` — one row per (user, type) including zero cells, so
+    pivot→unpivot is a lossless round trip.  Plan: unpivot is an
+    Expand (5 projections, one per value column) over the pivoted
+    aggregate — a narrow map, no extra shuffle beyond the pivot's
+    own aggregation."""
+    wide = ev_pivot_user_types(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["user_id"],
+            [f"n_{t}" for t in EVENT_TYPES],
+            "event_type",
+            "n_events",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .select("user_id", "event_type", F.col("n_events").cast("long"))
+    )

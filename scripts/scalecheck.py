@@ -47,6 +47,8 @@ QUERIES = {
     "sim_lsh_topk": 1.6,
     "sim_ivf_topk": 1.7,
     "sim_ivf_stride_topk": 1.7,
+    "sim_pq_topk": 1.5,
+    "sim_ivfpq_topk": 1.7,
     "sim_bruteforce_topk": 1.3,
     "cur_boilerplate": 1.3,
     "cur_decontam": 1.3,
@@ -185,6 +187,16 @@ def main() -> int:
           f"kmeans={r_kmeans:.3f} stride={r_stride:.3f}")
     if r_kmeans < r_stride:
         failures.append(("ivf_kmeans_recall", r_kmeans, r_stride))
+
+    # PQ ladder: residual encoding (IVF-PQ) must beat plain PQ on the
+    # clustered corpus — absolute-position codebooks collapse cluster
+    # members to one reconstruction; residual codebooks keep the
+    # within-cluster detail.
+    r_pq, r_ivfpq = recall("sim_pq_topk"), recall("sim_ivfpq_topk")
+    print(f"pq recall@5 (clustered {args.factor}x corpus): "
+          f"pq={r_pq:.3f} ivfpq={r_ivfpq:.3f}")
+    if r_ivfpq < r_pq:
+        failures.append(("ivfpq_residual_recall", r_ivfpq, r_pq))
 
     if failures:
         print("SCALE REGRESSIONS:", failures, file=sys.stderr)

@@ -109,3 +109,47 @@ def test_sq8_quantization_type_and_recall(spark):
     approx = {(r.query_id, r.neighbor_id) for r in sq8_topk(emb, 10, 5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_pq_structure_and_rerank_recall(spark):
+    """PQ invariants: every vector gets exactly PQ_M codes, codebooks
+    hold ~PQ_K codewords of PQ_DSUB dims, reconstructions are full
+    length, encode is deterministic across rebuilds, and the
+    ADC + exact-rerank pipeline keeps usable recall vs brute force
+    (raw recon ranking is allowed to be weak — random Gaussians are
+    incompressible; the rerank stage is what serves)."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        PQ_DSUB,
+        PQ_M,
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_reconstruct,
+        pq_topk,
+    )
+    from chinook_music_database_analysis_spark.sources import load_tables
+
+    from conftest import SF_TEST_DIR
+
+    emb = load_tables(spark, SF_TEST_DIR)["embeddings"]
+    n = emb.count()
+    books = pq_codebooks(emb, n)
+    assert books.select("m").distinct().count() == PQ_M
+    assert books.select(F.size("c_emb")).distinct().collect()[0][0] == PQ_DSUB
+    codes = pq_encode(emb, books)
+    assert codes.count() == n * PQ_M
+    again = pq_encode(emb, books)
+    assert codes.exceptAll(again).count() == 0 and again.exceptAll(codes).count() == 0
+    recon = pq_reconstruct(codes, books)
+    assert recon.select(F.size("recon")).distinct().collect()[0][0] == PQ_M * PQ_DSUB
+
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, 10, 5).collect()}
+    rr = {(r.query_id, r.neighbor_id) for r in pq_topk(emb, 10, 5, books=books).collect()}
+    assert len(exact & rr) / len(exact) >= 0.6, len(exact & rr) / len(exact)
+
+    from chinook_music_database_analysis_spark.operators.similarity import ivfpq_topk
+
+    iv = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(emb, 10, 5).collect()}
+    assert len(exact & iv) / len(exact) >= 0.6, len(exact & iv) / len(exact)
