@@ -128,6 +128,48 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
     ).select("err_id", "user_id", "err_ts", "click_ts", "click_value")
 
 
+def interval_left_join_stream(events: DataFrame) -> DataFrame:
+    """LEFT OUTER watermarked interval join: every error, with its
+    follow-up clicks where they exist and NULL click columns where
+    none arrived — the unmatched-left rows are emitted only once the
+    watermark passes the end of the error's band (Spark must prove no
+    future click can still match before it can emit the NULL row).
+    Same state-sizing contract as :func:`interval_join_stream`; outer
+    results trail the inner ones by the watermark delay, and errors
+    inside the final watermark horizon stay in state with their NULL
+    row unemitted — even under availableNow, because the final global
+    watermark (the MIN across both inputs' max event time - delay,
+    multipleWatermarkPolicy=min) cannot pass their band end.
+    This is the streaming form of a left range join (batch oracle:
+    LEFT JOIN with the same band, verified in tests modulo that
+    horizon)."""
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("err_id", "user_id", "err_ts", "click_ts", "click_value")
+
+
 def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the event
     stream joins the (broadcast) static dimension — stateless, no

@@ -300,3 +300,63 @@ def test_python_datasource_stream_reader(spark, tmp_path):
         (r.event_id, r.user_id, r.event_type, r.value, r.ts) for r in got.collect()
     )
     assert have == want
+
+
+def test_interval_left_join_stream_matches_batch_left_join(spark):
+    """LEFT OUTER interval join: matched pairs equal the batch left
+    join's, and every error with no click in its band surfaces exactly
+    once with NULL click columns — EXCEPT errors inside the final
+    watermark horizon (band end above max event time - 1h watermark),
+    whose NULL rows Spark can never prove final; the batch expectation
+    is filtered to the same horizon."""
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.streaming.events import (
+        interval_left_join_stream,
+    )
+    from pyspark.sql import functions as F
+
+    stream = interval_left_join_stream(read_events_stream(spark, SF_TEST_DIR))
+    got = run_to_memory(stream, "t_interval_left", output_mode="append").toPandas()
+
+    ev = load_tables(spark, SF_TEST_DIR)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    # Global watermark = MIN of the two inputs' (max event time - 1h)
+    # (multipleWatermarkPolicy=min); an unmatched error can only emit
+    # its NULL row once that watermark passes its band end, so the
+    # batch expectation keeps NULL rows only below that horizon.
+    horizon = (
+        ev.filter(F.col("event_type").isin("error", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 70 MINUTES")).alias("h"))
+        .collect()[0]
+        .h
+    )
+    want = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    ).toPandas()
+
+    def pairs(df, null_cutoff):
+        ts = df["click_ts"].astype("datetime64[us]")
+        out = set()
+        for e, et, t in zip(df["err_id"], df["err_ts"], ts):
+            if t == t:
+                out.add((e, t))
+            elif et <= null_cutoff:
+                out.add((e, None))
+        return out
+
+    assert pairs(got, horizon) == pairs(want, horizon) and len(pairs(got, horizon))
+    # NULL rows exist (some errors have no click inside the band).
+    assert got["click_ts"].isna().any()
