@@ -136,3 +136,58 @@ def write_sorted_by(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _swap_in(spark, df: DataFrame, path: str) -> None:
+    """Write ``df`` to a staging dir and swap it into ``path`` (same
+    two-rename window as compact_parquet — see its docstring for the
+    atomicity contract; a table format makes this a metadata commit)."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+
+def merge_upsert(spark, path: str, updates: DataFrame, key: str) -> None:
+    """Copy-on-write MERGE (upsert) on a plain-Parquet table: rows of
+    ``updates`` replace same-``key`` target rows, new keys append —
+    ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+    on a table format.
+
+    Plan: ONE left-anti join of target against the (typically small,
+    broadcastable) update set, then a union write — the target is
+    scanned once and never shuffled beyond the join.  At 100 TB run
+    per partition directory so only touched partitions rewrite
+    (copy-on-write amplification is the known cost; MoR/deletion
+    vectors are the table-format answer).
+    """
+    from pyspark.sql import functions as F
+
+    target = spark.read.parquet(path)
+    kept = target.join(F.broadcast(updates.select(key)), key, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    _swap_in(spark, merged, path)
+
+
+def delete_rows(spark, path: str, predicate) -> int:
+    """Copy-on-write DELETE on a plain-Parquet table: rewrite without
+    the rows matching ``predicate`` (a Column or SQL string) and
+    return how many were removed — the right-to-be-forgotten
+    primitive.  Derived stores (signature tables, caches) must be
+    re-derived or deleted alongside; plans/extensions.reset_memo
+    drops the session-cached ones.
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    target = spark.read.parquet(path)
+    n_before = target.count()
+    remaining = target.filter(~pred | pred.isNull())
+    n_after = remaining.count()
+    _swap_in(spark, remaining, path)
+    return n_before - n_after

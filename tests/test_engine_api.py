@@ -313,3 +313,42 @@ def test_sorted_write_layout_enables_rowgroup_skipping(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_merge_upsert_and_delete_rows(spark, tmp_path):
+    """Copy-on-write MERGE/DELETE on plain Parquet: updates replace
+    matched keys, new keys insert, untouched rows survive byte-for-
+    byte; delete removes exactly the predicate matches (NULL predicate
+    rows are kept, per SQL DELETE semantics) and reports the count."""
+    from chinook_music_database_analysis_spark.sources.sinks import (
+        delete_rows,
+        merge_upsert,
+        write_result,
+    )
+
+    path = str(tmp_path / "cow")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "id long, tag string, v double",
+    )
+    write_result(base, path)
+
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0), (5, "e", 50.0)], "id long, tag string, v double"
+    )
+    merge_upsert(spark, path, updates, "id")
+    rows = {r.id: (r.tag, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("B", 22.0),   # matched -> updated
+        3: ("c", 30.0),
+        4: (None, 40.0),
+        5: ("e", 50.0),   # not matched -> inserted
+    }
+
+    # Delete by predicate: tag = 'a' matches id 1; id 4's NULL tag
+    # makes the predicate NULL -> kept.
+    n = delete_rows(spark, path, "tag = 'a'")
+    assert n == 1
+    left = {r.id for r in spark.read.parquet(path).collect()}
+    assert left == {2, 3, 4, 5}
