@@ -30,7 +30,9 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_expr(col: str = "text") -> Column:
-    """Whitespace tokenization (the BPE-ish regex split)."""
+    """Whitespace tokenization (word-level; the shingle/stopword unit).
+    The BPE-ish subword count lives in ``text_stats``'s n_subtokens
+    (letter/digit/punctuation regex pieces)."""
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
