@@ -152,3 +152,36 @@ SPARK_SQL: dict[str, str] = {
         GROUP BY LEAST(a.v, b.v), GREATEST(a.v, b.v)
     """,
 }
+
+#: r3: literal NOT IN — Catalyst rewrites this to its native null-aware
+#: anti join (single-column NAAJ -> broadcast hash join variant), the
+#: planner counterpart of plans/parity.not_in_anti's decorrelation;
+#: test_sql_texts pins both to the same rows.
+SPARK_SQL["q13b_not_in_null_aware"] = """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey NOT IN (
+      SELECT CASE WHEN o.o_orderpriority IS NOT NULL THEN o.o_custkey END
+      FROM orders o WHERE o.o_totalprice > 500000
+    )
+"""
+
+#: r3: gap-fill via SQL (sequence + explode + last(... ) IGNORE NULLS).
+SPARK_SQL["ev_gapfill_hourly"] = """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+    ), grid AS (
+      SELECT user_id, explode(sequence(mn, mx, interval 1 hour)) AS bucket
+      FROM span
+    )
+    SELECT g.user_id, g.bucket,
+           last(b.v, true) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           b.v IS NULL AS is_gap
+    FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+"""

@@ -163,3 +163,26 @@ def test_column_pruning_reaches_scans(spark):
     assert doc_scans and all(c == {"doc_id", "text"} for c in doc_scans)
     for cols in read_schemas("q14_rolling_90d_spend"):
         assert len(cols) <= 4, cols
+
+
+def test_literal_not_in_sql_plans_null_aware_anti_join(spark):
+    """The SQL-text form of q13b (literal NOT IN) must plan Catalyst's
+    native single-column null-aware anti join — a BroadcastHashJoin
+    LeftAnti with the isNullAwareAntiJoin flag (the trailing `true`),
+    not a BroadcastNestedLoopJoin.  The DataFrame registry form uses
+    the scale-safe decorrelation (plans/parity.not_in_anti); this pins
+    that the planner-native path stays available through Engine.sql."""
+    from chinook_music_database_analysis_spark.engine import Engine
+    from chinook_music_database_analysis_spark.plans.sql_texts import SPARK_SQL
+
+    e = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    p = (
+        e.sql(SPARK_SQL["q13b_not_in_null_aware"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in p, p
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", p), p
