@@ -60,6 +60,14 @@ _WINDOW_FIRST = [
     "ev_sliding_1h_30m",
     "ev_sessionized",
     "ev_dedup_first",
+    # new in round 3 — never driver-checked (7)
+    "sim_ivf_stride_topk",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "q13b_not_in_null_aware",
+    "q20_stats_profile",
+    "ev_gapfill_hourly",
+    "ev_unpivot_user_types",
 ]
 
 
