@@ -902,6 +902,7 @@ def ivfpq_topk(
     cents: DataFrame | None = None,
     recon: DataFrame | None = None,
     rerank: int | None = PQ_RERANK,
+    n_probe: int = IVF_N_PROBE,
 ) -> DataFrame:
     """IVF-PQ: product quantization of the RESIDUAL after coarse
     k-means assignment — the composition real ANN services deploy
@@ -916,14 +917,19 @@ def ivfpq_topk(
     residuals (:func:`ivfpq_residuals`) → per-subspace residual
     codebooks + encode (:func:`pq_codebooks`/:func:`pq_encode`
     unchanged — the residual relation exposes the same column shape)
-    → reconstruction = centroid + decoded residual → the same
-    ADC + exact-rerank tail as :func:`pq_topk`.  Storage per vector:
-    PQ_M bytes + one cell id.
+    → reconstruction = centroid + decoded residual, KEYED BY CELL →
+    probe-limited search: each query scores the broadcast centroid set,
+    keeps its ``n_probe`` nearest cells, and ADC-scores ONLY the
+    reconstructions assigned to those cells (an equi-join on cell_id —
+    query cost is the probed cells' population, never |q|·N, unlike
+    plain PQ's full ADC sweep) → exact rerank of the top-PQ_RERANK
+    ADC survivors.  Storage per vector: PQ_M bytes + one cell id.
 
     scripts/scalecheck.py measures the recall ladder
     (plain-PQ ≤ IVF-PQ) on its clustered corpus.
     """
-    n = emb.count()
+    if cents is None or recon is None:
+        n = emb.count()
     if cents is None:
         cents = kmeans_centroids(emb, n)
     if recon is None:
@@ -935,7 +941,60 @@ def ivfpq_topk(
             .join(F.broadcast(cents.select("cell_id", "c_emb")), "cell_id")
             .select(
                 "vec_id",
+                "cell_id",
                 F.expr("zip_with(c_emb, recon, (c, r) -> c + r)").alias("recon"),
             )
         )
-    return pq_topk(emb, n_queries, k, recon=recon, rerank=rerank)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell_id")
+    )
+    probed = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm("embedding").alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", _cos("q_emb", "c_emb", "q_norm", "c_norm"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", "q_norm", "cell_id")
+    )
+    adc = (
+        recon.join(F.broadcast(probed), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "q_emb",
+            "q_norm",
+            F.round(
+                _dot("q_emb", "recon")
+                / (F.col("q_norm") * F.sqrt(_dot("recon", "recon"))),
+                6,
+            ).alias("adc_sim"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= (rerank if rerank is not None else k))
+        .select("query_id", "neighbor_id", "q_emb", "q_norm")
+    )
+    exact = cand.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            _norm("embedding").alias("n_norm"),
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cos("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return exact.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

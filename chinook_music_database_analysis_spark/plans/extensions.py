@@ -827,6 +827,7 @@ def _ivfpq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(cents.select("cell_id", "c_emb")), "cell_id")
             .select(
                 "vec_id",
+                "cell_id",
                 F.expr("zip_with(c_emb, recon, (c, r) -> c + r)").alias("recon"),
             )
         )
@@ -862,19 +863,24 @@ def _register_sim_ivfpq() -> None:
       FROM rqcode c JOIN rqbooks b ON b.m = c.m AND b.cell_id = c.cell_id
       GROUP BY c.vec_id
     ), fullr AS (
-      SELECT r.vec_id,
+      SELECT r.vec_id, r.cell_id,
              list_transform(range(1, {EMB_DIM} + 1), i -> c.ce[i] + d.rv[i]) AS recon
       FROM rqrecon d
       JOIN resid r ON r.vec_id = d.vec_id
       JOIN ivfc c ON c.cell_id = r.cell_id
-    ), q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), qprobe AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sql_cos("e.embedding", "c.ce")} DESC, c.cell_id) AS rn
+      FROM embeddings e, ivfc c
+      WHERE e.vec_id < 10
+      QUALIFY rn <= {IVF_N_PROBE}
     ), adc AS (
-      SELECT q.query_id, r.vec_id AS neighbor_id, q.qe,
-             ROW_NUMBER() OVER (PARTITION BY q.query_id
-               ORDER BY {_sql_cos("q.qe", "r.recon")} DESC, r.vec_id) AS rn
-      FROM fullr r, q
-      WHERE r.vec_id <> q.query_id
+      SELECT p.query_id, r.vec_id AS neighbor_id, p.qe,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY {_sql_cos("p.qe", "r.recon")} DESC, r.vec_id) AS rn
+      FROM fullr r JOIN qprobe p ON p.cell_id = r.cell_id
+      WHERE r.vec_id <> p.query_id
       QUALIFY rn <= {PQ_RERANK}
     ), p AS (
       SELECT a.query_id, a.neighbor_id,
@@ -891,15 +897,18 @@ def _register_sim_ivfpq() -> None:
     def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         """IVF-PQ top-5: product quantization of the residual after
         coarse k-means assignment (reconstruction = centroid + decoded
-        residual), then the same ADC + exact-rerank tail as
-        sim_pq_topk — the composition that preserves within-cluster
+        residual), probe-limited search (each query ADC-scores only
+        its n_probe nearest cells' reconstructions — query cost is the
+        probed population, never |q|·N), then exact rerank of the ADC
+        survivors — the composition that preserves within-cluster
         detail plain PQ collapses (operators.similarity.ivfpq_topk).
-        Coarse centroids, residual codebooks, and the reconstructed
-        corpus are all session-cached index relations."""
-        from ..operators.similarity import pq_topk as _pq_topk
+        Coarse centroids, residual codebooks, and the cell-keyed
+        reconstructed corpus are all session-cached index relations."""
+        from ..operators.similarity import ivfpq_topk as _ivfpq_topk
 
-        return _pq_topk(
+        return _ivfpq_topk(
             load_tables(spark, sf_dir)["embeddings"],
+            cents=_ivf_cents(spark, sf_dir),
             recon=_ivfpq_recon(spark, sf_dir),
         )
 
