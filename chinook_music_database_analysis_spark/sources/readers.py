@@ -79,3 +79,37 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> "tuple[DataFrame, DataFrame]":
+    """Malformed-tolerant JSON-lines load: returns (good, bad).
+
+    PERMISSIVE mode parses what it can and lands unparseable lines in
+    a ``_corrupt_record`` column instead of failing the job — at 100 TB
+    a handful of broken records must never kill a multi-hour ingest
+    (FAILFAST) or vanish silently (DROPMALFORMED).  ``good`` carries
+    the schema columns for clean rows; ``bad`` carries the raw corrupt
+    line for a quarantine sink + replay.  Caveat encoded here: Spark
+    requires the corrupt-record column in the read schema, and a
+    corrupt-only query over it must cache/materialize (Spark refuses
+    raw-column-only filters on an uncached permissive read).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType as ST
+
+    base = spark.read.schema(schema).json(path).schema if isinstance(schema, str) else schema
+    with_corrupt = ST(list(base.fields)).add("_corrupt_record", StringType())
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad

@@ -352,3 +352,26 @@ def test_merge_upsert_and_delete_rows(spark, tmp_path):
     assert n == 1
     left = {r.id for r in spark.read.parquet(path).collect()}
     assert left == {2, 3, 4, 5}
+
+
+def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE ingest with quarantine: clean lines parse to the
+    pinned schema, broken lines come back raw for a quarantine sink,
+    and nothing is silently dropped (good + bad == input lines)."""
+    from chinook_music_database_analysis_spark.sources.readers import (
+        read_json_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 1.5}\n'
+        "this is not json\n"
+        '{"id": 2, "v": null}\n'
+        '{"id": "not-a-number-but-null-coerces", "v": 3.0}\n'
+    )
+    good, bad = read_json_quarantine(spark, str(p), "id long, v double")
+    g = {(r.id, r.v) for r in good.collect()}
+    b = [r.raw for r in bad.collect()]
+    assert (1, 1.5) in g and (2, None) in g
+    assert any("not json" in r for r in b)
+    assert good.count() + bad.count() == 4
