@@ -101,3 +101,54 @@ class Engine:
             "n_rows": n_rows,
             "plan": buf.getvalue(),
         }
+
+    def validate(self, name: str) -> dict:
+        """Run a registered query AND its DuckDB oracle on this
+        engine's data directory and compare exactly (row count, column
+        set, order-insensitive values) — the correctness harness as a
+        first-class API, so a deployment can spot-check any query
+        against an independent engine without the test suite.
+
+        Returns {"query", "rows_match", "schema_match", "values_match",
+        "spark_rows", "oracle_rows"}; queries without an oracle (none
+        currently) report {"oracle": None}.
+        """
+        import duckdb
+        import pandas as pd
+
+        from .sources import TABLES
+
+        oracle = ORACLES.get(name)
+        if oracle is None:
+            return {"query": name, "oracle": None}
+        spark_pdf = self.query(name).toPandas()
+        con = duckdb.connect()
+        try:
+            for t in TABLES:
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS"
+                    f" SELECT * FROM '{self.sf_dir}/{t}.parquet'"
+                )
+            oracle_pdf = con.sql(oracle).df()
+        finally:
+            con.close()
+
+        def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.reindex(sorted(pdf.columns), axis=1).reset_index(drop=True)
+            for c in pdf.columns:
+                if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+                    pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+            if len(pdf):
+                key = pdf.astype(str).agg("|".join, axis=1)
+                pdf = pdf.loc[key.sort_values(kind="mergesort").index]
+            return pdf.reset_index(drop=True)
+
+        a, b = norm(spark_pdf), norm(oracle_pdf)
+        return {
+            "query": name,
+            "rows_match": len(spark_pdf) == len(oracle_pdf),
+            "schema_match": sorted(spark_pdf.columns) == sorted(oracle_pdf.columns),
+            "values_match": a.shape == b.shape and a.astype(str).equals(b.astype(str)),
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(oracle_pdf),
+        }

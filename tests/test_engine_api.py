@@ -375,3 +375,14 @@ def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert (1, 1.5) in g and (2, None) in g
     assert any("not json" in r for r in b)
     assert good.count() + bad.count() == 4
+
+
+def test_engine_validate_matches_oracle(spark):
+    """Engine.validate is the correctness harness as an API: a known-
+    good query validates clean, and the result shape is stable."""
+    from chinook_music_database_analysis_spark.engine import Engine
+
+    e = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    r = e.validate("q04_rev_by_geo")
+    assert r["rows_match"] and r["schema_match"] and r["values_match"]
+    assert r["spark_rows"] == r["oracle_rows"] > 0
