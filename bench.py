@@ -99,16 +99,23 @@ def main() -> None:
                 user_running_totals_stream,
             )
 
-            t0 = time.perf_counter()
-            q = (
-                user_running_totals_stream(read_events_stream(spark, sf_dir))
-                .writeStream.format("noop")
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            streaming_sec = round(time.perf_counter() - t0, 3)
+            # Same min-of-reps methodology as the queries: the first
+            # run pays Python-worker + checkpoint cold start (~8s even
+            # in a fresh session), which is noise for regression
+            # tracking — the warm number is the state-store signal.
+            for _rep in range(max(2, reps)):
+                t0 = time.perf_counter()
+                q = (
+                    user_running_totals_stream(read_events_stream(spark, sf_dir))
+                    .writeStream.format("noop")
+                    .outputMode("update")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                sec = round(time.perf_counter() - t0, 3)
+                if streaming_sec is None or sec < streaming_sec:
+                    streaming_sec = sec
             print(f"# streaming_stateful: {streaming_sec:.3f}s", file=sys.stderr)
         except Exception as ex:
             print(f"# streaming_stateful: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)

@@ -357,3 +357,91 @@ def canonical_docs(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     """
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling / stratified eval sampling
+# ---------------------------------------------------------------------------
+
+#: sqrt-weight quantization scale: weights are FLOOR(sqrt(n)*1e6) as
+#: integers, so the normalizing sum is integer-exact in every engine
+#: (a floating-point sum's result depends on addition order, which no
+#: SQL engine guarantees; quantize-then-integer-sum removes the race).
+TEMP_W_SCALE = 1_000_000
+
+
+def temperature_thresholds(
+    source_counts: dict[str, int], target_pct_num: int = 30
+) -> dict[str, int]:
+    """Per-source 16-bit hash-acceptance thresholds for temperature
+    T=2 (alpha=0.5) domain resampling: sample ``target_pct_num``% of
+    the corpus with per-source quotas proportional to sqrt(count) —
+    the standard temperature flattening (heavy domains downweighted,
+    rare domains upweighted) used by multilingual / multi-domain
+    pre-training mixes.
+
+    All arithmetic after the one correctly-rounded ``sqrt`` is integer
+    (see TEMP_W_SCALE), so a SQL oracle that follows the same recipe
+    reproduces every threshold bit-for-bit.  Thresholds cap at 0xffff:
+    a source whose quota exceeds its size keeps ~all docs (65535/65536
+    of them — deterministically, in every engine).
+    """
+    import math
+
+    wq = {s: math.floor(math.sqrt(n) * TEMP_W_SCALE) for s, n in source_counts.items()}
+    w_total = sum(wq.values())
+    total = sum(source_counts.values())
+    t_docs = total * target_pct_num // 100
+    return {
+        s: min((65536 * (t_docs * wq[s] // w_total)) // n, 0xFFFF)
+        for s, n in source_counts.items()
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_counts: dict[str, int],
+    target_pct_num: int = 30,
+    key: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "temp",
+) -> DataFrame:
+    """Filter ``df`` to the temperature-resampled subset.
+
+    ``source_counts`` come from a prior tiny per-source aggregate (the
+    ANALYZE pattern — domains are a config-sized set, so the collected
+    stats and the CASE ladder they compile into are O(domains), never
+    O(rows)); membership itself is the usual content-addressed md5
+    bucket: append-stable, repartition-stable, zero-shuffle.
+    """
+    thr = temperature_thresholds(source_counts, target_pct_num)
+    ladder = None
+    for s, t in thr.items():
+        cond = F.col(source_col) == s
+        lit = F.lit(format(t, "04x"))
+        ladder = ladder.when(cond, lit) if ladder is not None else F.when(cond, lit)
+    ladder = ladder.otherwise(F.lit("0000")) if ladder is not None else F.lit("0000")
+    return df.filter(_hash_bucket(F.col(key), salt) < ladder)
+
+
+def stratified_take(
+    df: DataFrame, strat_col: str, key: str, n: int, salt: str = "strat"
+) -> DataFrame:
+    """EXACTLY ``n`` rows per stratum (not ~n%): rank rows inside each
+    stratum by a content-addressed hash (ties broken by key — md5 makes
+    them astronomically rare but the determinism contract requires the
+    tiebreak) and keep rank <= n.  The eval-set shape: "5 held-out docs
+    per source", stable under appends of new rows that hash higher.
+
+    One shuffle on ``strat_col``.  At 100 TB with a skewed stratum,
+    pre-filter with ``hash_sample`` at a rate that keeps >> n rows per
+    stratum before ranking so the window never sorts a whole domain.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
+    w = Window.partitionBy(strat_col).orderBy(h, F.col(key))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+    )

@@ -10,6 +10,7 @@ from .registry import ORACLES, QUERIES, register
 from . import parity  # noqa: E402,F401  (registration side effects)
 from . import extensions  # noqa: E402,F401
 from . import curation_queries  # noqa: E402,F401
+from . import scale_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
@@ -68,6 +69,12 @@ _WINDOW_FIRST = [
     "q20_stats_profile",
     "ev_gapfill_hourly",
     "ev_unpivot_user_types",
+    # new in round 3, second batch — never driver-checked (5)
+    "ev_hll_week_rollup",
+    "ev_anomaly_hours",
+    "cur_temperature_mix",
+    "cur_stratified_eval",
+    "s13_zorder_locality",
 ]
 
 

@@ -77,7 +77,7 @@ def _cached(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
 
 
 #: memoized scalars (corpus counts) keyed like _MEMO.
-_SCALAR_MEMO: dict[tuple, int] = {}
+_SCALAR_MEMO: dict[tuple, "int | dict[str, int]"] = {}
 
 
 def reset_memo(sf_dir: str | None = None) -> None:

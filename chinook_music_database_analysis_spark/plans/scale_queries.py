@@ -1,0 +1,305 @@
+"""Round-3 scale operators: mergeable sketches, anomaly scoring,
+temperature resampling, exact stratified sampling, Z-order locality.
+
+Same contract as extensions.py / curation_queries.py: every query
+ships a DuckDB oracle generated from the SAME constants and integer
+arithmetic the Spark side uses, so the dialects cannot drift.  The
+themes here are the remaining 100 TB patterns:
+
+- **Mergeable sketch rollups** (ev_hll_week_rollup): distinct counts
+  that re-aggregate across grains without touching raw data — the
+  pre-aggregated sketch-table pattern (store per-day sketches, union
+  to any coarser grain).  Sketch bytes are engine-specific, so the
+  driver gate is the q10b tolerance-boolean pattern.
+- **Monitoring/anomaly scoring** (ev_anomaly_hours): z-scores from
+  integer sufficient statistics (sum, sum-of-squares, count), never
+  from engine variance built-ins whose accumulation order is
+  unspecified — that choice is what makes the result bit-stable
+  across engines.
+- **Temperature (T=2) domain resampling** (cur_temperature_mix): the
+  multilingual-mix flattening, with integer-quantized sqrt weights.
+- **Exact per-stratum sampling** (cur_stratified_eval): exactly-n
+  rows per group by content-addressed rank.
+- **Z-order locality** (s13_zorder_locality): Morton codes as pure
+  bitwise expressions; operators/layout.py has the clustered writer,
+  tests/test_layout.py proves the two-dimensional row-group skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    TEMP_W_SCALE,
+    stratified_take,
+    temperature_sample,
+    temperature_thresholds,
+)
+from ..operators.layout import morton_code, morton_sql
+from ..sources import load_tables
+from .extensions import _SCALAR_MEMO, _table_set_id
+from .registry import register
+
+#: temperature-mix sampling target: 30% of the corpus.
+TEMP_TARGET_PCT = 30
+#: stratified eval sample: exactly this many docs per source.
+STRAT_N = 5
+#: Morton bucket = top bits of the 32-bit code (z >> 20 -> 4096 cells).
+Z_BUCKET_SHIFT = 20
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_hll_week_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ev_hll_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per week from MERGED per-day HLL sketches
+    (Apache DataSketches via hll_sketch_agg / hll_union_agg) — the
+    pre-aggregated sketch-table pattern: at 100 TB you store one
+    small sketch per (day, dimension) and answer distinct-count
+    queries at ANY coarser grain by unioning sketches, never
+    re-scanning raw events.  COUNT(DISTINCT) here is the verification
+    harness only (same tolerance-boolean gate as q10b: sketch bytes
+    are engine-specific, the bound is driver-enforced); a production
+    reader uses the estimate alone.  Default lgConfigK=12 -> ~1.6%
+    relative standard error; the gate allows max(5%, 8 users)."""
+    events = load_tables(spark, sf_dir)["events"]
+    day = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = day.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = events.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    tol = F.greatest(F.col("exact_users") * 0.05, F.lit(8.0))
+    return (
+        rolled.join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "exact_users",
+            (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol).alias(
+                "within_tol"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly z-scores
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_anomaly_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n_events,
+           CASE WHEN (s2 - s1 * s1 / CAST(c AS DOUBLE)) / c > 0
+                THEN ROUND((h.n_events - s1 / CAST(c AS DOUBLE))
+                           / SQRT((s2 - s1 * s1 / CAST(c AS DOUBLE)) / c), 4)
+                ELSE 0.0 END AS z,
+           CASE WHEN (s2 - s1 * s1 / CAST(c AS DOUBLE)) / c > 0
+                THEN ABS(h.n_events - s1 / CAST(c AS DOUBLE))
+                     > 2 * SQRT((s2 - s1 * s1 / CAST(c AS DOUBLE)) / c)
+                ELSE FALSE END AS is_spike
+    FROM hourly h JOIN stats s USING (event_type)
+    """,
+)
+def ev_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomaly flags per event type — the
+    monitoring query a pipeline runs over its own ingest volumes.
+
+    z-scores are derived from integer sufficient statistics
+    (sum, sum-of-squares, count of the hourly counts) rather than an
+    engine variance aggregate: fp summation order inside STDDEV is
+    unspecified in every engine, while bigint sums are exact, so both
+    dialects compute bit-identical doubles from identical integers.
+    (At 100 TB grain counts fit comfortably: s2 overflows bigint only
+    past ~3e9 events in one hour-type cell; widen to DECIMAL there.)
+    Two hash aggregates (the second over the tiny hourly relation) and
+    a broadcast join back — the raw table is shuffled once."""
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    c_d = F.col("c").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / c_d) / F.col("c")
+    mu = F.col("s1") / c_d
+    dev = F.col("n_events") - mu
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.when(var > 0, F.round(dev / F.sqrt(var), 4)).otherwise(0.0).alias("z"),
+            F.when(var > 0, F.abs(dev) > 2 * F.sqrt(var))
+            .otherwise(F.lit(False))
+            .alias("is_spike"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling / stratified eval
+# ---------------------------------------------------------------------------
+
+
+def _source_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Per-source doc counts, collected once per (session, table set) —
+    the ANALYZE pattern: domains are a config-sized set, so this is a
+    tiny aggregate collected to O(domains) driver state, not a data
+    materialization."""
+    key = ("source_counts", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        rows = (
+            load_tables(spark, sf_dir)["documents"]
+            .groupBy("source")
+            .count()
+            .collect()
+        )
+        _SCALAR_MEMO[key] = {r["source"]: r["count"] for r in rows}
+    return _SCALAR_MEMO[key]
+
+
+@register(
+    "cur_temperature_mix",
+    oracle=f"""
+    WITH f AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 CAST(FLOOR(SQRT(n) * {TEMP_W_SCALE}) AS BIGINT) AS wq FROM f),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(SUM(wq) AS BIGINT) AS wsum FROM w),
+    thr AS (SELECT source, n,
+                   LEAST((65536 * ((total * {TEMP_TARGET_PCT} // 100) * wq // wsum))
+                         // n, 65535) AS t16
+            FROM w, tot)
+    SELECT d.source,
+           MIN(thr.n) AS n_in,
+           COUNT(*) FILTER (
+             WHERE substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                   < printf('%04x', thr.t16)
+           ) AS n_kept
+    FROM documents d JOIN thr ON d.source = thr.source
+    GROUP BY d.source
+    """,
+)
+def cur_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature T=2 (alpha=0.5) domain flattening: sample 30% of
+    the corpus with per-source quotas proportional to sqrt(count), so
+    dominant domains shrink and rare domains keep a larger share —
+    the standard pre-training mix adjustment.  Thresholds derive from
+    integer-quantized sqrt weights (operators/curation.py:
+    temperature_thresholds), making the whole recipe bit-reproducible
+    in SQL; membership is the usual content-addressed md5 bucket
+    (zero-shuffle narrow filter — the one aggregate here is this
+    query's own per-source report)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = _source_counts(spark, sf_dir)
+    kept = temperature_sample(docs, counts, TEMP_TARGET_PCT)
+    report = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    n_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    return n_in.join(report, "source", "left").select(
+        "source",
+        "n_in",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "cur_stratified_eval",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {STRAT_N}
+    """,
+)
+def cur_stratified_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly STRAT_N (5) held-out docs per source (the eval-set
+    build):
+    content-addressed rank inside each stratum, stable under appends
+    of rows that hash higher.  Contrast with cur_sample's ~pct%
+    membership — this is the equal-allocation form."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return stratified_take(docs, "source", "doc_id", STRAT_N).select(
+        "doc_id", "source", "rn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order locality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s13_zorder_locality",
+    oracle=f"""
+    SELECT {morton_sql('l_partkey', 'l_suppkey')} >> {Z_BUCKET_SHIFT} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def s13_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) curve buckets over (l_partkey, l_suppkey):
+    per-curve-segment row counts and per-dimension min/max spans —
+    the locality profile that makes two-dimensional clustering work
+    (each bucket is narrow in BOTH keys, so a clustered writer gets
+    row groups a 2-D box predicate can skip; operators/layout.py has
+    the writer, tests/test_layout.py the footer-level proof).  The
+    code is pure bitwise built-ins — whole-stage codegen, one hash
+    aggregate, and the identical expression text runs in DuckDB."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    z = morton_code(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.groupBy(F.shiftright(z, Z_BUCKET_SHIFT).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )

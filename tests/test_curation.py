@@ -371,3 +371,62 @@ def test_pack_sequences_prefix_stable_under_corpus_growth(spark, docs):
         for r in pack_sequences(docs.filter(F.col("doc_id") < half), ctx_len=512).collect()
     }
     assert prefix and all(full[k] == v for k, v in prefix.items())
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling / stratified take (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_thresholds_flatten_domains():
+    """Temperature T=2 must give rare domains a LARGER keep-rate than
+    dominant ones (that is the point of the flattening), quotas must
+    track sqrt weights, and the math must be pure-integer deterministic."""
+    from chinook_music_database_analysis_spark.operators.curation import (
+        temperature_thresholds,
+    )
+
+    counts = {"web": 90_000, "books": 9_000, "code": 900}
+    thr = temperature_thresholds(counts, target_pct_num=30)
+    assert thr == temperature_thresholds(counts, target_pct_num=30)  # deterministic
+    # keep-rate = thr/65536; rarer domain -> higher keep rate
+    assert thr["code"] > thr["books"] > thr["web"]
+    # dominant domain keeps less than the flat 30%, rare keeps more
+    flat = int(0.30 * 65536)
+    assert thr["web"] < flat < thr["code"]
+    # a source whose quota exceeds its size caps at 0xffff
+    tiny = temperature_thresholds({"a": 1_000_000, "b": 10}, target_pct_num=50)
+    assert tiny["b"] == 0xFFFF
+
+
+def test_temperature_sample_membership_is_content_addressed(spark, docs):
+    from chinook_music_database_analysis_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    counts = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    kept1 = {r["doc_id"] for r in temperature_sample(docs, counts).select("doc_id").collect()}
+    # repartition must not change membership (df.sample would)
+    kept2 = {
+        r["doc_id"]
+        for r in temperature_sample(docs.repartition(7), counts).select("doc_id").collect()
+    }
+    assert kept1 == kept2 and 0 < len(kept1) < docs.count()
+    # and the narrow filter stays shuffle-free
+    plan = temperature_sample(docs, counts)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_take_exact_counts_and_stability(spark, docs):
+    from chinook_music_database_analysis_spark.operators.curation import stratified_take
+
+    n = 3
+    out = stratified_take(docs, "source", "doc_id", n)
+    per = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    for src, c in per.items():
+        assert c == min(n, sizes[src]), (src, c)
+    # append-stability: adding rows that hash HIGHER never evicts a pick
+    base = {tuple(r) for r in out.select("doc_id", "source").collect()}
+    out2 = stratified_take(docs.limit(docs.count()), "source", "doc_id", n)
+    assert {tuple(r) for r in out2.select("doc_id", "source").collect()} == base

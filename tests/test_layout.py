@@ -1,0 +1,131 @@
+"""Z-order layout: Morton-code correctness (vs an independent Python
+implementation) and the footer-level proof that two-dimensional
+clustering bounds BOTH key ranges per file — which single-key sorting
+cannot do for the second key."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from chinook_music_database_analysis_spark.operators.layout import (
+    morton_code,
+    morton_sql,
+    write_zordered,
+)
+from chinook_music_database_analysis_spark.sources.sinks import write_sorted_by
+
+from conftest import SF_TEST_DIR
+
+
+def _py_morton(x: int, y: int) -> int:
+    """Independent reference: interleave bit-by-bit."""
+    out = 0
+    for i in range(16):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_code_matches_reference(spark):
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (1000, 42), (65535, 65535), (70000, 2)]
+    df = spark.createDataFrame(cases, ["x", "y"]).withColumn(
+        "z", morton_code(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == _py_morton(r["x"] & 0xFFFF, r["y"] & 0xFFFF), r
+
+
+def test_morton_sql_matches_spark(spark, ddb):
+    """The generated DuckDB expression computes the identical code —
+    the cross-dialect contract the s13 oracle rests on."""
+    cases = [(3, 5), (1000, 42), (65535, 1), (12345, 54321)]
+    expr = morton_sql("x", "y")
+    vals = ", ".join(f"({x},{y})" for x, y in cases)
+    duck = {
+        (x, y): z
+        for x, y, z in ddb.sql(
+            f"SELECT x, y, {expr} AS z FROM (VALUES {vals}) t(x,y)"
+        ).fetchall()
+    }
+    sdf = spark.createDataFrame(cases, ["x", "y"]).withColumn(
+        "z", morton_code(F.col("x"), F.col("y"))
+    )
+    for r in sdf.collect():
+        assert duck[(r["x"], r["y"])] == r["z"]
+
+
+def _file_spans(path: str, col: str) -> list[tuple[int, int]]:
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """A 2-D box probe on the SECOND key must be able to skip files
+    under the z-ordered layout; under a layout sorted on the first key
+    alone, every file spans the full second-key range and nothing
+    skips.  Measured from Parquet footers (engine-independent)."""
+    li = spark.read.parquet(f"{SF_TEST_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted1d")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=8)
+    write_sorted_by(li, spath, "l_partkey", n_files=8)
+
+    lo, hi = [
+        r[0]
+        for r in li.agg(F.min("l_suppkey")).collect()
+        + li.agg(F.max("l_suppkey")).collect()
+    ]
+    assert hi > lo, "fixture needs a non-degenerate l_suppkey range"
+    # probe: the lowest quartile of the supplier range
+    box_hi = lo + max(1, (hi - lo) // 4)
+
+    def hit_fraction(path: str) -> float:
+        spans = _file_spans(path, "l_suppkey")
+        assert spans, path
+        hits = sum(1 for mn, mx in spans if mn <= box_hi and mx >= lo)
+        return hits / len(spans)
+
+    z_frac = hit_fraction(zpath)
+    s_frac = hit_fraction(spath)
+    # the 1-D layout cannot skip on l_suppkey at all...
+    assert s_frac == 1.0
+    # ...while z-order leaves some files entirely outside the box
+    assert z_frac < 1.0, f"z-order produced no supplier-key locality ({z_frac})"
+
+    # and rows are preserved bit-for-bit
+    a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+    b = sorted(map(tuple, li.collect()))
+    assert a == b
+
+
+def test_zorder_query_results_unchanged(spark, tmp_path):
+    """Layout is a physical property: an aggregate over the z-ordered
+    table equals the same aggregate over the original."""
+    li = spark.read.parquet(f"{SF_TEST_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "z2")
+    write_zordered(li, path, "l_partkey", "l_suppkey", n_files=4)
+    orig = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q")).collect()
+    new = (
+        spark.read.parquet(path)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    assert sorted(map(tuple, orig)) == sorted(map(tuple, new))
