@@ -60,6 +60,9 @@ QUERIES = {
     "dd_incremental": 1.3,
     "sim_sq8_topk": 1.3,
     "pipe_training_set": 1.3,
+    # r3 batch 2 — both are narrow-filter + one tiny/stratum shuffle
+    "cur_temperature_mix": 1.3,
+    "cur_stratified_eval": 1.3,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).

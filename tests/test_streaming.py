@@ -360,3 +360,61 @@ def test_interval_left_join_stream_matches_batch_left_join(spark):
     assert pairs(got, horizon) == pairs(want, horizon) and len(pairs(got, horizon))
     # NULL rows exist (some errors have no click inside the band).
     assert got["click_ts"].isna().any()
+
+
+def test_incremental_sketch_log_maintenance(spark, tmp_path):
+    """Streaming-maintained HLL day-sketch table: (1) estimates from
+    the log agree with exact batch distinct counts within the sketch
+    bound; (2) the week grain is answered from the SAME log (mergeable
+    sketches need no second pipeline); (3) a replayed batch changes no
+    estimate — HLL union is value-idempotent, the property that makes
+    sketch tables safe on at-least-once delivery; (4) compaction folds
+    the log without changing any answer."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.streaming.sketches import (
+        compact_sketch_log,
+        day_sketches,
+        distinct_users_by_day,
+        distinct_users_by_week,
+        start_sketch_log_sink,
+        write_batch,
+    )
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+    q = start_sketch_log_sink(read_events_stream(spark, SF_TEST_DIR), log, ckpt)
+    q.awaitTermination()
+
+    events = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet")
+    exact = {
+        r["day"]: r["exact"]
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    approx = {
+        r["day"]: r["approx_users"]
+        for r in distinct_users_by_day(spark, log).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, ex in exact.items():
+        assert abs(approx[day] - ex) <= max(0.05 * ex, 8), (day, approx[day], ex)
+
+    week_rows = distinct_users_by_week(spark, log).collect()
+    assert week_rows and all(r["approx_users"] > 0 for r in week_rows)
+
+    # Replay: re-write batch 0's sketches from the full source — the
+    # file overwrite is idempotent AND the union value is unchanged.
+    write_batch(day_sketches(events), 0, log)
+    assert {
+        r["day"]: r["approx_users"]
+        for r in distinct_users_by_day(spark, log).collect()
+    } == approx
+
+    # Compaction: folded log answers identically at both grains.
+    folded = str(tmp_path / "folded")
+    compact_sketch_log(spark, log, folded)
+    assert {
+        r["day"]: r["approx_users"]
+        for r in distinct_users_by_day(spark, folded).collect()
+    } == approx
