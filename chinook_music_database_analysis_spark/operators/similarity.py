@@ -255,6 +255,68 @@ def embedding_near_dup_pairs(
     )
 
 
+def range_search(
+    emb: DataFrame,
+    tau: float = 0.2,
+    n_queries: int = 10,
+    buckets: DataFrame | None = None,
+    norms: DataFrame | None = None,
+) -> DataFrame:
+    """Radius (range) similarity search: for each query vector, EVERY
+    corpus neighbor with cosine >= ``tau`` — the unbounded-k companion
+    of top-k search ("all docs suspiciously close to this one"), the
+    shape retrieval-dedup sweeps and contamination checks use.
+
+    Candidates come from the same multi-table LSH signature relation
+    the near-dup and top-k paths share (corpus-scaled bits, so the
+    expected candidate count is linear in N); the exact cosine then
+    applies the radius.  The query-side bucket relation is ``n_queries
+    x N_TABLES`` rows — broadcast — so the corpus-side signature table
+    is probed in place and the corpus itself is touched only to fetch
+    candidate embeddings.  Same recall contract as the bucketed
+    near-dup path: a pair sharing no bucket in any table is invisible,
+    which the multi-table union makes improbable at the radius of
+    interest (and the oracle replicates the banding, so the gate is
+    exact).
+    """
+    if buckets is None:
+        buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    wn = with_norms(emb) if norms is None else norms
+    return (
+        cand.join(
+            wn.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("norm").alias("q_norm"),
+            ),
+            "query_id",
+        )
+        .join(
+            wn.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("norm").alias("n_norm"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+
+
 def l2_norms_pandas(emb: DataFrame) -> DataFrame:
     """Vectorized Pandas-UDF L2 norms — the Arrow-batched Python path
     for numeric kernels the built-ins can't express (here they can;

@@ -75,6 +75,7 @@ _WINDOW_FIRST = [
     "cur_temperature_mix",
     "cur_stratified_eval",
     "s13_zorder_locality",
+    "sim_range_search",
 ]
 
 

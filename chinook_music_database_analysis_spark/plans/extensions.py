@@ -1022,6 +1022,40 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH {_SQL_LSH_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bkts a
+      JOIN bkts b ON b.tbl = a.tbl AND b.bucket = a.bucket
+      WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+    ), p AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_sql_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.query_id
+      JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+    )
+    SELECT * FROM p WHERE cos_sim >= 0.2
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: ALL corpus neighbors within cosine >= 0.2 of each
+    query vector (vec_id < 10) — the unbounded-k companion of the
+    top-k family, answered from the same cached LSH signature tables;
+    the query-side bucket slice is broadcast, so the corpus signature
+    relation is probed in place."""
+    from ..operators.similarity import range_search
+
+    return range_search(
+        load_tables(spark, sf_dir)["embeddings"],
+        buckets=_emb_buckets(spark, sf_dir),
+        norms=_emb_norms(spark, sf_dir),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
