@@ -185,3 +185,51 @@ SPARK_SQL["ev_gapfill_hourly"] = """
            b.v IS NULL AS is_gap
     FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
 """
+
+#: r3: anomaly z-scores from integer sufficient statistics — the SQL
+#: form of plans/scale_queries.ev_anomaly_hours (bigint s1/s2/c sums
+#: keep the derived doubles bit-stable across engines and runs).
+SPARK_SQL["ev_anomaly_hours"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n_events,
+           CASE WHEN (s2 - s1 * s1 / CAST(c AS DOUBLE)) / c > 0
+                THEN ROUND((h.n_events - s1 / CAST(c AS DOUBLE))
+                           / SQRT((s2 - s1 * s1 / CAST(c AS DOUBLE)) / c), 4)
+                ELSE 0.0 END AS z,
+           CASE WHEN (s2 - s1 * s1 / CAST(c AS DOUBLE)) / c > 0
+                THEN ABS(h.n_events - s1 / CAST(c AS DOUBLE))
+                     > 2 * SQRT((s2 - s1 * s1 / CAST(c AS DOUBLE)) / c)
+                ELSE FALSE END AS is_spike
+    FROM hourly h JOIN stats s USING (event_type)
+"""
+
+
+def _zorder_spread_sql(expr: str) -> str:
+    out = f"({expr} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        out = f"((({out}) | shiftleft({out}, {shift})) & {mask})"
+    return out
+
+
+#: r3: Morton-bucket locality profile — Spark-SQL bit ops generate the
+#: identical code as operators/layout.morton_code (same constants).
+SPARK_SQL["s13_zorder_locality"] = f"""
+    SELECT shiftright(
+             ({_zorder_spread_sql('CAST(l_partkey AS BIGINT)')}
+              | shiftleft({_zorder_spread_sql('CAST(l_suppkey AS BIGINT)')}, 1)),
+             20) AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM lineitem
+    GROUP BY 1
+"""
