@@ -111,3 +111,27 @@ def fk_violation_report(
         "n_violations",
         F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
     )
+
+
+def write_with_metrics(
+    df: DataFrame, path: str, null_cols: tuple[str, ...] = (), mode: str = "overwrite"
+) -> dict:
+    """Write ``df`` as Parquet while collecting quality metrics (row
+    count + per-column null counts) from the SAME pass via
+    ``df.observe`` — the observability pattern that replaces the
+    "write, then re-scan to validate" double read.  At 100 TB the
+    saved validation scan is the whole win: metrics accumulate on the
+    executors during the write and cost nothing extra.
+
+    Returns the metrics dict (``n_rows``, ``nulls_<col>``...).  Unlike
+    an accumulator hack, Observation metrics are exactly-once per
+    action — task retries do not double-count.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in null_cols
+    ]
+    df.observe(obs, *metrics).write.mode(mode).parquet(path)
+    return obs.get

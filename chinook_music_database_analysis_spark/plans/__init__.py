@@ -76,6 +76,7 @@ _WINDOW_FIRST = [
     "cur_stratified_eval",
     "s13_zorder_locality",
     "sim_range_search",
+    "ev_json_variant",
 ]
 
 

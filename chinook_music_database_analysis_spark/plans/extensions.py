@@ -1277,6 +1277,47 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_json_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(*) FILTER (
+             WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT)
+             AS n_missing_k
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT form of semi-structured extraction (Spark 4): parse
+    the payload ONCE into the binary VARIANT encoding, then pull typed
+    fields with variant_get — versus ev_json_extract's per-path string
+    parse (get_json_object re-parses the JSON text for every path it
+    extracts).  At 100 TB with multi-field extraction the single parse
+    plus shredded binary access is the difference between one scan of
+    the payload and one scan per field; try_parse_json degrades
+    malformed payloads to NULL instead of failing the scan (the
+    quarantine-ingest posture).  Oracle: DuckDB's native JSON type."""
+    t = load_tables(spark, sf_dir)
+    v = F.try_parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k").isNull()).cast("bigint").alias("n_missing_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py): as-of and range — the two
 # interval-join shapes Spark lacks natively, rewritten shuffle-safe.

@@ -386,3 +386,55 @@ def test_engine_validate_matches_oracle(spark):
     r = e.validate("q04_rev_by_geo")
     assert r["rows_match"] and r["schema_match"] and r["values_match"]
     assert r["spark_rows"] == r["oracle_rows"] > 0
+
+
+def test_sql_udf_through_engine(spark):
+    """SQL-defined scalar functions (CREATE FUNCTION ... RETURN expr,
+    Spark 4) run through Engine.sql and match the equivalent built-in
+    expression — the catalog-level extensibility path that needs no
+    Python worker at execution time (the body inlines into codegen,
+    unlike a Python UDF)."""
+    eng = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    eng.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION money_pct(part DECIMAL(18,4), whole DECIMAL(18,4)) "
+        "RETURNS DOUBLE RETURN CASE WHEN whole = 0 THEN NULL "
+        "ELSE CAST(ROUND(part / whole * 100, 2) AS DOUBLE) END"
+    )
+    via_udf = eng.sql(
+        "SELECT o_orderpriority, "
+        "money_pct(SUM(CAST(o_totalprice AS DECIMAL(18,4))), "
+        "          (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)) AS pct "
+        "FROM orders GROUP BY o_orderpriority"
+    ).collect()
+    via_builtin = eng.sql(
+        "SELECT o_orderpriority, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) / "
+        "  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders) * 100, 2) AS DOUBLE) AS pct "
+        "FROM orders GROUP BY o_orderpriority"
+    ).collect()
+    assert sorted(map(tuple, via_udf)) == sorted(map(tuple, via_builtin))
+    # and the UDF body inlines — no Python evaluation node in the plan
+    plan = (
+        eng.sql("SELECT money_pct(CAST(1 AS DECIMAL(18,4)), CAST(4 AS DECIMAL(18,4))) AS p")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    """Observation metrics collected during the write must equal the
+    recomputed ground truth — validation without a second scan."""
+    from chinook_music_database_analysis_spark.operators.quality import (
+        write_with_metrics,
+    )
+
+    cust = spark.read.parquet(f"{SF_TEST_DIR}/customer.parquet")
+    path = str(tmp_path / "obs")
+    got = write_with_metrics(cust, path, null_cols=("c_name", "c_mktsegment"))
+    assert got["n_rows"] == cust.count()
+    for c in ("c_name", "c_mktsegment"):
+        assert got[f"nulls_{c}"] == cust.filter(F.col(c).isNull()).count()
+    # and the written table round-trips
+    assert spark.read.parquet(path).count() == got["n_rows"]
