@@ -1,0 +1,77 @@
+"""Snapshot-versioned tables: atomic publish, time travel, crash
+safety, snapshot compaction, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chinook_music_database_analysis_spark.sources.versioned import (
+    compact_snapshot,
+    current_version,
+    read_snapshot,
+    vacuum,
+    write_snapshot,
+)
+
+from conftest import SF_TEST_DIR
+
+
+@pytest.fixture()
+def nation(spark):
+    return spark.read.parquet(f"{SF_TEST_DIR}/nation.parquet")
+
+
+def test_snapshot_publish_and_time_travel(spark, nation, tmp_path):
+    t = str(tmp_path / "t")
+    v1 = write_snapshot(nation, t)
+    v2 = write_snapshot(nation.filter(F.col("n_nationkey") < 10), t)
+    assert (v1, v2) == (1, 2) and current_version(t) == 2
+    # latest read sees v2; time travel sees the full v1
+    assert read_snapshot(spark, t).count() == 10
+    assert read_snapshot(spark, t, version=1).count() == nation.count()
+
+
+def test_snapshot_crash_before_publish_is_invisible(spark, nation, tmp_path):
+    """A writer that dies after the data write but before the pointer
+    swap must leave readers on the old snapshot — orphan data is
+    garbage, never corruption."""
+    t = str(tmp_path / "t")
+    write_snapshot(nation, t)
+    # simulate the crash: data directory appears, pointer never moves
+    nation.limit(3).write.parquet(os.path.join(t, "v=2"))
+    assert current_version(t) == 1
+    assert read_snapshot(spark, t).count() == nation.count()
+    # the next successful writer allocates PAST the orphan (no clobber)
+    v = write_snapshot(nation.limit(5), t)
+    assert v == 3 and read_snapshot(spark, t).count() == 5
+
+
+def test_snapshot_compaction_preserves_rows_and_old_reader(spark, nation, tmp_path):
+    t = str(tmp_path / "t")
+    fragmented = nation.repartition(8)
+    v1 = write_snapshot(fragmented, t)
+    v2 = compact_snapshot(spark, t)
+    assert v2 == v1 + 1
+    import glob
+
+    n_before = len(glob.glob(os.path.join(t, f"v={v1}", "*.parquet")))
+    n_after = len(glob.glob(os.path.join(t, f"v={v2}", "*.parquet")))
+    assert n_after < n_before
+    a = sorted(map(tuple, read_snapshot(spark, t).collect()))
+    b = sorted(map(tuple, read_snapshot(spark, t, version=v1).collect()))
+    assert a == b  # byte-identical rows; the old snapshot still reads
+
+
+def test_vacuum_retains_published_and_recent(spark, nation, tmp_path):
+    t = str(tmp_path / "t")
+    for k in (1, 2, 3, 4):
+        write_snapshot(nation.limit(k), t)
+    removed = vacuum(t, keep=2)
+    assert removed == [1, 2]
+    assert read_snapshot(spark, t).count() == 4
+    assert read_snapshot(spark, t, version=3).count() == 3
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, version=1).count()
