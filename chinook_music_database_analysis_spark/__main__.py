@@ -5,6 +5,8 @@ Commands:
     run <query> [--sf-dir DIR]   execute a query, print rows (capped)
     explain <query> [--sf-dir DIR] [--mode MODE]   show the plan
     oracle <query>               print the query's DuckDB oracle SQL
+    validate <query> [--sf-dir DIR]   Spark vs DuckDB oracle compare
+    profile <query> [--sf-dir DIR]    wall time, rows, executed plan
 
 The same surface a spark-submit job would use on a cluster — the CLI
 only builds the session and delegates to the Engine facade.
@@ -22,10 +24,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registered queries")
 
-    for cmd in ("run", "explain", "oracle"):
+    for cmd in ("run", "explain", "oracle", "validate", "profile"):
         p = sub.add_parser(cmd)
         p.add_argument("query")
-        if cmd in ("run", "explain"):
+        if cmd in ("run", "explain", "validate", "profile"):
             p.add_argument("--sf-dir", default=None)
         if cmd == "run":
             p.add_argument("--limit", type=int, default=20)
@@ -61,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
     eng.spark.sparkContext.setLogLevel("ERROR")
     if args.cmd == "explain":
         print(eng.explain(args.query, mode=args.mode))
+    elif args.cmd == "validate":
+        import json
+
+        res = eng.validate(args.query)
+        print(json.dumps(res, default=str))
+        ok = res.get("oracle", True) is None or (
+            res.get("rows_match") and res.get("schema_match") and res.get("values_match")
+        )
+        return 0 if ok else 1
+    elif args.cmd == "profile":
+        import json
+
+        res = eng.profile(args.query)
+        res["plan"] = res["plan"][:2000]
+        print(json.dumps(res, default=str))
     else:
         eng.query(args.query).show(args.limit, truncate=False)
     return 0

@@ -425,7 +425,12 @@ def temperature_sample(
 
 
 def stratified_take(
-    df: DataFrame, strat_col: str, key: str, n: int, salt: str = "strat"
+    df: DataFrame,
+    strat_col: str,
+    key: str,
+    n: int,
+    salt: str = "strat",
+    prefilter_pct: float | None = None,
 ) -> DataFrame:
     """EXACTLY ``n`` rows per stratum (not ~n%): rank rows inside each
     stratum by a content-addressed hash (ties broken by key — md5 makes
@@ -433,13 +438,21 @@ def stratified_take(
     tiebreak) and keep rank <= n.  The eval-set shape: "5 held-out docs
     per source", stable under appends of new rows that hash higher.
 
-    One shuffle on ``strat_col``.  At 100 TB with a skewed stratum,
-    pre-filter with ``hash_sample`` at a rate that keeps >> n rows per
-    stratum before ranking so the window never sorts a whole domain.
+    One shuffle on ``strat_col``.  At 100 TB with a skewed stratum, set
+    ``prefilter_pct`` so the window never sorts a whole domain: because
+    the prefilter membership test uses the SAME salted hash the rank
+    orders by, the rows it drops are exactly the rows that could never
+    rank <= n — the result is UNCHANGED (pinned in tests) as long as
+    every stratum keeps >= n survivors (expected survivors =
+    pct/100 x stratum size; size the pct from the smallest stratum).
     """
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
+    if prefilter_pct is not None:
+        df = df.filter(
+            F.substring(h, 1, 4) < F.lit(pct_threshold(prefilter_pct))
+        )
     w = Window.partitionBy(strat_col).orderBy(h, F.col(key))
     return (
         df.withColumn("rn", F.row_number().over(w))

@@ -63,6 +63,8 @@ QUERIES = {
     # r3 batch 2 — both are narrow-filter + one tiny/stratum shuffle
     "cur_temperature_mix": 1.3,
     "cur_stratified_eval": 1.3,
+    # radius search shares the LSH family's corpus-scaled banding
+    "sim_range_search": 1.6,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).

@@ -430,3 +430,16 @@ def test_stratified_take_exact_counts_and_stability(spark, docs):
     base = {tuple(r) for r in out.select("doc_id", "source").collect()}
     out2 = stratified_take(docs.limit(docs.count()), "source", "doc_id", n)
     assert {tuple(r) for r in out2.select("doc_id", "source").collect()} == base
+
+
+def test_stratified_take_prefilter_preserves_result(spark, docs):
+    """The skew prefilter drops only rows that could never rank <= n
+    (same salted hash orders and filters), so at a survivor-safe pct
+    the picked set is identical to the unfiltered form."""
+    from chinook_music_database_analysis_spark.operators.curation import stratified_take
+
+    base = {tuple(r) for r in stratified_take(docs, "source", "doc_id", 3)
+            .select("doc_id", "source", "rn").collect()}
+    pre = {tuple(r) for r in stratified_take(docs, "source", "doc_id", 3, prefilter_pct=60.0)
+           .select("doc_id", "source", "rn").collect()}
+    assert pre == base and len(base) > 0
