@@ -152,3 +152,31 @@ class Engine:
             "spark_rows": len(spark_pdf),
             "oracle_rows": len(oracle_pdf),
         }
+
+    def validate_all(self, names: list[str] | None = None) -> dict:
+        """Run :meth:`validate` over ``names`` (default: every
+        registered query) and return a summary — the deployment
+        health sweep: {"n", "passed", "failed": [name...],
+        "errors": {name: message}}.  A failure or error never aborts
+        the sweep."""
+        names = sorted(QUERIES) if names is None else names
+        failed: list[str] = []
+        errors: dict[str, str] = {}
+        for name in names:
+            try:
+                res = self.validate(name)
+                ok = res.get("oracle", True) is None or (
+                    res.get("rows_match")
+                    and res.get("schema_match")
+                    and res.get("values_match")
+                )
+                if not ok:
+                    failed.append(name)
+            except Exception as ex:  # sweep must report, not die
+                errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+        return {
+            "n": len(names),
+            "passed": len(names) - len(failed) - len(errors),
+            "failed": failed,
+            "errors": errors,
+        }

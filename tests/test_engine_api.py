@@ -438,3 +438,12 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
         assert got[f"nulls_{c}"] == cust.filter(F.col(c).isNull()).count()
     # and the written table round-trips
     assert spark.read.parquet(path).count() == got["n_rows"]
+
+
+def test_validate_all_sweep(spark):
+    """The health sweep runs a subset end-to-end and reports a clean
+    summary shape (full-registry sweeps are the oracle-parity test's
+    job; this pins the API contract incl. error isolation)."""
+    eng = Engine(sf_dir=SF_TEST_DIR, spark=spark)
+    res = eng.validate_all(["q04_rev_by_geo", "q07_purchase_trends", "tx_stats"])
+    assert res == {"n": 3, "passed": 3, "failed": [], "errors": {}}
