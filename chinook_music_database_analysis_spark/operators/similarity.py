@@ -1060,3 +1060,31 @@ def ivfpq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return exact.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def persist_pq_index(spark, emb: DataFrame, prefix: str, n_buckets: int = 16) -> None:
+    """Persist the PQ index beside the corpus — codebooks (PQ_M x 256
+    rows at ANY corpus size) plus per-vector reconstructions — so the
+    expensive part of the PQ family (per-subspace k-means training +
+    encode, the dominant cold cost of sim_pq/ivfpq) is paid once per
+    corpus version instead of per session.  Serving then reads the
+    index tables: the ADC scan scores ``{prefix}_recon`` directly and
+    only the rerank slice touches full embeddings.
+
+    ``{prefix}_recon`` is bucketed by ``vec_id``: the exact-rerank
+    stage and any id-keyed maintenance join read co-located buckets
+    (same rationale as the LSH store's norms table).
+    """
+    from ..sources.sinks import write_bucketed
+
+    books = pq_codebooks(emb, emb.count())
+    books.write.mode("overwrite").saveAsTable(f"{prefix}_books")
+    recon = pq_reconstruct(pq_encode(emb, spark.table(f"{prefix}_books")),
+                           spark.table(f"{prefix}_books"))
+    write_bucketed(recon, f"{prefix}_recon", "vec_id", n_buckets)
+
+
+def load_pq_index(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(books, recon) in the shape :func:`pq_topk` accepts via its
+    ``books=``/``recon=`` parameters."""
+    return spark.table(f"{prefix}_books"), spark.table(f"{prefix}_recon")

@@ -59,3 +59,26 @@ def test_persisted_store_matches_and_dedup_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_t_buckets")
         spark.sql("DROP TABLE IF EXISTS ann_t_norms")
+
+
+def test_persisted_pq_index_matches_derived(spark):
+    """pq_topk over the persisted index tables must return exactly the
+    in-session-derived results — train/encode once per corpus version,
+    serve from the stored books + reconstructions."""
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        load_pq_index,
+        persist_pq_index,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    persist_pq_index(spark, emb, "pq_t")
+    try:
+        books, recon = load_pq_index(spark, "pq_t")
+        got = pq_topk(emb, books=books, recon=recon)
+        ref = pq_topk(emb)
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
+        assert books.count() > 0 and recon.count() == emb.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_t_books")
+        spark.sql("DROP TABLE IF EXISTS pq_t_recon")
