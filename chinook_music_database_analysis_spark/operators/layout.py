@@ -123,3 +123,45 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_zordered_partitioned(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    x: str,
+    y: str,
+    n_tasks: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """The 100 TB composition: Hive-partition on ``part_col`` (the
+    coarse pruning dimension — typically a date) and Z-order ``(x, y)``
+    WITHIN each partition directory, in one job and one range shuffle.
+
+    Range-partitioning the tasks on (partition, z) makes every task
+    hold a contiguous slice of one partition's curve, so the files it
+    emits under that partition's directory cover disjoint z segments —
+    per-directory the layout is exactly :func:`write_zordered`'s, and
+    a query with a partition predicate + a 2-D box prunes directories
+    first, then row groups.  Scaling bounds are global (one pair of
+    tiny ANALYZE aggregates); per-partition bounds would buy little
+    since z segments never span partition directories anyway."""
+    bounds = df.agg(
+        F.min(x).alias("x_lo"), F.max(x).alias("x_hi"),
+        F.min(y).alias("y_lo"), F.max(y).alias("y_hi"),
+    ).collect()[0]
+    zed = df.withColumn(
+        "_z",
+        morton_code(
+            scaled16(x, int(bounds["x_lo"]), int(bounds["x_hi"])),
+            scaled16(y, int(bounds["y_lo"]), int(bounds["y_hi"])),
+        ),
+    )
+    (
+        zed.repartitionByRange(n_tasks, F.col(part_col), F.col("_z"))
+        .sortWithinPartitions(part_col, "_z")
+        .drop("_z")
+        .write.mode(mode)
+        .partitionBy(part_col)
+        .parquet(path)
+    )
