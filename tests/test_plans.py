@@ -205,3 +205,33 @@ def test_driver_window_rotation_invariants():
     assert not missing, f"rotation names not registered: {missing}"
     head = list(QUERIES)[: len(_WINDOW_FIRST)]
     assert head == _WINDOW_FIRST, "rotation list does not lead iteration order"
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """The three physical join strategies are selectable per join via
+    hints — the control surface for overriding Catalyst's size
+    estimates when table stats mislead it (a real 100 TB operations
+    lever: e.g. forcing SHJ for a medium dimension that AQE's estimate
+    would sort-merge)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_TEST_DIR}/customer.parquet")
+
+    def plan_of(j):
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    joined = orders.join(
+        cust.hint("broadcast"), orders.o_custkey == cust.c_custkey
+    )
+    assert "BroadcastHashJoin" in plan_of(joined)
+
+    joined = orders.join(
+        cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+    )
+    assert "ShuffledHashJoin" in plan_of(joined)
+
+    joined = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    assert "SortMergeJoin" in plan_of(joined)
