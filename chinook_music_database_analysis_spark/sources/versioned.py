@@ -68,9 +68,44 @@ def _existing_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+class SchemaEvolutionError(ValueError):
+    """Raised when a snapshot write would break the table contract."""
+
+
+def _check_evolution(df: DataFrame, table_dir: str, published: int) -> None:
+    """Additive-evolution contract (the ALTER TABLE ADD COLUMN rule a
+    table format enforces in metadata): every published column must
+    survive with an identical type; NEW columns are allowed (readers
+    of old versions simply lack them, exactly like parquet
+    mergeSchema evolution in sinks.read_evolved)."""
+    spark = df.sparkSession
+    old = spark.read.parquet(_version_dir(table_dir, published)).schema
+    new = {f.name: f.dataType for f in df.schema.fields}
+    problems = []
+    for f in old.fields:
+        if f.name not in new:
+            problems.append(f"dropped column {f.name!r}")
+        elif new[f.name] != f.dataType:
+            problems.append(
+                f"column {f.name!r} changed type {f.dataType.simpleString()}"
+                f" -> {new[f.name].simpleString()}"
+            )
+    if problems:
+        raise SchemaEvolutionError(
+            f"incompatible snapshot schema for {table_dir}: " + "; ".join(problems)
+        )
+
+
+def write_snapshot(
+    df: DataFrame, table_dir: str, enforce_schema: bool = True
+) -> int:
     """Write ``df`` as the table's next snapshot and publish it
     atomically; returns the new version number.
+
+    With ``enforce_schema`` (default), the write is rejected BEFORE
+    any data lands if it would drop or retype a published column —
+    the metadata-level guard that stops one bad job from publishing a
+    reader-breaking snapshot; additive columns pass.
 
     The data write is the expensive distributed part and happens into
     an unpublished directory — any failure there leaves the current
@@ -78,6 +113,9 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     rename of the pointer."""
     os.makedirs(table_dir, exist_ok=True)
     versions = _existing_versions(table_dir)
+    published = current_version(table_dir)
+    if enforce_schema and published is not None:
+        _check_evolution(df, table_dir, published)
     version = (versions[-1] + 1) if versions else 1
     df.write.mode("errorifexists").parquet(_version_dir(table_dir, version))
     tmp = _pointer_path(table_dir) + ".tmp"

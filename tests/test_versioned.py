@@ -75,3 +75,44 @@ def test_vacuum_retains_published_and_recent(spark, nation, tmp_path):
     assert read_snapshot(spark, t, version=3).count() == 3
     with pytest.raises(Exception):
         read_snapshot(spark, t, version=1).count()
+
+
+def test_snapshot_schema_enforcement(spark, nation, tmp_path):
+    """Dropping or retyping a published column is rejected before any
+    data is written; adding a column is legal additive evolution."""
+    from chinook_music_database_analysis_spark.sources.versioned import (
+        SchemaEvolutionError,
+    )
+
+    t = str(tmp_path / "t")
+    write_snapshot(nation, t)
+    with pytest.raises(SchemaEvolutionError, match="dropped column"):
+        write_snapshot(nation.drop("n_name"), t)
+    with pytest.raises(SchemaEvolutionError, match="changed type"):
+        write_snapshot(
+            nation.withColumn("n_nationkey", F.col("n_nationkey").cast("string")), t
+        )
+    # the failed attempts published nothing
+    assert current_version(t) == 1
+    # additive column is fine, and old readers still work
+    v = write_snapshot(nation.withColumn("extra", F.lit(1)), t)
+    assert v == 2
+    assert "extra" in read_snapshot(spark, t).columns
+    assert "extra" not in read_snapshot(spark, t, version=1).columns
+
+
+def test_file_provenance_metadata_column(spark, nation, tmp_path):
+    """Row-level provenance via the hidden _metadata column: every row
+    of a published snapshot reports the physical file it came from —
+    the lineage hook audit pipelines attach to quarantine or re-derive
+    subsets without a separate manifest."""
+    t = str(tmp_path / "t")
+    v = write_snapshot(nation.repartition(3), t)
+    rows = (
+        read_snapshot(spark, t)
+        .select("n_nationkey", F.col("_metadata.file_path").alias("src"))
+        .collect()
+    )
+    assert len(rows) == nation.count()
+    assert all(f"v={v}" in r["src"] and r["src"].endswith(".parquet") for r in rows)
+    assert len({r["src"] for r in rows}) >= 2  # provenance distinguishes files
