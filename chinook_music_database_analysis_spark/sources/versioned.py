@@ -175,3 +175,59 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
             shutil.rmtree(_version_dir(table_dir, v))
             removed.append(v)
     return removed
+
+
+def merge_snapshot(
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+) -> int:
+    """MERGE (upsert) as a snapshot operation: same-key rows replaced,
+    new keys inserted, published as a NEW version — sinks.merge_upsert's
+    copy-on-write plan (one anti-join against the broadcast update set,
+    one union write) with the atomic-publish and time-travel guarantees
+    on top: readers switch whole-merge-or-nothing, and the pre-merge
+    state stays readable until vacuumed."""
+    from pyspark.sql import functions as F
+
+    target = read_snapshot(spark, table_dir)
+    kept = target.join(F.broadcast(updates.select(key)), key, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    return write_snapshot(merged, table_dir)
+
+
+def delete_snapshot_rows(
+    spark: SparkSession, table_dir: str, predicate
+) -> int:
+    """Predicate DELETE as a snapshot operation (the right-to-be-
+    forgotten primitive with an audit trail: the new version lacks the
+    rows, retired versions hold them until ``vacuum`` — which IS the
+    actual erasure step, so schedule it by the deletion SLA)."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    target = read_snapshot(spark, table_dir)
+    return write_snapshot(target.filter(~cond), table_dir)
+
+
+def start_snapshot_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
+    """Streaming delivery into a versioned table: every micro-batch
+    publishes one snapshot version (append semantics: batch rows union
+    the previous snapshot).  Readers always see a complete, committed
+    prefix of the stream — never a half-written batch — and can time-
+    travel to any retained batch boundary.  Batch replay after a
+    failure re-runs write_snapshot; the orphan version directory from
+    the interrupted attempt is skipped past (crash-safety test shape)
+    and the pointer only ever moves to fully-written versions."""
+
+    def _deliver(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        if current_version(table_dir) is None:
+            write_snapshot(df, table_dir)
+        else:
+            write_snapshot(read_snapshot(spark, table_dir).unionByName(df), table_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_deliver)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -116,3 +116,49 @@ def test_file_provenance_metadata_column(spark, nation, tmp_path):
     assert len(rows) == nation.count()
     assert all(f"v={v}" in r["src"] and r["src"].endswith(".parquet") for r in rows)
     assert len({r["src"] for r in rows}) >= 2  # provenance distinguishes files
+
+
+def test_merge_and_delete_as_snapshots(spark, nation, tmp_path):
+    from chinook_music_database_analysis_spark.sources.versioned import (
+        delete_snapshot_rows,
+        merge_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    write_snapshot(nation, t)
+    updates = nation.filter(F.col("n_nationkey") < 2).withColumn(
+        "n_name", F.lit("RENAMED")
+    )
+    v2 = merge_snapshot(spark, t, updates, "n_nationkey")
+    cur = read_snapshot(spark, t)
+    assert cur.count() == nation.count()
+    assert cur.filter(F.col("n_name") == "RENAMED").count() == 2
+    # pre-merge state retained for audit/time travel
+    assert read_snapshot(spark, t, version=v2 - 1).filter(
+        F.col("n_name") == "RENAMED"
+    ).count() == 0
+    v3 = delete_snapshot_rows(spark, t, "n_nationkey >= 20")
+    assert read_snapshot(spark, t).count() == 20
+    assert read_snapshot(spark, t, version=v3 - 1).count() == nation.count()
+
+
+def test_streaming_snapshot_sink_appends_versions(spark, tmp_path):
+    from chinook_music_database_analysis_spark.sources.versioned import (
+        start_snapshot_sink,
+    )
+    from chinook_music_database_analysis_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    src = read_events_stream(spark, SF_TEST_DIR).select("event_id", "user_id", "value")
+    q = start_snapshot_sink(src, t, ckpt)
+    q.awaitTermination()
+    n_src = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet").count()
+    assert read_snapshot(spark, t).count() == n_src
+    # restart from the committed checkpoint publishes nothing new
+    v_before = current_version(t)
+    q2 = start_snapshot_sink(src, t, ckpt)
+    q2.awaitTermination()
+    assert current_version(t) == v_before
+    assert read_snapshot(spark, t).count() == n_src
