@@ -77,6 +77,7 @@ _WINDOW_FIRST = [
     "s13_zorder_locality",
     "sim_range_search",
     "ev_json_variant",
+    "tx_repetition",
 ]
 
 

@@ -303,3 +303,85 @@ def s13_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(tk) AS tok FROM toks
+    ), tf AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_tok
+      FROM (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+             unnest([array_to_string(tk[i:i+1], ' ')
+                     for i in range(1, greatest(len(tk) - 1, 1) + 1)]) AS gram
+      FROM toks
+    ), gf AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM g GROUP BY doc_id
+    )
+    SELECT tf.doc_id, tf.n_tokens,
+           ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS dup_2gram_frac,
+           (CAST(top_tok AS DOUBLE) / n_tokens > 0.2
+            OR 1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.5) AS is_repetitive
+    FROM tf JOIN gf USING (doc_id)
+    """,
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rule family): per-doc
+    top-token mass and duplicate-bigram fraction, with a repetitive
+    flag — the filter that catches keyword-stuffed / looping text that
+    length and stopword ratios miss.  All ratios derive from integer
+    token/bigram counts, so the doubles are bit-stable cross-engine
+    (same design as ev_anomaly_hours).  Two doc-keyed hash aggregates
+    over exploded tokens/bigrams joined at doc grain — linear, and at
+    100 TB the explode feeds map-side partial counts, never a
+    token-grain global shuffle beyond the doc key."""
+    from ..operators.text import shingles_from_tokens, tokens_expr
+
+    toks = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", tokens_expr().alias("tk")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").cast("bigint").alias("n_tokens"),
+            F.max("count").cast("bigint").alias("top_tok"),
+        )
+    )
+    gf = (
+        toks.select(
+            "doc_id", F.explode(shingles_from_tokens("tk", k=2)).alias("gram")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.countDistinct("gram").cast("bigint").alias("n_distinct"),
+        )
+    )
+    top_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return tf.join(gf, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.round(dup_frac, 4).alias("dup_2gram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.5)).alias("is_repetitive"),
+    )
