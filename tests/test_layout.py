@@ -179,3 +179,36 @@ def test_partitioned_zorder_layout(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(path).select("o_orderkey", "o_custkey", "o_price_i").collect()))
     b = sorted(map(tuple, orders.select("o_orderkey", "o_custkey", "o_price_i").collect()))
     assert a == b
+
+
+def test_quantile_rank_zorder_survives_skew(spark, tmp_path):
+    """Under heavy key skew, affine min/max lanes collapse (most rows
+    in a sliver of the lane -> the curve degenerates to 1-D on the
+    other key and a low-range probe on the skewed key skips nothing),
+    while quantile-rank lanes keep per-file locality on BOTH keys."""
+    from chinook_music_database_analysis_spark.operators.layout import (
+        write_zordered_ranked,
+    )
+
+    df = spark.range(20_000).selectExpr(
+        "CAST(pow(2, id % 21) AS BIGINT) AS x",  # 6 orders of magnitude
+        "id % 1000 AS y",
+        "id AS payload",
+    )
+    apath, qpath = str(tmp_path / "affine"), str(tmp_path / "ranked")
+    write_zordered(df, apath, "x", "y", n_files=8)
+    write_zordered_ranked(df, qpath, "x", "y", n_files=8)
+
+    # probe: the lower half of x's VALUE-RANK range (x <= 1000, i.e.
+    # powers up to 2^9): ~half the rows, but an affine sliver near 0
+    # of the value range.
+    def hit_fraction(path: str) -> float:
+        spans = _file_spans(path, "x")
+        hits = sum(1 for mn, mx in spans if mn <= 1000)
+        return hits / len(spans)
+
+    a_frac, q_frac = hit_fraction(apath), hit_fraction(qpath)
+    # rank lanes must beat affine lanes on the skewed key
+    assert q_frac < a_frac, (q_frac, a_frac)
+    # and rows survive
+    assert spark.read.parquet(qpath).count() == 20_000
