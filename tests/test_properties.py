@@ -201,3 +201,95 @@ def test_incremental_pairs_equal_full_pairs_increment(spark):
         assert inc  # non-trivial at the test scale
     finally:
         bands.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# r3 primitives: Morton bijectivity, temperature accounting, repetition
+# bounds — pure-function properties via hypothesis where applicable.
+# ---------------------------------------------------------------------------
+
+
+def _py_spread(v: int) -> int:
+    v &= 0xFFFF
+    for s, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        v = (v | (v << s)) & m
+    return v
+
+
+def _py_unspread(v: int) -> int:
+    v &= 0x55555555
+    for s, m in ((1, 0x33333333), (2, 0x0F0F0F0F), (4, 0x00FF00FF), (8, 0x0000FFFF)):
+        v = (v | (v >> s)) & m
+    return v
+
+
+def test_morton_is_a_bijection_hypothesis():
+    """morton(x, y) must be invertible — file pruning correctness rests
+    on distinct (x, y) cells mapping to distinct curve positions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF))
+    def check(x, y):
+        z = _py_spread(x) | (_py_spread(y) << 1)
+        assert _py_unspread(z) == x and _py_unspread(z >> 1) == y
+
+    check()
+
+
+def test_temperature_quota_accounting_hypothesis():
+    """Whatever the domain histogram, thresholds stay in [0, 0xffff]
+    and total expected kept docs never exceed the target by more than
+    rounding slack (one doc per domain)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chinook_music_database_analysis_spark.operators.curation import (
+        temperature_thresholds,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+            st.integers(1, 10_000_000),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(1, 100),
+    )
+    def check(counts, pct):
+        thr = temperature_thresholds(counts, pct)
+        assert set(thr) == set(counts)
+        total = sum(counts.values())
+        target = total * pct // 100
+        expected_kept = sum(counts[s] * thr[s] / 65536 for s in counts)
+        assert all(0 <= t <= 0xFFFF for t in thr.values())
+        # floor-rounding only loses docs; capped domains can't overshoot
+        assert expected_kept <= target + len(counts)
+
+    check()
+
+
+def test_repetition_fracs_bounded(spark):
+    r = QUERIES["tx_repetition"](spark, SF_TEST_DIR).toPandas()
+    assert len(r) > 0
+    assert ((r.top_token_frac > 0) & (r.top_token_frac <= 1)).all()
+    assert ((r.dup_2gram_frac >= 0) & (r.dup_2gram_frac <= 1)).all()
+    # a doc of distinct tokens can't be flagged repetitive
+    uniform = r[(r.dup_2gram_frac == 0) & (r.top_token_frac <= 0.2)]
+    assert not uniform.is_repetitive.any()
+
+
+def test_anomaly_zscores_standardized(spark):
+    """Per event type, z-scores must be mean~0 / bounded spread (they
+    are standardized residuals of the hourly counts), and every
+    is_spike row must carry |z| > 2."""
+    r = QUERIES["ev_anomaly_hours"](spark, SF_TEST_DIR).toPandas()
+    assert len(r) > 0
+    for _, g in r.groupby("event_type"):
+        if len(g) > 5 and (g.z != 0).any():
+            assert abs(g.z.mean()) < 0.2
+    spikes = r[r.is_spike]
+    assert (spikes.z.abs() > 2).all()
