@@ -78,6 +78,7 @@ _WINDOW_FIRST = [
     "sim_range_search",
     "ev_json_variant",
     "tx_repetition",
+    "s14_brand_pagerank",
 ]
 
 

@@ -385,3 +385,82 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 4).alias("dup_2gram_frac"),
         ((top_frac > 0.2) | (dup_frac > 0.5)).alias("is_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank over the brand co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PAGERANK_EDGES_CTE = """li AS (
+      SELECT l.l_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.l_orderkey ORDER BY l.l_linenumber, l.l_partkey) AS rid,
+             p.p_brand AS v
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), pairs AS (
+      SELECT LEAST(a.v, b.v) AS v1, GREATEST(a.v, b.v) AS v2, COUNT(*) AS n
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.rid < b.rid
+      WHERE a.v <> b.v
+      GROUP BY 1, 2
+    ), ed AS (
+      SELECT v1 AS src, v2 AS dst, n FROM pairs
+      UNION ALL
+      SELECT v2 AS src, v1 AS dst, n FROM pairs
+    )"""
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized brand co-purchase edge list (src, dst, w) — the s04
+    affinity pairs as a weighted graph."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rid = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    li = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", rid.alias("rid"), F.col("p_brand").alias("v"))
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .filter(F.col("a.v") != F.col("b.v"))
+        .select(
+            F.least("a.v", "b.v").alias("v1"), F.greatest("a.v", "b.v").alias("v2")
+        )
+        .groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        F.col("v1").alias("src"), F.col("v2").alias("dst"), F.col("n").alias("w")
+    ).unionByName(
+        pairs.select(
+            F.col("v2").alias("src"), F.col("v1").alias("dst"), F.col("n").alias("w")
+        )
+    )
+
+
+from ..operators.graph import pagerank_oracle_sql as _pr_sql  # noqa: E402
+
+
+@register(
+    "s14_brand_pagerank",
+    oracle="WITH " + _pr_sql(_PAGERANK_EDGES_CTE),
+)
+def s14_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the brand co-purchase graph (edges =
+    s04's affinity pairs, symmetrized) — iterative algorithms as
+    DataFrame supersteps, three unrolled iterations in one lazy plan.
+    All-integer rank arithmetic (operators/graph.py) is what lets the
+    DuckDB oracle reproduce every rank exactly; a floating-point
+    PageRank is partition-order-dependent and uncheckable."""
+    from ..operators.graph import pagerank_integer
+
+    return pagerank_integer(_brand_edges(spark, sf_dir))

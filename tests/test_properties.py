@@ -293,3 +293,25 @@ def test_anomaly_zscores_standardized(spark):
             assert abs(g.z.mean()) < 0.2
     spikes = r[r.is_spike]
     assert (spikes.z.abs() > 2).all()
+
+
+def test_pagerank_mass_and_centrality(spark):
+    """Rank mass stays ~conserved (total within quantization slack of
+    scale) and the most-connected node outranks the least-connected —
+    the centrality semantics, independent of the oracle."""
+    from chinook_music_database_analysis_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        # star: hub h connected to a,b,c; plus a weak a-b edge
+        [("h", "a", 3), ("a", "h", 3), ("h", "b", 2), ("b", "h", 2),
+         ("h", "c", 2), ("c", "h", 2), ("a", "b", 1), ("b", "a", 1)],
+        "src string, dst string, w long",
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank_integer(edges).collect()}
+    assert set(pr) == {"h", "a", "b", "c"}
+    total = sum(pr.values())
+    assert abs(total - PAGERANK_SCALE) < PAGERANK_SCALE * 0.01
+    assert pr["h"] > pr["a"] > pr["c"]  # hub first; a has the extra edge over c
