@@ -65,6 +65,8 @@ QUERIES = {
     "cur_stratified_eval": 1.3,
     # radius search shares the LSH family's corpus-scaled banding
     "sim_range_search": 1.6,
+    # token/bigram explode + doc-keyed aggregates — linear
+    "tx_repetition": 1.3,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
