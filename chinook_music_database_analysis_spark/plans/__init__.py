@@ -69,7 +69,7 @@ _WINDOW_FIRST = [
     "q20_stats_profile",
     "ev_gapfill_hourly",
     "ev_unpivot_user_types",
-    # new in round 3, second batch — never driver-checked (5)
+    # new in round 3, later batches — never driver-checked (9)
     "ev_hll_week_rollup",
     "ev_anomaly_hours",
     "cur_temperature_mix",

@@ -38,7 +38,7 @@ from ..operators.curation import (
 )
 from ..operators.layout import morton_code, morton_sql
 from ..sources import load_tables
-from .extensions import _SCALAR_MEMO, _table_set_id
+from .extensions import _SCALAR_MEMO, _cached, _table_set_id
 from .registry import register
 
 #: temperature-mix sampling target: 30% of the corpus.
@@ -460,7 +460,15 @@ def s14_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame supersteps, three unrolled iterations in one lazy plan.
     All-integer rank arithmetic (operators/graph.py) is what lets the
     DuckDB oracle reproduce every rank exactly; a floating-point
-    PageRank is partition-order-dependent and uncheckable."""
+    PageRank is partition-order-dependent and uncheckable.
+
+    The edge list is memoized (the persisted-graph shape): every
+    superstep plus the out-degree aggregate reference it, and without
+    materialization the lazy plan re-runs the fact self-join once per
+    reference."""
     from ..operators.graph import pagerank_integer
 
-    return pagerank_integer(_brand_edges(spark, sf_dir))
+    edges = _cached(
+        "brand_edges", spark, sf_dir, lambda: _brand_edges(spark, sf_dir)
+    )
+    return pagerank_integer(edges)
