@@ -383,3 +383,53 @@ def incremental_candidate_pairs(bands: DataFrame, new_min_id: int) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def dup_ngram_stats(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+    """Per-document duplicate-n-gram statistics — the corpus-frequency
+    substring-dedup signal of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL 2022), at word-shingle
+    granularity: for each document, the fraction of its distinct
+    word k-grams that also occur in at least one OTHER document.
+
+    Unlike the pairwise MinHash/SimHash paths this is a *span-level*
+    signal: a doc can be globally unique yet consist mostly of n-grams
+    copied from elsewhere (boilerplate, quotes, templated text), and
+    ``dup_frac`` surfaces exactly that.  Pipelines threshold it (e.g.
+    drop or trim docs with dup_frac > 0.8) between exact dedup and the
+    near-dup pair passes.
+
+    Plan — linear, no pair joins anywhere: distinct (doc, shingle)
+    [one shuffle keyed by doc] -> shingle document-frequency hash-agg
+    [one shuffle keyed by shingle] -> join df back onto the shingle
+    relation keyed by shingle -> per-doc hash-agg.  The join's right
+    side is one row per distinct shingle; universal shingles skew the
+    join partition the same way universal terms do in tfidf_top_terms
+    — AQE's skew split handles it, the df side being freely
+    replicable.  At 100 TB, project ``xxhash64(s)`` before the
+    df-count/join to cut shuffle bytes ~5x (the string shingle itself
+    is never needed downstream); kept as the raw string here so the
+    DuckDB oracle compares the exact same keys.
+    """
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).alias(
+                "n_dup_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles").cast("double")
+                / F.col("n_shingles").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

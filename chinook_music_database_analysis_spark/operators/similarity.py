@@ -428,6 +428,47 @@ def kmeans_centroids(emb: DataFrame, n: int, iters: int = KMEANS_ITERS) -> DataF
     return cents.select("cell_id", "c_emb", _norm("c_emb").alias("c_norm"))
 
 
+def ivf_assignments(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell_id, embedding, norm): each corpus vector's single
+    nearest IVF cell — the inverted-file assignment relation shared by
+    :func:`ivf_topk` (probe-side candidate restriction) and
+    :func:`semantic_dedup` (cell-bounded pair enumeration).
+
+    max_by over struct(c_sim, -cell_id) == "highest cosine, then
+    lowest cell_id" — a unique key, so the argmax is deterministic.
+    Corpus norms are computed once per vector (N values) before the
+    N x cells scoring fan-out, then carried through the argmax; the
+    map-side partial combine shrinks the scored relation back to N
+    rows BEFORE the shuffle, and nothing is ever sorted (a window
+    top-1 would shuffle and sort all N x cells rows).  The inverted
+    file never materializes on the driver.
+    """
+    return (
+        emb.repartition("vec_id")
+        .withColumn("norm", _norm("embedding"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            "cell_id",
+            _cos("embedding", "c_emb", "norm", "c_norm").alias("c_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(cell_id, embedding, norm), struct(c_sim, -cell_id))"
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cell_id").alias("cell_id"),
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.norm").alias("norm"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -474,34 +515,7 @@ def ivf_topk(
             F.col("embedding").alias("c_emb"),
             _norm("embedding").alias("c_norm"),
         )
-    # max_by over struct(c_sim, -cell_id) == "highest cosine, then
-    # lowest cell_id" — a unique key, so the argmax is deterministic.
-    # Corpus norms computed once per vector (N values) before the
-    # N x cells scoring fan-out, then carried through the argmax.
-    assigned = (
-        emb.repartition("vec_id")
-        .withColumn("norm", _norm("embedding"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "norm",
-            "cell_id",
-            _cos("embedding", "c_emb", "norm", "c_norm").alias("c_sim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(struct(cell_id, embedding, norm), struct(c_sim, -cell_id))"
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.cell_id").alias("cell_id"),
-            F.col("m.embedding").alias("embedding"),
-            F.col("m.norm").alias("norm"),
-        )
-    )
+    assigned = ivf_assignments(emb, cents)
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("c_sim").desc(), F.col("cell_id")
     )
@@ -534,6 +548,78 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cents: DataFrame,
+    threshold: float = 0.2,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding corpus with k-means-cell-bounded
+    pair enumeration — keep one representative per group of
+    semantically near-identical vectors, without ever forming the
+    all-pairs product.
+
+    Rule (deterministic): a vector is **dropped** iff some LOWER-id
+    vector in the SAME cell has cosine >= ``threshold`` with it; the
+    drop does not require the lower-id neighbor itself to be kept
+    (min-id greedy, the same representative convention as
+    exact_dedup's min doc_id).  Output is the full decision table
+    (vec_id, cell_id, keep).
+
+    Scale shape: pairs exist only inside a cell.  With ~sqrt(N) cells
+    of ~sqrt(N) vectors (:func:`kmeans_centroids`), the pair count is
+    ~N per cell-partition — quadratic only within a bounded cell,
+    never across the corpus; the candidate join runs on the slim
+    (vec_id, cell_id) relation and embeddings re-join by vec_id for
+    the surviving candidates only (the candidate/verify split shared
+    with embedding_near_dup_pairs).  The driver's synthetic embeddings
+    are near-orthogonal, so 0.2 is "suspiciously similar" there; a
+    real SemDeDup sweep over model embeddings runs ~0.95+.
+
+    ``assigned`` accepts a prebuilt (cached) :func:`ivf_assignments`
+    relation — it is consumed three times here (two pair sides + the
+    decision spine), so callers should persist it.
+    """
+    a = ivf_assignments(emb, cents) if assigned is None else assigned
+    slim = a.select("vec_id", "cell_id")
+    cand = (
+        slim.alias("x")
+        .join(slim.alias("y"), "cell_id")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            "cell_id",
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+    )
+    wn = a.select("vec_id", "embedding", "norm")
+    dropped = (
+        cand.join(
+            wn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            wn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "vec_b",
+        )
+        .filter(_cos("emb_a", "emb_b", "norm_a", "norm_b") >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return slim.join(
+        dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cell_id", F.col("is_dup").isNull().alias("keep"))
 
 
 def lsh_topk(

@@ -203,6 +203,63 @@ def tfidf_top_terms(docs: DataFrame, n_docs: int, top_k: int = 3, idf_scale: int
     )
 
 
+def unigram_surprisal(docs: DataFrame, scale: int = 1000) -> DataFrame:
+    """Per-document unigram-LM cross-entropy (bits/token) — the cheap
+    stand-in for the CCNet/Wikipedia-LM perplexity filter used in
+    training-data pipelines: documents whose tokens are "too
+    predictable" under the corpus unigram model (low bits/token) are
+    boilerplate/repetitive; "too surprising" ones are noise/garbled.
+    Pipelines keep a middle band.
+
+    Determinism: per-token surprisal ``log2(total/count)`` is
+    **fixed-point quantized once per distinct vocabulary term**
+    (``s_q = ROUND(log2(total/cnt) * scale)`` as int64), then all
+    per-document accumulation is exact integer math — the same
+    integer-quantization trick as tfidf_top_terms' IDF, so the DuckDB
+    oracle reproduces sums bit-exactly regardless of float summation
+    order.  The per-token mean stays fixed-point too
+    (``mb_per_token = q_millibits div n_tokens``, integer millibits):
+    a float ROUND of the ratio is NOT cross-engine stable — the ratio
+    lands on exact decimal half-boundaries (denominator n_tokens*1000),
+    where Spark's BigDecimal-on-shortest-repr HALF_UP and DuckDB's
+    scale-then-round-the-double disagree (observed at sf0.01).
+
+    Plan — the tfidf shape, all linear: explode tokens -> (doc, term)
+    tf hash-agg -> vocab hash-agg (one row per term, with the corpus
+    total as a broadcast 1-row aggregate: no driver-side count) ->
+    idf-style join keyed by term -> per-doc hash-agg.  Universal-term
+    join skew is AQE-split like tfidf's.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    term_s = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr(
+            f"CAST(ROUND(log2(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))"
+            f" * {scale}) AS BIGINT)"
+        ).alias("s_q"),
+    )
+    return (
+        tf.join(term_s, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("s_q")).alias("q_millibits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "q_millibits",
+            F.expr("q_millibits div n_tokens").alias("mb_per_token"),
+        )
+    )
+
+
 def sentence_udtf():
     """Python UDTF (Spark 4 table-function API) splitting a document
     into numbered sentences — the lateral-join text surface for

@@ -93,4 +93,10 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
+# r4 NOTE: the rotation list is at 49/50 slots.  Queries registered
+# after this rotation (late-r3: dd_dup_ngrams, dd_semantic,
+# tx_surprisal) have the local oracle gate only; next round, swap them
+# into _WINDOW_FIRST in place of entries that will then be driver-green
+# two-plus rounds running.
+
 __all__ = ["QUERIES", "ORACLES", "register"]

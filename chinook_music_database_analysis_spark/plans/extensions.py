@@ -1624,3 +1624,129 @@ def ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import resample_ffill
 
     return resample_ffill(load_tables(spark, sf_dir)["events"])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 late additions: span-level dedup, semantic dedup, unigram-LM
+# quality scoring.  Registered AFTER the driver-window rotation list on
+# purpose — they get the local sf0.001/sf0.01 oracle gate this round and
+# rotate into the driver's first-50 window next round (see the r4 note
+# in plans/__init__.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_dup_ngrams",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    dfq AS (SELECT s, COUNT(*) AS n_docs_with FROM sh GROUP BY s)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           ROUND(CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+    FROM sh JOIN dfq USING (s)
+    GROUP BY doc_id
+    """,
+)
+def dd_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram span fraction per document (Lee et al. ACL'22
+    substring-dedup signal at word-shingle granularity): share of a
+    doc's distinct word k-grams that occur in >= 1 other document.
+    Linear two-shuffle plan over the shared cached shingle relation —
+    no pair join anywhere (operators.dedup.dup_ngram_stats)."""
+    from ..operators.dedup import dup_ngram_stats
+
+    return dup_ngram_stats(
+        load_tables(spark, sf_dir)["documents"], shingles=_shingles(spark, sf_dir)
+    )
+
+
+def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached IVF assignment relation (vec_id, cell_id, embedding,
+    norm) shared by the semantic-dedup sides — consumed three times
+    per query, persisted once per (session, table set) like the other
+    signature stores."""
+    from ..operators.similarity import ivf_assignments
+
+    return _cached(
+        "sem_assigned", spark, sf_dir,
+        lambda: ivf_assignments(
+            load_tables(spark, sf_dir)["embeddings"], _ivf_cents(spark, sf_dir)
+        ),
+    )
+
+
+@register(
+    "dd_semantic",
+    oracle=f"""
+    WITH {_sql_kmeans_cents()}, c AS (
+      SELECT cell_id, ce FROM kc{KMEANS_ITERS}
+    ), a AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      QUALIFY rn = 1
+    ), d AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+      WHERE {_sql_cos('x.embedding', 'y.embedding')} >= 0.2
+    )
+    SELECT a.vec_id, a.cell_id, d.vec_id IS NULL AS keep
+    FROM a LEFT JOIN d ON d.vec_id = a.vec_id
+    """,
+)
+def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop vectors with a lower-id
+    cosine>=0.2 neighbor in the SAME k-means cell — pairs enumerate
+    only within ~sqrt(N)-sized cells, never across the corpus
+    (operators.similarity.semantic_dedup over the cached
+    ivf_assignments + kmeans_centroids relations)."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_tables(spark, sf_dir)["embeddings"],
+        _ivf_cents(spark, sf_dir),
+        threshold=0.2,
+        assigned=_sem_assigned(spark, sf_dir),
+    )
+
+
+@register(
+    "tx_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), vocab AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab
+    ), ts AS (
+      SELECT term,
+             CAST(ROUND(log2(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))
+                        * 1000) AS BIGINT) AS s_q
+      FROM vocab, tot
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf * ts.s_q) AS BIGINT) AS q_millibits,
+           CAST(SUM(tf.tf * ts.s_q) AS BIGINT) // CAST(SUM(tf.tf) AS BIGINT)
+             AS mb_per_token
+    FROM tf JOIN ts USING (term)
+    GROUP BY tf.doc_id
+    """,
+)
+def tx_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy (bits/token) per document — the cheap
+    perplexity-filter stand-in; per-term surprisal is fixed-point
+    quantized once so all accumulation is exact integer math
+    (operators.text.unigram_surprisal)."""
+    from ..operators.text import unigram_surprisal
+
+    return unigram_surprisal(load_tables(spark, sf_dir)["documents"])

@@ -447,3 +447,59 @@ def test_validate_all_sweep(spark):
     eng = Engine(sf_dir=SF_TEST_DIR, spark=spark)
     res = eng.validate_all(["q04_rev_by_geo", "q07_purchase_trends", "tx_stats"])
     assert res == {"n": 3, "passed": 3, "failed": [], "errors": {}}
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Runtime bloom-filter injection (SPARK-32268): joining a big fact
+    to a selectively-FILTERED dimension over a shuffle join must plant a
+    bloom filter built from the dim's join keys onto the fact scan side,
+    so non-matching fact rows die before the shuffle — the row-level
+    companion of dynamic partition pruning, and the 100 TB lever that
+    turns a 10x-selective dim filter into a ~10x fact shuffle cut.
+    The filter is a pure prefilter (false positives only), so results
+    are the exact join's — correctness never depends on it."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local test tables are tiny — drop the size gates so the rule
+        # fires at sf0.001 like it would on a 100 TB fact naturally
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # broadcast would bypass the shuffle (and the bloom's point)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(f"{SF_TEST_DIR}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_TEST_DIR}/customer.parquet").filter(
+            F.col("c_acctbal") > 9000  # selective dim filter -> worth a bloom
+        )
+        joined = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # exact result unaffected by the prefilter: compare against the
+        # same join with the rule disabled
+        with_bloom = {(r["c_nationkey"], r["n"]) for r in joined.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = {
+            (r["c_nationkey"], r["n"])
+            for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert with_bloom == without
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -110,6 +110,8 @@ BNLJ_ALLOWED = {
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_ivf_stride_topk",
+    "dd_semantic",
+    "tx_surprisal",
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_sq8_topk",

@@ -315,3 +315,93 @@ def test_pagerank_mass_and_centrality(spark):
     total = sum(pr.values())
     assert abs(total - PAGERANK_SCALE) < PAGERANK_SCALE * 0.01
     assert pr["h"] > pr["a"] > pr["c"]  # hub first; a has the extra edge over c
+
+
+def test_dup_ngram_stats_extremes(spark):
+    """Duplicated docs have dup_frac == 1.0; a doc sharing no k-gram
+    with anyone has dup_frac == 0.0; counts are consistent."""
+    from chinook_music_database_analysis_spark.operators.dedup import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact copy of 1
+            (3, "zeta eta theta iota kappa lambda"),  # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in dup_ngram_stats(docs).collect()}
+    assert r[1]["dup_frac"] == 1.0 and r[2]["dup_frac"] == 1.0
+    assert r[3]["dup_frac"] == 0.0 and r[3]["n_dup_shingles"] == 0
+    for row in r.values():
+        assert 0 <= row["n_dup_shingles"] <= row["n_shingles"]
+
+
+def test_semantic_dedup_min_id_kept_and_drops_justified(spark):
+    """SemDeDup invariants on a crafted two-cluster corpus: the min
+    vec_id of every cell is always kept; every dropped vector has a
+    LOWER-id same-cell neighbor with cosine >= threshold (brute-force
+    verified); near-identical copies collapse to one representative."""
+    import numpy as np
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 4
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.99, 0.01, 0.0, 0.0],   # near-dup of 0
+        2: [0.98, -0.02, 0.0, 0.0],  # near-dup of 0
+        3: [0.0, 1.0, 0.0, 0.0],
+        4: [0.01, 0.99, 0.0, 0.0],   # near-dup of 3
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 1.0), (1, [0.0, 1.0, 0.0, 0.0], 1.0)],
+        "cell_id long, c_emb array<double>, c_norm double",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, cents, threshold=0.95).collect()}
+    assert len(out) == len(vecs)
+    by_cell: dict = {}
+    for r in out.values():
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    for rows in by_cell.values():
+        min_id = min(r["vec_id"] for r in rows)
+        assert next(r for r in rows if r["vec_id"] == min_id)["keep"]
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for r in out.values():
+        if not r["keep"]:
+            assert any(
+                o["vec_id"] < r["vec_id"]
+                and o["cell_id"] == r["cell_id"]
+                and cos(vecs[o["vec_id"]], vecs[r["vec_id"]]) >= 0.95
+                for o in out.values()
+            ), f"unjustified drop: {r}"
+    # the two near-dup groups collapse: exactly 2 keepers (0 and 3)
+    assert sorted(i for i, r in out.items() if r["keep"]) == [0, 3]
+
+
+def test_unigram_surprisal_closed_forms(spark):
+    """Constant corpus => 0 bits everywhere; a 50/50 two-token vocab
+    => every token costs exactly round(log2(2)*1000) = 1000 millibits."""
+    from chinook_music_database_analysis_spark.operators.text import unigram_surprisal
+
+    const = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x x")], "doc_id long, text string"
+    )
+    for r in unigram_surprisal(const).collect():
+        assert r["q_millibits"] == 0 and r["mb_per_token"] == 0
+
+    even = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a b a")], "doc_id long, text string"
+    )
+    for r in unigram_surprisal(even).collect():
+        assert r["mb_per_token"] == 1000
+        assert r["q_millibits"] == 1000 * r["n_tokens"]
