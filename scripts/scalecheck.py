@@ -67,6 +67,14 @@ QUERIES = {
     "sim_range_search": 1.6,
     # token/bigram explode + doc-keyed aggregates — linear
     "tx_repetition": 1.3,
+    # r3 batch 5
+    # shingle df hash-agg + doc hash-agg over the cached shingle
+    # relation — linear, no pair joins
+    "dd_dup_ngrams": 1.3,
+    # tfidf plan shape (explode -> tf -> vocab -> join -> doc agg)
+    "tx_surprisal": 1.3,
+    # assignment N*sqrt(N) + within-cell pairs ~N^1.5 total
+    "dd_semantic": 1.7,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
