@@ -433,3 +433,57 @@ def dup_ngram_stats(docs: DataFrame, shingles: DataFrame | None = None) -> DataF
             ).alias("dup_frac"),
         )
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame, name_col: str, max_dist: int = 2
+) -> DataFrame:
+    """Blocked edit-distance record linkage over the DISTINCT name
+    dictionary: (name_a, name_b, edit_dist) for every same-block pair
+    within ``max_dist`` Levenshtein edits — the classic
+    entity-resolution pass for catalog/vendor/name-variant merging.
+
+    Scale design, in order:
+
+    1. **Dictionary level, not row level.**  The distinct-name relation
+       is orders of magnitude smaller than the fact at 100 TB (64 vs
+       2000 here at sf0.01), and fuzzy semantics only concern the
+       strings; matched pairs map back to rows by a plain hash join on
+       the name.  Running pairwise logic on row instances would square
+       the duplicate-name multiplicity for nothing.
+    2. **Blocking** on the name's head (last whitespace) token — the
+       standard surname-style blocking key: pairs meet only inside a
+       block (one shuffle keyed by block).  Like the LSH/IVF families,
+       blocking trades recall for the all-pairs product: a pair whose
+       edit sits in the head token is missed by design; add a second
+       pass blocked on the FIRST token to recover most of them
+       (multi-pass blocking), exactly like multi-table LSH.
+    3. **Sound length-band prefilter** inside the block:
+       ``|len(a)-len(b)| <= max_dist`` is implied by the edit bound, so
+       it discards pairs before any DP runs, losing nothing.
+    4. The surviving pairs run Spark's THRESHOLDED
+       ``levenshtein(a, b, max_dist)`` — the DP short-circuits to -1
+       once the bound is exceeded (O(max_dist * len) instead of
+       O(len^2) per pair), which is the dominant per-pair cost.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    blocked = names.select(
+        "name",
+        F.element_at(F.split(F.col("name"), " "), -1).alias("blk"),
+        F.length("name").alias("len"),
+    )
+    lev = F.expr(f"levenshtein(a.name, b.name, {max_dist})")
+    return (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "blk")
+        .filter(
+            (F.col("a.name") < F.col("b.name"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist)
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            lev.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)  # thresholded DP returns -1 past the bound
+    )

@@ -1750,3 +1750,30 @@ def tx_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import unigram_surprisal
 
     return unigram_surprisal(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dd_fuzzy_dictionary",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+    p AS (
+      SELECT name,
+             list_extract(string_split(name, ' '),
+                          len(string_split(name, ' '))) AS blk,
+             len(name) AS L
+      FROM n
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.name < b.name
+    WHERE abs(a.L - b.L) <= 2
+      AND levenshtein(a.name, b.name) <= 2
+    """,
+)
+def dd_fuzzy_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage over the distinct part-name
+    dictionary (head-token blocking + sound length-band prefilter +
+    thresholded Levenshtein DP — operators.dedup.fuzzy_name_pairs)."""
+    from ..operators.dedup import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(load_tables(spark, sf_dir)["part"], "p_name", max_dist=2)

@@ -405,3 +405,42 @@ def test_unigram_surprisal_closed_forms(spark):
     for r in unigram_surprisal(even).collect():
         assert r["mb_per_token"] == 1000
         assert r["q_millibits"] == 1000 * r["n_tokens"]
+
+
+def test_fuzzy_name_pairs_brute_force_within_block(spark):
+    """Every emitted pair is a true Levenshtein<=2 match (verified by
+    brute force); every true match SHARING a head token is found
+    (blocking completeness within blocks); the documented blocking miss
+    (edit in the head token itself) is indeed absent."""
+    from chinook_music_database_analysis_spark.operators.dedup import fuzzy_name_pairs
+
+    names = [
+        "cold widget", "bold widget", "old widget",   # head block 'widget'
+        "cold gadget",                                  # head differs -> missed vs widgets
+        "red gizmo", "red gizmos",                      # different blocks entirely
+    ]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "id long, nm string")
+    got = {(r["name_a"], r["name_b"], r["edit_dist"])
+           for r in fuzzy_name_pairs(df, "nm", max_dist=2).collect()}
+
+    def lev(a, b):
+        import numpy as np
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[len(b)])
+
+    blk = lambda s: s.split(" ")[-1]
+    expect = {
+        (a, b, lev(a, b))
+        for a in names for b in names
+        if a < b and blk(a) == blk(b) and lev(a, b) <= 2
+    }
+    assert got == expect
+    assert all(d >= 1 for *_, d in got)  # distinct strings never at 0
+    # cross-block pairs never appear, even if a true match existed
+    # there (recall<1 by design, like LSH):
+    assert not any("gadget" in a and "widget" in b or "widget" in a and "gadget" in b
+                   for a, b, _ in got)
