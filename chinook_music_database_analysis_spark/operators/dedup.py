@@ -436,7 +436,7 @@ def dup_ngram_stats(docs: DataFrame, shingles: DataFrame | None = None) -> DataF
 
 
 def fuzzy_name_pairs(
-    df: DataFrame, name_col: str, max_dist: int = 2
+    df: DataFrame, name_col: str, max_dist: int = 2, multi_pass: bool = False
 ) -> DataFrame:
     """Blocked edit-distance record linkage over the DISTINCT name
     dictionary: (name_a, name_b, edit_dist) for every same-block pair
@@ -455,9 +455,11 @@ def fuzzy_name_pairs(
        standard surname-style blocking key: pairs meet only inside a
        block (one shuffle keyed by block).  Like the LSH/IVF families,
        blocking trades recall for the all-pairs product: a pair whose
-       edit sits in the head token is missed by design; add a second
-       pass blocked on the FIRST token to recover most of them
-       (multi-pass blocking), exactly like multi-table LSH.
+       edit sits in the head token is missed by design;
+       ``multi_pass=True`` adds a second pass blocked on the FIRST
+       token and unions the (deduplicated) pair sets — the exact
+       analog of multi-table LSH, recovering every pair whose edits
+       are confined to one of the two blocking tokens.
     3. **Sound length-band prefilter** inside the block:
        ``|len(a)-len(b)| <= max_dist`` is implied by the edit bound, so
        it discards pairs before any DP runs, losing nothing.
@@ -467,23 +469,33 @@ def fuzzy_name_pairs(
        O(len^2) per pair), which is the dominant per-pair cost.
     """
     names = df.select(F.col(name_col).alias("name")).distinct()
-    blocked = names.select(
-        "name",
-        F.element_at(F.split(F.col("name"), " "), -1).alias("blk"),
-        F.length("name").alias("len"),
-    )
     lev = F.expr(f"levenshtein(a.name, b.name, {max_dist})")
-    return (
-        blocked.alias("a")
-        .join(blocked.alias("b"), "blk")
-        .filter(
-            (F.col("a.name") < F.col("b.name"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist)
+
+    def one_pass(block_index: int) -> DataFrame:
+        blocked = names.select(
+            "name",
+            F.element_at(F.split(F.col("name"), " "), block_index).alias("blk"),
+            F.length("name").alias("len"),
         )
-        .select(
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            lev.cast("int").alias("edit_dist"),
+        return (
+            blocked.alias("a")
+            .join(blocked.alias("b"), "blk")
+            .filter(
+                (F.col("a.name") < F.col("b.name"))
+                & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist)
+            )
+            .select(
+                F.col("a.name").alias("name_a"),
+                F.col("b.name").alias("name_b"),
+                lev.cast("int").alias("edit_dist"),
+            )
+            # thresholded DP returns -1 past the bound
+            .filter(F.col("edit_dist") >= 0)
         )
-        .filter(F.col("edit_dist") >= 0)  # thresholded DP returns -1 past the bound
-    )
+
+    pairs = one_pass(-1)
+    if multi_pass:
+        # a pair meeting in both blocks collides twice — distinct()
+        # dedups exactly like the multi-table LSH candidate union
+        pairs = pairs.union(one_pass(1)).distinct()
+    return pairs

@@ -444,3 +444,27 @@ def test_fuzzy_name_pairs_brute_force_within_block(spark):
     # there (recall<1 by design, like LSH):
     assert not any("gadget" in a and "widget" in b or "widget" in a and "gadget" in b
                    for a, b, _ in got)
+
+
+def test_fuzzy_multi_pass_recovers_head_token_edits(spark):
+    """multi_pass=True adds the first-token blocking pass: a pair whose
+    edits sit entirely in the head token ('cold widget'/'cold widgets')
+    vs one whose edits sit in the first token are BOTH found, while
+    single-pass finds only the latter; multi-pass output stays a
+    superset of single-pass and introduces no false positives."""
+    from chinook_music_database_analysis_spark.operators.dedup import fuzzy_name_pairs
+
+    names = ["cold widget", "cold widgets", "bold widget"]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "id long, nm string")
+    single = {(r["name_a"], r["name_b"]) for r in
+              fuzzy_name_pairs(df, "nm", max_dist=2).collect()}
+    multi = {(r["name_a"], r["name_b"]) for r in
+             fuzzy_name_pairs(df, "nm", max_dist=2, multi_pass=True).collect()}
+    assert ("bold widget", "cold widget") in single          # same head token
+    assert ("cold widget", "cold widgets") not in single     # head-token edit missed
+    assert ("cold widget", "cold widgets") in multi          # recovered by pass 2
+    assert single <= multi
+    # no false positives: every multi pair is a true lev<=2 match
+    assert all(d <= 2 for d in
+               (r["edit_dist"] for r in
+                fuzzy_name_pairs(df, "nm", max_dist=2, multi_pass=True).collect()))
