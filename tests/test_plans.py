@@ -165,6 +165,12 @@ def test_column_pruning_reaches_scans(spark):
     assert doc_scans and all(c == {"doc_id", "text"} for c in doc_scans)
     for cols in read_schemas("q14_rolling_90d_spend"):
         assert len(cols) <= 4, cols
+    # batch-5: surprisal reads only (doc_id, text) of documents' 5
+    # cols; the fuzzy dictionary reads ONLY p_name of part's 6
+    doc_scans = [c for c in read_schemas("tx_surprisal") if "text" in c]
+    assert doc_scans and all(c == {"doc_id", "text"} for c in doc_scans)
+    for cols in read_schemas("dd_fuzzy_dictionary"):
+        assert cols == {"p_name"}, cols
 
 
 def test_literal_not_in_sql_plans_null_aware_anti_join(spark):
