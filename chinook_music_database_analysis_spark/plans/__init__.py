@@ -16,75 +16,83 @@ from . import scale_queries  # noqa: E402,F401
 # Driver-window rotation.
 #
 # The correctness driver oracle-checks the FIRST 50 entries of ``QUERIES``
-# in iteration order.  Rounds 1-2 verified the 50 parity/extension entries
-# that happened to register first; the 33 below (curation, temporal,
-# similarity, multimodal, streaming-batch, tfidf, incremental-dedup
-# families) had no driver row yet.  Rotate them to the front so round 3
-# verifies them, followed by the core reference-parity anchors (q01-q11)
-# for continuity; the remainder — driver-green in rounds 1 AND 2 and
-# unchanged since — absorb the eviction.  Every entry keeps its oracle;
-# only dict iteration order changes.
+# in iteration order.  Each round we rotate the window so that (a) every
+# registry entry eventually gets a driver CORRECTNESS row, and (b) any
+# query whose implementation was MUTATED this round is re-verified even if
+# it was green before.  Every entry keeps its oracle; only dict iteration
+# order changes.
+#
+# Round 4 window: the four late-r3 registrations that only ever had the
+# local oracle gate (union coverage -> 103/103), the ANN compression
+# ladder that is rewired to the persisted PQ index this round, the two
+# cold-path queries whose shared-relation reuse changed, any new r4
+# registrations, then second-confirmation fills for entries green exactly
+# once (in r3).  Evicted: entries driver-green in two-plus rounds with
+# byte-identical builders (q01-q12 parity anchors, mm_*, ev_* streaming
+# analogs verified r1+r3, sim_bruteforce/lsh).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked (22)
+    # never driver-checked: late-r3 registrations (4)
+    "dd_dup_ngrams",
+    "dd_semantic",
+    "tx_surprisal",
+    "dd_fuzzy_dictionary",
+    # mutated in r4 (persisted-PQ-index wiring / shared-relation reuse) —
+    # keep the whole sim_* ladder + shared _ivf_cents consumers in-window (7)
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivf_topk",
+    "sim_ivf_stride_topk",
+    "sim_sq8_topk",
+    "cur_boilerplate",
+    "dd_canonical",
+    # new in round 4 — never driver-checked
+    "pipe_layout_rebuild",
+    "dd_cross_simhash",
+    "tx_keyphrases",
+    "cur_contamination_report",
+    "ev_session_funnel_windows",
+    # green exactly once (r3) — second confirmation (rest of the 50)
     "cur_sample",
     "cur_split",
     "cur_pii_redact",
-    "cur_boilerplate",
     "cur_decontam",
     "cur_winsorize",
     "cur_mix",
     "cur_pack",
     "cur_stats_rollup",
     "cur_stats_approx",
+    "cur_temperature_mix",
+    "cur_stratified_eval",
     "ev_json_extract",
     "ev_asof_error_before_click",
     "ev_range_clicks_after_error",
     "ev_enriched_segments",
     "ev_user_funnel",
     "ev_retention_cohorts",
-    "sim_sq8_topk",
-    "tx_tfidf",
-    "dd_canonical",
-    "dd_incremental",
-    "dd_minhash_estimate",
-    "pipe_training_set",
-    # driver-checked in r1 but evicted from the r2 window (11)
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "dd_embedding_cosine",
-    "mm_media_features",
-    "mm_resize",
-    "mm_frame_sample",
-    "ev_tumbling_1h",
-    "ev_sliding_1h_30m",
-    "ev_sessionized",
-    "ev_dedup_first",
-    # new in round 3 — never driver-checked (7)
-    "sim_ivf_stride_topk",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "q13b_not_in_null_aware",
-    "q20_stats_profile",
     "ev_gapfill_hourly",
     "ev_unpivot_user_types",
-    # new in round 3, later batches — never driver-checked (9)
     "ev_hll_week_rollup",
     "ev_anomaly_hours",
-    "cur_temperature_mix",
-    "cur_stratified_eval",
+    "ev_json_variant",
+    "tx_tfidf",
+    "tx_repetition",
+    "dd_incremental",
+    "dd_minhash_estimate",
+    "dd_embedding_cosine",
+    "pipe_training_set",
+    "q13b_not_in_null_aware",
+    "q20_stats_profile",
     "s13_zorder_locality",
     "sim_range_search",
-    "ev_json_variant",
-    "tx_repetition",
     "s14_brand_pagerank",
 ]
 
 
 def _rotate_window(first: list[str]) -> None:
-    missing = [n for n in first if n not in QUERIES]
-    assert not missing, f"rotation names drifted from registry: {missing}"
+    # Unknown names are skipped at runtime; tests/test_plans.py asserts
+    # the list matches the registry exactly so drift can't ship.
+    first = [n for n in first if n in QUERIES]
     ordered = {n: QUERIES[n] for n in first}
     ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
     QUERIES.clear()
