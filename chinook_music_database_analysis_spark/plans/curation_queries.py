@@ -23,7 +23,6 @@ from ..operators.curation import (
     redact_pii,
     train_val_test_split,
 )
-from ..operators.dedup import duplicate_clusters
 from ..operators.text import shingles_from_tokens, tokens_expr
 from ..sources import load_tables
 from .extensions import (
@@ -34,6 +33,8 @@ from .extensions import (
     _SQL_SIG,
     _cached,
     _cand_pairs,
+    _dup_clusters,
+    _persisted_index,
     _table_set_id,
 )
 from .registry import register
@@ -178,14 +179,15 @@ def cur_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized per (session, table set) like the dedup shingles."""
     docs = load_tables(spark, sf_dir)["documents"]
     n = _doc_count(spark, sf_dir)
-    sh2 = _cached(
-        "bigrams",
+    sh2 = _persisted_index(
+        "doc_bigrams",
         spark,
         sf_dir,
         lambda: docs.select("doc_id", tokens_expr().alias("toks")).select(
             "doc_id",
             F.explode(F.array_distinct(shingles_from_tokens(k=BOILER_K))).alias("s"),
         ),
+        table="documents",
     )
     return boilerplate_score(
         docs, min_df=(n * BOILER_PCT_NUM + 99) // 100, shingles=sh2
@@ -231,7 +233,7 @@ def dd_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept per LSH cluster.  Completes the dedup family: detect
     (dd_minhash_pairs) -> cluster (dd_dup_clusters) -> canonicalize."""
     docs = load_tables(spark, sf_dir)["documents"]
-    clusters = duplicate_clusters(_cand_pairs(spark, sf_dir))
+    clusters = _dup_clusters(spark, sf_dir)
     return canonical_docs(docs, clusters).select("doc_id", "source", "n_chars")
 
 

@@ -115,15 +115,24 @@ _INDEX_ROOT = _os.environ.get(
 )
 
 
-def _corpus_fp(spark: SparkSession, sf_dir: str) -> str:
-    """Embedding-corpus fingerprint: (count, sum of per-row murmur3
-    hashes) — order-independent, one narrow scan, memoized per
-    (session, table set)."""
-    key = ("emb_fp", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+#: fingerprint columns per source table (all columns a derived index
+#: relation can depend on — the whole row, cheapest stable form).
+_FP_COLS = {
+    "embeddings": ("vec_id", "embedding"),
+    "documents": ("doc_id", "source", "text", "n_chars"),
+}
+
+
+def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> str:
+    """Corpus fingerprint: (count, sum of per-row murmur3 hashes) —
+    order-independent, one narrow scan, memoized per (session, table
+    set)."""
+    key = (f"fp_{table}", spark.sparkContext.applicationId, sf_dir,
+           _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
         r = (
-            load_tables(spark, sf_dir)["embeddings"]
-            .select(F.hash("vec_id", "embedding").cast("long").alias("h"))
+            load_tables(spark, sf_dir)[table]
+            .select(F.hash(*_FP_COLS[table]).cast("long").alias("h"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
             .first()
         )
@@ -131,7 +140,9 @@ def _corpus_fp(spark: SparkSession, sf_dir: str) -> str:
     return _SCALAR_MEMO[key]
 
 
-def _persisted_index(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def _persisted_index(
+    kind: str, spark: SparkSession, sf_dir: str, build, table: str = "embeddings"
+) -> DataFrame:
     """Session-memoized relation backed by the on-disk index store:
     load when the fingerprint matches, else train, persist, reload.
     Falls back to the plain session cache when persistence is
@@ -140,7 +151,7 @@ def _persisted_index(kind: str, spark: SparkSession, sf_dir: str, build) -> Data
         return _cached(kind, spark, sf_dir, build)
 
     def load_or_build() -> DataFrame:
-        fp = _corpus_fp(spark, sf_dir)
+        fp = _corpus_fp(spark, sf_dir, table)
         tag = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir).strip("_")
         d = _os.path.join(_INDEX_ROOT, tag, kind)
         fp_file = _os.path.join(d, "_FINGERPRINT")
@@ -227,18 +238,40 @@ def _emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cached(
-        "shingles", spark, sf_dir,
+    """Distinct (doc_id, shingle) relation — the text-side signature
+    table, served from the on-disk index store like the ANN relations
+    (tokenize + explode of the whole corpus, paid once per corpus
+    version)."""
+    return _persisted_index(
+        "doc_shingles", spark, sf_dir,
         lambda: doc_shingles(load_tables(spark, sf_dir)["documents"]),
+        table="documents",
     )
 
 
 def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cached(
-        "bands", spark, sf_dir,
+    """MinHash band relation — on-disk index store entry (the N_HASHES
+    md5 min-aggregations over the shingle relation are the dominant
+    cost of the MinHash family's cold path)."""
+    return _persisted_index(
+        "minhash_bands", spark, sf_dir,
         lambda: minhash_bands(
             load_tables(spark, sf_dir)["documents"], shingles=_shingles(spark, sf_dir)
         ),
+        table="documents",
+    )
+
+
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component cluster relation over the MinHash candidate
+    graph — on-disk index store entry: the pointer-jumping rounds (an
+    iterative multi-job build) run once per corpus version; consumers
+    (dd_dup_clusters, dd_canonical) read the tiny (doc_id, cluster_id)
+    result."""
+    return _persisted_index(
+        "dup_clusters", spark, sf_dir,
+        lambda: duplicate_clusters(_cand_pairs(spark, sf_dir)),
+        table="documents",
     )
 
 
@@ -508,7 +541,7 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive-CTE transitive closure: min reachable doc_id ==
     component min label, so the hash compare covers the iterative
     fixpoint too."""
-    return duplicate_clusters(_cand_pairs(spark, sf_dir))
+    return _dup_clusters(spark, sf_dir)
 
 
 _SQL_SIMHASH_CTES = f"""

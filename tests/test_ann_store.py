@@ -82,3 +82,45 @@ def test_persisted_pq_index_matches_derived(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS pq_t_books")
         spark.sql("DROP TABLE IF EXISTS pq_t_recon")
+
+
+def test_index_store_fingerprint_guard(spark, tmp_path, monkeypatch):
+    """The on-disk index store (plans.extensions._persisted_index) must
+    (a) serve later sessions from disk — proven by doctoring the stored
+    relation and observing the doctored row count — and (b) refuse a
+    store whose corpus fingerprint mismatches, retraining instead (the
+    staleness guard that makes a regenerated test corpus safe)."""
+    import glob
+    import os
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    monkeypatch.setattr(ext, "_INDEX_ROOT", str(tmp_path))
+    ext.reset_memo(SF_TEST_DIR)
+    try:
+        full = ext._ivf_cents(spark, SF_TEST_DIR)
+        n_full = full.count()
+        assert n_full > 0
+        d = glob.glob(str(tmp_path / "*" / "ivf_cents"))[0]
+
+        # Doctor the stored relation (drop one row), keep the
+        # fingerprint: a fresh "session" (memo reset) must read the
+        # doctored store — proving the load path serves from disk.
+        doctored = spark.read.parquet(os.path.join(d, "data")).limit(n_full - 1)
+        doctored.write.mode("overwrite").parquet(os.path.join(d, "data.new"))
+        import shutil
+
+        shutil.rmtree(os.path.join(d, "data"))
+        os.rename(os.path.join(d, "data.new"), os.path.join(d, "data"))
+        ext.reset_memo(SF_TEST_DIR)
+        assert ext._ivf_cents(spark, SF_TEST_DIR).count() == n_full - 1
+
+        # Invalidate the fingerprint: the loader must retrain (full
+        # cardinality restored) and replace the store.
+        with open(os.path.join(d, "_FINGERPRINT"), "w") as fh:
+            fh.write("stale")
+        ext.reset_memo(SF_TEST_DIR)
+        assert ext._ivf_cents(spark, SF_TEST_DIR).count() == n_full
+        assert open(os.path.join(d, "_FINGERPRINT")).read().strip() != "stale"
+    finally:
+        ext.reset_memo(SF_TEST_DIR)
