@@ -212,3 +212,59 @@ def test_quantile_rank_zorder_survives_skew(spark, tmp_path):
     assert q_frac < a_frac, (q_frac, a_frac)
     # and rows survive
     assert spark.read.parquet(qpath).count() == 20_000
+
+
+def test_layout_rebuild_prunes(spark, tmp_path, monkeypatch):
+    """End-to-end proof on the registered maintenance pipeline
+    (pipe_layout_rebuild): the rebuilt store is Hive-partitioned by
+    ship year (directory pruning reaches the plan as PartitionFilters),
+    the 2-D box reaches the scan as PushedFilters, and inside the
+    probed partition directory the z-order leaves whole files outside
+    the box (footer-level skipping)."""
+    import os
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+    from chinook_music_database_analysis_spark.plans.scale_queries import (
+        ZP_PART_HI,
+        ZP_PART_LO,
+        ZP_YEAR,
+        _zordered_lineitem,
+    )
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    monkeypatch.setattr(ext, "_INDEX_ROOT", str(tmp_path))
+    ext.reset_memo(SF_TEST_DIR)
+    try:
+        fact = _zordered_lineitem(spark, SF_TEST_DIR)
+
+        # store layout: one directory per ship year
+        store = glob.glob(str(tmp_path / "*" / "lineitem_zorder" / "data"))[0]
+        part_dirs = sorted(glob.glob(os.path.join(store, "l_ship_year=*")))
+        assert len(part_dirs) >= 3, part_dirs
+
+        # the registered query's plan prunes directories and pushes the box
+        plan = (
+            QUERIES["pipe_layout_rebuild"](spark, SF_TEST_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+        assert "l_ship_year" in plan.split("PartitionFilters")[1][:200]
+        pushed = plan.split("PushedFilters")[1][:300]
+        assert "l_partkey" in pushed and "l_suppkey" in pushed
+
+        # footer-level skipping inside the probed partition directory:
+        # at least one file's l_partkey span lies entirely outside the
+        # box, so the pushed range skips it without reading a row.
+        ydir = os.path.join(store, f"l_ship_year={ZP_YEAR}")
+        spans = _file_spans(ydir, "l_partkey")
+        assert spans, ydir
+        if len(spans) > 1:
+            assert any(mx < ZP_PART_LO or mn > ZP_PART_HI for mn, mx in spans), spans
+
+        # and the rebuild changed no answers (content-identity)
+        li = spark.read.parquet(f"{SF_TEST_DIR}/lineitem.parquet")
+        assert fact.count() == li.count()
+    finally:
+        ext.reset_memo(SF_TEST_DIR)
