@@ -214,6 +214,61 @@ def benchmark_contamination(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    bench_pct: float = 5.0,
+    k: int = DECONTAM_K,
+    min_ratio: float = 0.05,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination REPORT over every training doc — the
+    audit companion of :func:`benchmark_contamination` (which emits
+    only the contaminated survivors): total distinct k-grams, benchmark
+    overlap count, overlap ratio, and the >= ``min_ratio`` verdict —
+    the GPT-3-style n-gram-overlap audit table a training run logs
+    before dropping documents.
+
+    Plan shape: per-doc k-gram dedup happens INSIDE the row
+    (array_distinct before the explode — a narrow map), the benchmark
+    k-gram set is broadcast into a left join, and the only shuffle of
+    corpus-scale data is the final doc-keyed agg.  Nothing here is
+    quadratic in the corpus.
+    """
+    is_bench = _hash_bucket(F.col(key), "bench") < F.lit(pct_threshold(bench_pct))
+    bench_sh = (
+        docs.filter(is_bench)
+        .select(tokens_expr().alias("toks"))
+        .select(F.explode(shingles_from_tokens(k=k)).alias("s"))
+        .distinct()
+        .select("s", F.lit(True).alias("hit"))
+    )
+    probe = docs.filter(~is_bench).select("doc_id", tokens_expr().alias("toks")).select(
+        "doc_id", F.explode(F.array_distinct(shingles_from_tokens(k=k))).alias("s")
+    )
+    return (
+        probe.join(F.broadcast(bench_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"),
+                4,
+            ).alias("contamination"),
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n_shingles").cast("double")
+                >= F.lit(min_ratio)
+            ).alias("is_contaminated"),
+        )
+    )
+
+
 def domain_mix(
     df: DataFrame,
     rates: dict[str, float],

@@ -196,6 +196,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def _simhash_nibbles(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, simhash) relation into its four 12-bit block
+    keys — the pigeonhole banding both the self-join (near-dup pairs)
+    and the cross-corpus probe bucket on."""
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> struct(b AS band, shiftright(simhash, b * 12) & 4095 AS nib))"
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash", "bn.band", "bn.nib")
+
+
+def simhash_cross_matches(
+    sig: DataFrame, refs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Cross-corpus SimHash contamination: for each NON-reference doc,
+    the number of reference docs within ``max_hamming`` of its 48-bit
+    signature, plus the closest distance — near-duplicate benchmark
+    decontamination (exact-overlap decontam misses paraphrased leaks;
+    a hamming-3 SimHash collision catches lightly-edited copies).
+
+    ``refs`` is the reference membership relation (doc_id) — an eval
+    benchmark is fixed-size while the corpus grows, so it is broadcast
+    to both the membership anti-join and the block-band probe: the
+    corpus signature relation is scanned map-side and never shuffled
+    by a join (the only shuffles are the banding distinct and the
+    final per-doc agg).  Same pigeonhole bound as the self-join: a
+    within-3 pair must agree on one of the four 12-bit blocks.
+    """
+    nib = _simhash_nibbles(sig)
+    ref_nib = nib.join(F.broadcast(refs), "doc_id").select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("simhash").alias("ref_hash"),
+        "band",
+        "nib",
+    )
+    corpus_nib = nib.join(F.broadcast(refs), "doc_id", "left_anti")
+    cand = (
+        corpus_nib.join(F.broadcast(ref_nib), ["band", "nib"])
+        .select(
+            "doc_id",
+            "ref_id",
+            F.expr("bit_count(simhash ^ ref_hash)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ref_dups"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame, max_hamming: int = 3, sig: DataFrame | None = None
 ) -> DataFrame:
@@ -213,16 +270,7 @@ def simhash_near_dup_pairs(
     """
     if sig is None:
         sig = simhash(docs)
-    nibbles = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3),"
-                " b -> struct(b AS band, shiftright(simhash, b * 12) & 4095 AS nib))"
-            )
-        ).alias("bn"),
-    ).select("doc_id", "simhash", "bn.band", "bn.nib")
+    nibbles = _simhash_nibbles(sig)
     a, b = nibbles.alias("a"), nibbles.alias("b")
     cand = (
         a.join(

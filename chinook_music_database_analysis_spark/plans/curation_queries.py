@@ -158,6 +158,23 @@ def cur_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, bigram) relation — on-disk index store entry
+    shared by the boilerplate filter and the keyphrase extractor."""
+    return _persisted_index(
+        "doc_bigrams",
+        spark,
+        sf_dir,
+        lambda: load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", tokens_expr().alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_from_tokens(k=BOILER_K))).alias("s"),
+        ),
+        table="documents",
+    )
+
+
 @register(
     "cur_boilerplate",
     oracle=(
@@ -179,16 +196,7 @@ def cur_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized per (session, table set) like the dedup shingles."""
     docs = load_tables(spark, sf_dir)["documents"]
     n = _doc_count(spark, sf_dir)
-    sh2 = _persisted_index(
-        "doc_bigrams",
-        spark,
-        sf_dir,
-        lambda: docs.select("doc_id", tokens_expr().alias("toks")).select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles_from_tokens(k=BOILER_K))).alias("s"),
-        ),
-        table="documents",
-    )
+    sh2 = _doc_bigrams(spark, sf_dir)
     return boilerplate_score(
         docs, min_df=(n * BOILER_PCT_NUM + 99) // 100, shingles=sh2
     )
@@ -213,6 +221,76 @@ def cur_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is broadcast; the corpus is never shuffled pre-agg."""
     docs = load_tables(spark, sf_dir)["documents"]
     return benchmark_contamination(docs, bench_pct=BENCH_PCT)
+
+
+@register(
+    "cur_contamination_report",
+    oracle=(
+        f"WITH {_sql_shingles_k(DECONTAM_K)}, "
+        "b AS (SELECT doc_id, "
+        f"substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 4) < "
+        f"'{pct_threshold(BENCH_PCT)}' AS is_bench FROM documents), "
+        "bs AS (SELECT DISTINCT s FROM wsh JOIN b USING (doc_id) WHERE is_bench) "
+        "SELECT w.doc_id, "
+        "COUNT(*) AS n_shingles, "
+        "CAST(SUM(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_overlap, "
+        "ROUND(CAST(SUM(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 4) AS contamination, "
+        "CAST(SUM(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE) >= 0.05 AS is_contaminated "
+        "FROM wsh w JOIN b USING (doc_id) LEFT JOIN bs ON bs.s = w.s "
+        "WHERE NOT b.is_bench GROUP BY w.doc_id"
+    ),
+)
+def cur_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-document contamination audit (every training doc, not
+    just the contaminated survivors cur_decontam emits): distinct
+    8-gram count, benchmark-overlap count/ratio, and the >= 5% drop
+    verdict — broadcast benchmark set, per-row shingle dedup, one
+    doc-keyed shuffle (operators.curation.contamination_report)."""
+    from ..operators.curation import contamination_report
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return contamination_report(docs, bench_pct=BENCH_PCT)
+
+
+def _register_tx_keyphrases() -> None:
+    oracle = (
+        f"WITH {_sql_shingles_k(BOILER_K, 'sh2')}, "
+        "dfr AS (SELECT s, COUNT(*) AS df FROM sh2 GROUP BY s), "
+        "r AS (SELECT sh2.doc_id, sh2.s, dfr.df, "
+        "ROW_NUMBER() OVER (PARTITION BY sh2.doc_id "
+        "ORDER BY dfr.df ASC, sh2.s ASC) AS rn "
+        "FROM sh2 JOIN dfr USING (s)) "
+        "SELECT doc_id, s AS keyphrase, CAST(df AS BIGINT) AS df "
+        "FROM r WHERE rn = 1"
+    )
+
+    @register("tx_keyphrases", oracle=oracle)
+    def tx_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Rarest-phrase keyphrase per document: the bigram with the
+        lowest corpus document frequency (ties broken lexicographically)
+        — the inverse-document-frequency keyphrase heuristic computed
+        entirely from the shared bigram index store: one DF aggregate
+        over the stored relation, a broadcast-sized (bigram, df) join
+        back, and a per-doc WindowGroupLimit top-1.  No tokenization
+        re-runs — both consumers of the bigram relation (boilerplate,
+        keyphrases) read the same persisted store."""
+        from pyspark.sql import Window
+
+        sh2 = _doc_bigrams(spark, sf_dir)
+        dfr = sh2.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        return (
+            sh2.join(dfr, "s")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("s").alias("keyphrase"), "df")
+        )
+
+
+_register_tx_keyphrases()
 
 
 @register(

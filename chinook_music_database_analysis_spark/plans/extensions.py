@@ -627,6 +627,59 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_dd_cross_simhash() -> None:
+    from ..operators.curation import pct_threshold
+
+    thr = pct_threshold(5.0)
+    oracle = f"""
+    WITH {_SQL_SIMHASH_CTES},
+    bm AS (
+      SELECT doc_id,
+             substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 4) < '{thr}'
+               AS is_bench
+      FROM documents
+    ),
+    nib AS (
+      SELECT doc_id, simhash, bd.band,
+             (simhash >> CAST(bd.band * 12 AS INTEGER)) & 4095 AS nib
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) bd
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id, r.doc_id AS ref_id,
+             CAST(bit_count(xor(a.simhash, r.simhash)) AS INTEGER) AS hamming
+      FROM nib a
+      JOIN bm ba ON ba.doc_id = a.doc_id
+      JOIN nib r ON r.band = a.band AND r.nib = a.nib
+      JOIN bm br ON br.doc_id = r.doc_id
+      WHERE NOT ba.is_bench AND br.is_bench
+    )
+    SELECT doc_id, COUNT(*) AS n_ref_dups, MIN(hamming) AS min_hamming
+    FROM cand WHERE hamming <= 3 GROUP BY doc_id
+    """
+
+    @register("dd_cross_simhash", oracle=oracle)
+    def dd_cross_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-corpus near-dup decontamination: training docs whose
+        SimHash lies within hamming 3 of any held-out benchmark doc
+        (the deterministic 5% hash-sample standing in for an external
+        eval set) — catches the paraphrased/lightly-edited benchmark
+        leaks exact 8-gram decontam (cur_decontam) misses.  The
+        benchmark side is broadcast; the corpus signature relation is
+        the shared cached simhash table
+        (operators.dedup.simhash_cross_matches)."""
+        from ..operators.curation import _hash_bucket
+        from ..operators.dedup import simhash_cross_matches
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        refs = docs.filter(
+            _hash_bucket(F.col("doc_id"), "bench") < F.lit(thr)
+        ).select("doc_id")
+        return simhash_cross_matches(_simhash_sig(spark, sf_dir), refs)
+
+
+_register_dd_cross_simhash()
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1387,6 +1440,80 @@ def ev_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+@register(
+    "ev_session_funnel_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), g AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             COUNT(*) AS n_events,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events,
+           t_view IS NOT NULL AS viewed,
+           COALESCE(t_view IS NOT NULL AND t_click > t_view, FALSE)
+             AS clicked_after_view,
+           COALESCE(t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click, FALSE)
+             AS purchased_after_click
+    FROM g
+    """,
+)
+def ev_session_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel at SESSION grain: within each 30-min-gap
+    session window, did the user view -> click after the view ->
+    purchase after that click.  ev_user_funnel answers this per
+    lifetime; the session-scoped variant is what product analytics
+    actually plots (conversion within a visit).  One shuffle: Spark's
+    session_window assignment and the conditional-MIN step timestamps
+    fuse into a single session-keyed aggregate — the naive form is
+    sessionize + 3 per-step self-joins (4 shuffles of the fact).
+    Oracle: the lag-gap/running-sum session reconstruction feeding the
+    same conditional MINs."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+            F.min("ts").alias("session_start"),
+        )
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = F.coalesce(viewed & (F.col("t_click") > F.col("t_view")), F.lit(False))
+    purchased = F.coalesce(
+        clicked & (F.col("t_purchase") > F.col("t_click")), F.lit(False)
+    )
+    return m.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        viewed.alias("viewed"),
+        clicked.alias("clicked_after_view"),
+        purchased.alias("purchased_after_click"),
     )
 
 
