@@ -46,6 +46,7 @@ _WINDOW_FIRST = [
     "sim_sq8_topk",
     "cur_boilerplate",
     "dd_canonical",
+    "s04_affinity_types_scaled",
     # new in round 4 — never driver-checked
     "pipe_layout_rebuild",
     "dd_cross_simhash",

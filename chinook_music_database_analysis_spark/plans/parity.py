@@ -994,34 +994,45 @@ def s04_affinity_types_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale rewrite of s04_affinity_types — identical output, no
     fact×fact shuffle join (SURVEY §4 "custom physical approach").
 
-    Collects each order's lines into an array (one shuffle, order-grain)
-    and enumerates pairs per basket with nested ``transform`` — the
-    quadratic blowup stays bounded per basket instead of materializing a
-    self-join of the whole fact table.  Hash-checked against the literal
-    self-join's oracle.
+    **Multiplicity compression** (the per-basket cap): lines first
+    reduce to per-(order, type) COUNTS, so a basket's state is bounded
+    by the TYPE VOCABULARY — never its line count — and the pair count
+    for (t1, t2) is the product of multiplicities.  A pathological
+    million-line basket that would expand to ~10^12 rows under the
+    literal self-join (and to ~10^12 struct pairs under a naive
+    collect_list-of-lines rewrite) carries at most |types| array
+    entries and |types|^2 products here; with the driver's ~150-type
+    vocabulary that is a constant.  Shuffles: one line-grain count agg
+    and one order-grain agg of the compressed relation, then the pair
+    enumeration runs inside the row on the sorted distinct-type array
+    (x < y positionally ⇒ canonical v1 < v2, no same-type pairs to
+    filter).  Hash-checked against the literal self-join's oracle;
+    tests/test_skew_and_compat.py proves the pathological-basket bound.
     """
     t = load_tables(spark, sf_dir)
     items = (
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", F.struct("l_linenumber", F.col("p_type").alias("v")).alias("it"))
+        .select("l_orderkey", F.col("p_type").alias("v"))
     )
-    grouped = items.groupBy("l_orderkey").agg(F.sort_array(F.collect_list("it")).alias("xs"))
+    counts = items.groupBy("l_orderkey", "v").agg(F.count(F.lit(1)).alias("c"))
+    grouped = counts.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("v", "c"))).alias("xs")
+    )
     pair_expr = F.expr(
         """
         flatten(transform(xs, (x, i) ->
           transform(slice(xs, i + 2, size(xs)), y ->
-            struct(least(x.v, y.v) AS v1, greatest(x.v, y.v) AS v2, x.v <> y.v AS keep))))
+            struct(x.v AS v1, y.v AS v2, x.c * y.c AS np))))
         """
     )
     return (
         grouped.select(F.explode(pair_expr).alias("pr"))
-        .filter(F.col("pr.keep"))
         .groupBy(
             F.col("pr.v1").alias("p_type_1"),
             F.col("pr.v2").alias("p_type_2"),
         )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum("pr.np").alias("n_pairs"))
     )
 
 

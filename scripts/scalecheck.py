@@ -75,6 +75,12 @@ QUERIES = {
     "tx_surprisal": 1.3,
     # assignment N*sqrt(N) + within-cell pairs ~N^1.5 total
     "dd_semantic": 1.7,
+    # r4: blocked fuzzy join — quadratic WITHIN a block, so the
+    # exponent tracks block geometry: the generated dictionary scales
+    # both name-vocabulary dimensions by ~sqrt(factor), giving ~factor
+    # more distinct names split over ~sqrt(factor) more blocks of
+    # ~sqrt(factor) more names each -> pairs ~factor^1.5.
+    "dd_fuzzy_dictionary": 1.7,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
@@ -118,6 +124,33 @@ def generate(out_dir: str, factor: int, seed: int = 7) -> None:
         ),
         f"{out_dir}/documents.parquet",
     )
+    # part-name dictionary for the fuzzy join: "adjective noun" names
+    # like the driver's, with BOTH vocab dimensions scaled ~sqrt(factor)
+    # so the distinct-name dictionary grows ~factor while head-token
+    # blocks grow ~sqrt(factor) — the within-block pair growth the
+    # dd_fuzzy_dictionary exponent bound measures.
+    import math
+
+    dim = max(8, int(round(8 * math.sqrt(factor))))
+    adjs = [f"adj{i:03d}" for i in range(dim)]
+    nouns = [f"noun{i:03d}" for i in range(dim)]
+    n_parts = 20000 * factor
+    p_names = [
+        f"{adjs[int(a)]} {nouns[int(b)]}"
+        for a, b in zip(
+            rng.integers(0, dim, size=n_parts), rng.integers(0, dim, size=n_parts)
+        )
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_parts), pa.int64()),
+                "p_name": pa.array(p_names),
+            }
+        ),
+        f"{out_dir}/part.parquet",
+    )
+
     n_vec = 2000 * factor
     centers = rng.normal(size=(10, 64))
     labels = rng.integers(0, 10, size=n_vec)
@@ -147,7 +180,10 @@ def main() -> int:
 
     out_dir = os.path.join(REPO, ".scratch", f"scale{args.factor}")
     os.makedirs(out_dir, exist_ok=True)
-    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+    if not all(
+        os.path.exists(f"{out_dir}/{t}.parquet")
+        for t in ("embeddings", "documents", "part")
+    ):
         print(f"# generating {args.factor}x corpus under {out_dir}", file=sys.stderr)
         generate(out_dir, args.factor)
 
