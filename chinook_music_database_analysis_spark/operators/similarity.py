@@ -580,8 +580,10 @@ def semantic_dedup(
     real SemDeDup sweep over model embeddings runs ~0.95+.
 
     ``assigned`` accepts a prebuilt (cached) :func:`ivf_assignments`
-    relation — it is consumed three times here (two pair sides + the
-    decision spine), so callers should persist it.
+    relation — it is referenced four times here (the slim projection
+    feeds both candidate self-join sides plus the decision spine, and
+    the norm projection feeds both embedding re-joins), so callers
+    should persist it.
     """
     a = ivf_assignments(emb, cents) if assigned is None else assigned
     slim = a.select("vec_id", "cell_id")

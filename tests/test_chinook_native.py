@@ -218,3 +218,54 @@ def test_q05_top_customers_golden(spark, chinook_handle):
         "Carol King": ("Canada", 1.50, 1),
         "Dan Day": ("Germany", 6.00, 1),
     }
+
+
+def test_q09b_top_albums_revenue_tie_golden(spark):
+    """Micro-fixture analogue of the docx top-USA-albums anchor
+    (BASELINE.md: 'From The Muddy Banks Of The Wishkah' and 'Are You
+    Experienced?' BOTH at $27.72): two albums in the same genre with
+    bit-identical revenue must both surface, ranked deterministically
+    by the name tie-break — the exact tie the reference's published
+    result exhibits.  Fixture: one genre, two albums at 27.72 each, a
+    third at 24.75 (the reference's 'Green' shape)."""
+    c = spark.createDataFrame
+    chinook = {
+        "genre": c([(1, "Rock")], "genre_id int, name string"),
+        "artist": c([(1, "A1")], "artist_id int, name string"),
+        "album": c(
+            [(1, "Are You Experienced?", 1),
+             (2, "From The Muddy Banks Of The Wishkah", 1),
+             (3, "Green", 1)],
+            "album_id int, title string, artist_id int",
+        ),
+        "track": c(
+            [(1, "T1", 1, 1, 0.99), (2, "T2", 2, 1, 0.99), (3, "T3", 3, 1, 0.99)],
+            "track_id int, name string, album_id int, genre_id int, unit_price double",
+        ),
+        "customer": c(
+            [(1, "Alice", "Smith", "USA", "CA", "LA")],
+            "customer_id int, first_name string, last_name string, country string, state string, city string",
+        ),
+        "invoice": c(
+            [(1, 1, D(2020, 1, 10), 80.19)],
+            "invoice_id int, customer_id int, invoice_date timestamp, total double",
+        ),
+        # 28 x 0.99 = 27.72 for both tied albums; 25 x 0.99 = 24.75.
+        "invoice_line": c(
+            [(1, 1, 1, 0.99, 28), (2, 1, 2, 0.99, 28), (3, 1, 3, 0.99, 25)],
+            "invoice_line_id int, invoice_id int, track_id int, unit_price double, quantity int",
+        ),
+    }
+    handle = mount_chinook(
+        spark, chinook, handle="chinook://tie", brand_from="album"
+    )
+    got = (
+        QUERIES["q09b_top_brands_top_types"](spark, handle)
+        .orderBy("brand_rank")
+        .collect()
+    )
+    assert [(r.p_brand, r.revenue, r.brand_rank) for r in got] == [
+        ("Are You Experienced?", 27.72, 1),
+        ("From The Muddy Banks Of The Wishkah", 27.72, 2),
+        ("Green", 24.75, 3),
+    ]

@@ -467,7 +467,11 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
         # broadcast would bypass the shuffle (and the bloom's point)
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {k: spark.conf.get(k, None) for k in confs}
+    # Snapshot only EXPLICITLY-set values (RuntimeConfig.contains) —
+    # conf.get(k, None) can surface a server-side default, which the
+    # restore would then pin into the shared session fixture.
+    jconf = spark._jsparkSession.conf()
+    saved = {k: (spark.conf.get(k) if jconf.contains(k) else None) for k in confs}
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
