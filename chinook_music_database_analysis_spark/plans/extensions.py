@@ -244,11 +244,13 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared multi-table LSH bucket relation (the vector-side
-    signature table, cached like the MinHash bands)."""
+    """Shared multi-table LSH bucket relation — on-disk index store
+    entry (the vector-side signature table; N_TABLES * MAX_PLANES sign
+    projections per vector are the dominant cost of the LSH family's
+    cold path)."""
     from ..operators.similarity import lsh_buckets, lsh_n_bits
 
-    return _cached(
+    return _persisted_index(
         "emb_buckets", spark, sf_dir,
         lambda: lsh_buckets(
             load_tables(spark, sf_dir)["embeddings"],
@@ -258,11 +260,11 @@ def _emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared per-vector L2 norms (computed once, used by every pair
-    scoring stage)."""
+    """Shared per-vector L2 norms — on-disk index store entry (used by
+    every pair scoring stage)."""
     from ..operators.similarity import with_norms
 
-    return _cached(
+    return _persisted_index(
         "emb_norms", spark, sf_dir,
         lambda: with_norms(load_tables(spark, sf_dir)["embeddings"]),
     )
@@ -318,9 +320,12 @@ def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cached(
+    """Per-doc SimHash signatures — on-disk index store entry (the
+    word x 48-bit vote tally is the family's dominant cold cost)."""
+    return _persisted_index(
         "simhash", spark, sf_dir,
         lambda: simhash(load_tables(spark, sf_dir)["documents"]),
+        table="documents",
     )
 
 
