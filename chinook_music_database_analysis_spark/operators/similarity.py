@@ -469,6 +469,47 @@ def ivf_assignments(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+#: per-cell quota for cluster-balanced sampling.
+CLUSTER_SAMPLE_M = 25
+
+
+def cluster_sample(emb: DataFrame, cents: DataFrame, m: int = CLUSTER_SAMPLE_M) -> DataFrame:
+    """Cluster-balanced diversity sample: at most ``m`` vectors per
+    IVF cell, chosen by a content-addressed hash — the embedding-space
+    curation step (SemDeDup's sibling: instead of dropping near-dups
+    within a cell, cap each cell's contribution so dense regions of
+    embedding space can't dominate the training mixture).
+
+    Selection is ``md5('cls|' || vec_id)`` ranked within the cell — a
+    deterministic, data-independent coin shared with the curation
+    samplers (cur_sample/cur_split), so re-runs and the oracle pick
+    identical rows.  ``n_cell`` (pre-cap cell population) rides along
+    as the balance diagnostic.
+
+    Scale: the assignment is :func:`ivf_assignments` (broadcast
+    centroids, map-side argmax — no shuffle beyond the vec_id
+    repartition); the quota needs one shuffle keyed by cell_id and a
+    per-cell sort of hash values.  Cells are ~sqrt(N) sized by
+    construction, so the sort is bounded per task; at extreme corpus
+    sizes swap the exact quota for hash-threshold rate sampling
+    (keep when h < m/n_cell quantile) to avoid the per-cell sort
+    entirely — exactness of the quota is the only thing lost.
+    """
+    from pyspark.sql import Window
+
+    a = ivf_assignments(emb, cents).select("vec_id", "cell_id")
+    h = F.md5(F.concat(F.lit("cls|"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cell_id").orderBy("h", "vec_id")
+    wc = Window.partitionBy("cell_id")
+    return (
+        a.withColumn("h", h)
+        .withColumn("n_cell", F.count(F.lit(1)).over(wc))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select("vec_id", "cell_id", "n_cell", "rnk")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,

@@ -126,6 +126,67 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Gopher-style rule bounds (Rae et al. 2021 §A1.1, re-scaled to the
+#: synthetic corpus).  Ratio bounds are FIXED-POINT (1e4) so every
+#: rule evaluates in exact integer arithmetic on both engines.
+GOPHER_MIN_TOKENS = 15
+GOPHER_MAX_TOKENS = 5000
+GOPHER_AVG_LEN_MIN_Q = 20_000  # mean token length >= 2.0
+GOPHER_AVG_LEN_MAX_Q = 120_000  # mean token length <= 12.0
+GOPHER_MIN_UNIQUE_Q = 3_000  # distinct-token fraction >= 0.30
+GOPHER_MIN_STOP_HITS = 2  # >= 2 English function-word hits
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-chain quality filter: per-document signals,
+    one boolean per rule, and the conjunctive ``keep`` verdict — the
+    canonical cheap pre-filter of large-scale training-data pipelines
+    (word-count band, mean-word-length band, lexical diversity floor,
+    function-word floor).
+
+    Every ratio is integer-quantized (1e4 fixed point, ``div``) before
+    any comparison, so rule outcomes are bit-deterministic across
+    engines — a float ratio at a rule boundary would make keep/drop
+    depend on libm rounding.  Narrow map over one scan, no shuffle:
+    at 100 TB this is the embarrassingly-parallel first pass, and the
+    per-rule booleans (not just the verdict) are what an audit
+    dashboard aggregates to see WHICH rule drops documents.
+    """
+    toks = tokens_expr()
+    d = docs.select("doc_id", "text", toks.alias("toks"))
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("bigint") * 10_000)
+        .alias("cq"),
+        (F.size(F.array_distinct(F.col("toks"))).cast("bigint") * 10_000).alias("uq"),
+        _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"]).alias("sw_hits"),
+    )
+    scored = base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("cq div n_tokens").alias("avg_len_q"),
+        F.expr("uq div n_tokens").alias("unique_q"),
+        "sw_hits",
+    )
+    r_len = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    r_avg = F.col("avg_len_q").between(GOPHER_AVG_LEN_MIN_Q, GOPHER_AVG_LEN_MAX_Q)
+    r_unique = F.col("unique_q") >= GOPHER_MIN_UNIQUE_Q
+    r_stop = F.col("sw_hits") >= GOPHER_MIN_STOP_HITS
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_len_q",
+        "unique_q",
+        "sw_hits",
+        r_len.alias("r_len"),
+        r_avg.alias("r_avg_len"),
+        r_unique.alias("r_unique"),
+        r_stop.alias("r_stopwords"),
+        (r_len & r_avg & r_unique & r_stop).alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-heuristic language ID: score = count of tokens hitting
     each language's function-word list; argmax with a fixed priority

@@ -53,6 +53,8 @@ _WINDOW_FIRST = [
     "tx_keyphrases",
     "cur_contamination_report",
     "ev_session_funnel_windows",
+    "tx_gopher_quality",
+    "cur_cluster_sample",
     # green exactly once (r3) — second confirmation (rest of the 50)
     "cur_sample",
     "cur_split",
@@ -82,8 +84,6 @@ _WINDOW_FIRST = [
     "dd_minhash_estimate",
     "dd_embedding_cosine",
     "pipe_training_set",
-    "q13b_not_in_null_aware",
-    "q20_stats_profile",
     "s13_zorder_locality",
     "sim_range_search",
     "s14_brand_pagerank",
@@ -102,10 +102,10 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r4 NOTE: the rotation list is at 49/50 slots.  Queries registered
-# after this rotation (late-r3: dd_dup_ngrams, dd_semantic,
-# tx_surprisal) have the local oracle gate only; next round, swap them
-# into _WINDOW_FIRST in place of entries that will then be driver-green
-# two-plus rounds running.
+# r4 NOTE: the rotation list is at 49/50 slots.  Evicted to make room
+# for the late-r4 registrations (tx_gopher_quality, cur_cluster_sample):
+# q13b_not_in_null_aware, q20_stats_profile (green r3, builders
+# byte-unchanged — their second confirmation moves to r5's window along
+# with any r4-registered entries that miss this round's cutoff).
 
 __all__ = ["QUERIES", "ORACLES", "register"]

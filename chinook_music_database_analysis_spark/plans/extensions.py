@@ -459,6 +459,52 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_tables(spark, sf_dir)["documents"])
 
 
+def _sql_gopher() -> str:
+    from ..operators.text import (
+        GOPHER_AVG_LEN_MAX_Q,
+        GOPHER_AVG_LEN_MIN_Q,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MIN_UNIQUE_Q,
+    )
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 10000)
+               // len(toks) AS avg_len_q,
+             (CAST(len(list_distinct(toks)) AS BIGINT) * 10000)
+               // len(toks) AS unique_q,
+             len(list_filter(toks, t -> t IN ({_SW_EN}))) AS sw_hits
+      FROM d
+    )
+    SELECT doc_id, n_tokens, avg_len_q, unique_q, sw_hits,
+           n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS r_len,
+           avg_len_q BETWEEN {GOPHER_AVG_LEN_MIN_Q} AND {GOPHER_AVG_LEN_MAX_Q} AS r_avg_len,
+           unique_q >= {GOPHER_MIN_UNIQUE_Q} AS r_unique,
+           sw_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopwords,
+           (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+             AND (avg_len_q BETWEEN {GOPHER_AVG_LEN_MIN_Q} AND {GOPHER_AVG_LEN_MAX_Q})
+             AND unique_q >= {GOPHER_MIN_UNIQUE_Q}
+             AND sw_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+    FROM s
+    """
+
+
+@register("tx_gopher_quality", oracle=_sql_gopher())
+def tx_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-chain quality filter: per-rule booleans +
+    conjunctive keep verdict, all comparisons in 1e4 fixed point
+    (operators.text.gopher_quality)."""
+    from ..operators.text import gopher_quality
+
+    return gopher_quality(load_tables(spark, sf_dir)["documents"])
+
+
 def _sql_clean_corpus() -> str:
     counts = ", ".join(
         "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(
@@ -836,6 +882,48 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         load_tables(spark, sf_dir)["embeddings"],
         centroids=_ivf_cents(spark, sf_dir),
+    )
+
+
+def _sql_cluster_sample() -> str:
+    from ..operators.similarity import CLUSTER_SAMPLE_M, KMEANS_ITERS
+
+    return f"""
+    WITH {_sql_kmeans_cents()}, c AS (
+      SELECT cell_id, ce FROM kc{KMEANS_ITERS}
+    ), a AS (
+      SELECT e.vec_id, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      QUALIFY rn = 1
+    ), h AS (
+      SELECT vec_id, cell_id,
+             md5('cls|' || CAST(vec_id AS VARCHAR)) AS h
+      FROM a
+    )
+    SELECT vec_id, cell_id,
+           COUNT(*) OVER (PARTITION BY cell_id) AS n_cell,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY cell_id ORDER BY h, vec_id) AS INTEGER) AS rnk
+    FROM h QUALIFY rnk <= {CLUSTER_SAMPLE_M}
+    """
+
+
+@register("cur_cluster_sample", oracle=_sql_cluster_sample())
+def cur_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample over the embedding corpus:
+    at most CLUSTER_SAMPLE_M vectors per k-means IVF cell, selected by
+    the content-addressed hash shared with the curation samplers —
+    embedding-space-aware curation (dense regions can't dominate the
+    mixture).  Reuses the persisted centroid index; the per-vector
+    assignment is the broadcast argmax of operators.similarity
+    .ivf_assignments (no pair shuffle)."""
+    from ..operators.similarity import cluster_sample
+
+    return cluster_sample(
+        load_tables(spark, sf_dir)["embeddings"], _ivf_cents(spark, sf_dir)
     )
 
 

@@ -522,3 +522,65 @@ def test_fuzzy_recall_measured_against_exact_truth(spark):
         .count()
     )
     assert cand < n * (n - 1) / 2 / 2, (cand, n)
+
+
+def test_gopher_quality_rule_consistency(spark):
+    """keep == conjunction of the per-rule booleans, and each boolean
+    must re-derive from its own signal columns — the audit-dashboard
+    contract (a flag that disagrees with its signal is a silent filter
+    bug)."""
+    from chinook_music_database_analysis_spark.operators.text import (
+        GOPHER_AVG_LEN_MAX_Q,
+        GOPHER_AVG_LEN_MIN_Q,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MIN_UNIQUE_Q,
+        gopher_quality,
+    )
+
+    docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+    r = gopher_quality(docs).toPandas()
+    assert len(r) == docs.count()
+    assert (r.keep == (r.r_len & r.r_avg_len & r.r_unique & r.r_stopwords)).all()
+    assert (
+        r.r_len == r.n_tokens.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    ).all()
+    assert (
+        r.r_avg_len == r.avg_len_q.between(GOPHER_AVG_LEN_MIN_Q, GOPHER_AVG_LEN_MAX_Q)
+    ).all()
+    assert (r.r_unique == (r.unique_q >= GOPHER_MIN_UNIQUE_Q)).all()
+    assert (r.r_stopwords == (r.sw_hits >= GOPHER_MIN_STOP_HITS)).all()
+    # fixed-point ratios live in sane ranges (quantized fractions)
+    assert (r.unique_q <= 10_000).all() and (r.unique_q > 0).all()
+    assert (r.avg_len_q > 0).all()
+    # the synthetic corpus is word salad: both extremes must appear so
+    # the filter is exercised in both directions
+    assert r.keep.any() and (~r.keep).any()
+
+
+def test_cluster_sample_quota_and_determinism(spark):
+    """Per-cell quota is exact (min(n_cell, M) rows per cell), sampled
+    vec_ids are unique, and a re-run picks the identical rows (the
+    content-addressed coin)."""
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        CLUSTER_SAMPLE_M,
+        kmeans_centroids,
+        cluster_sample,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    cents = kmeans_centroids(emb, emb.count())
+    r = cluster_sample(emb, cents).toPandas()
+    assert r.vec_id.is_unique
+    assert (r.rnk >= 1).all() and (r.rnk <= CLUSTER_SAMPLE_M).all()
+    per_cell = r.groupby("cell_id").agg(taken=("rnk", "size"), n=("n_cell", "first"))
+    assert (per_cell.taken == per_cell.n.clip(upper=CLUSTER_SAMPLE_M)).all()
+    # dense cells are capped: the sample can't mirror the population
+    # skew (the whole point of balancing)
+    if (per_cell.n > CLUSTER_SAMPLE_M).any():
+        assert (per_cell.taken.max() == CLUSTER_SAMPLE_M)
+    r2 = cluster_sample(emb, cents).toPandas()
+    a = r.sort_values(["cell_id", "rnk"]).reset_index(drop=True)
+    b = r2.sort_values(["cell_id", "rnk"]).reset_index(drop=True)
+    assert a.equals(b)
