@@ -81,6 +81,10 @@ QUERIES = {
     # more distinct names split over ~sqrt(factor) more blocks of
     # ~sqrt(factor) more names each -> pairs ~factor^1.5.
     "dd_fuzzy_dictionary": 1.7,
+    # late r4: narrow single-scan rule chain — linear
+    "tx_gopher_quality": 1.3,
+    # k-means training + N x sqrt(N) assignment like the IVF family
+    "cur_cluster_sample": 1.7,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
