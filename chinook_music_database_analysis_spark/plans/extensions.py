@@ -134,23 +134,25 @@ def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> s
     a CORRECTNESS hash mismatch, not silence."""
     import hashlib as _hashlib
 
-    key = (f"fp_{table}", spark.sparkContext.applicationId, sf_dir,
+    tables = (table,) if isinstance(table, str) else tuple(table)
+    key = ("fp", tables, spark.sparkContext.applicationId, sf_dir,
            _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
-        root = _os.path.join(sf_dir, f"{table}.parquet")
         entries: list[str] = []
-        if _os.path.isdir(root):
-            for dirpath, _dirs, files in _os.walk(root):
-                for f in sorted(files):
-                    if f.startswith((".", "_")):
-                        continue
-                    p = _os.path.join(dirpath, f)
-                    st = _os.stat(p)
-                    rel = _os.path.relpath(p, root)
-                    entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
-        else:
-            st = _os.stat(root)
-            entries.append(f"{table}.parquet|{st.st_size}|{st.st_mtime_ns}")
+        for t in tables:
+            root = _os.path.join(sf_dir, f"{t}.parquet")
+            if _os.path.isdir(root):
+                for dirpath, _dirs, files in _os.walk(root):
+                    for f in sorted(files):
+                        if f.startswith((".", "_")):
+                            continue
+                        p = _os.path.join(dirpath, f)
+                        st = _os.stat(p)
+                        rel = _os.path.join(t, _os.path.relpath(p, root))
+                        entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+            else:
+                st = _os.stat(root)
+                entries.append(f"{t}.parquet|{st.st_size}|{st.st_mtime_ns}")
         manifest = "\n".join(sorted(entries))
         _SCALAR_MEMO[key] = _hashlib.md5(manifest.encode()).hexdigest()
     return _SCALAR_MEMO[key]
@@ -161,7 +163,7 @@ def _persisted_index(
     spark: SparkSession,
     sf_dir: str,
     build,
-    table: str = "embeddings",
+    table: str | tuple[str, ...] = "embeddings",
     writer=None,
 ) -> DataFrame:
     """Session-memoized relation backed by the on-disk index store:
