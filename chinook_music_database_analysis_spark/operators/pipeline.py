@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import LANG_STOPWORDS, _stopword_hits, lang_pred_expr, tokens_expr
+from .text import (
+    LANG_STOPWORDS,
+    _stopword_hits,
+    gopher_quality,
+    lang_pred_expr,
+    tokens_expr,
+)
 
 #: default gates: keep docs with at least MIN_TOKENS whitespace tokens
 #: and a composite quality score of at least MIN_QUALITY (roughly the
@@ -83,3 +89,79 @@ def clean_corpus(
         )
         .select("doc_id", pred.alias("pred_lang"), "n_tokens", "quality_score")
     )
+
+
+def filter_funnel(docs: DataFrame, bench_pct: float = 5.0) -> DataFrame:
+    """Stage-by-stage survival report of the curation funnel — the
+    observability query a training-data pipeline runs after every
+    corpus refresh to see WHERE documents are lost:
+
+    ========  ===========================================================
+    stage 0   raw corpus
+    stage 1   Gopher rule-chain survivors (operators.text.gopher_quality)
+    stage 2   + exact-dedup representatives (min doc_id per content hash
+              among stage-1 survivors)
+    stage 3   + decontaminated (not a benchmark member, and sharing no
+              wide k-gram with the benchmark sample —
+              operators.curation.benchmark_contamination)
+    ========  ===========================================================
+
+    Output: (stage, stage_name, n_docs) — four rows.
+
+    Plan: quality signals, the content hash, and the benchmark flag are
+    computed in ONE scan (gopher_quality's ``carry`` threads the extra
+    columns through its projections — no doc_id re-join); the dedup
+    representative costs the single content-hash-keyed window shuffle;
+    the contaminated id set arrives by broadcast (bounded by benchmark
+    size, like the decontam pass itself); the funnel is a 1-row global
+    aggregate exploded to 4 rows.  Nothing else moves.
+    """
+    from .curation import _hash_bucket, benchmark_contamination, pct_threshold
+
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    aug = docs.select(
+        "doc_id",
+        "text",
+        F.md5(norm).alias("content_hash"),
+        (_hash_bucket(F.col("doc_id"), "bench") < F.lit(pct_threshold(bench_pct)))
+        .alias("is_bench"),
+    )
+    g = gopher_quality(aug, carry=("content_hash", "is_bench"))
+    w = Window.partitionBy("content_hash")
+    min_keep = F.min(F.when(F.col("keep"), F.col("doc_id"))).over(w)
+    cont = benchmark_contamination(docs, bench_pct=bench_pct).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    flagged = (
+        g.withColumn("rep", F.col("keep") & (F.col("doc_id") == min_keep))
+        .join(F.broadcast(cont), "doc_id", "left")
+        .select(
+            "keep",
+            "rep",
+            (
+                F.col("rep")
+                & ~F.col("is_bench")
+                & ~F.coalesce(F.col("contaminated"), F.lit(False))
+            ).alias("clean"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("keep").cast("int")).alias("n1"),
+        F.sum(F.col("rep").cast("int")).alias("n2"),
+        F.sum(F.col("clean").cast("int")).alias("n3"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("stage"), F.lit("raw").alias("stage_name"),
+                         F.col("n0").alias("n_docs")),
+                F.struct(F.lit(1).alias("stage"), F.lit("quality").alias("stage_name"),
+                         F.col("n1").alias("n_docs")),
+                F.struct(F.lit(2).alias("stage"), F.lit("dedup").alias("stage_name"),
+                         F.col("n2").alias("n_docs")),
+                F.struct(F.lit(3).alias("stage"), F.lit("decontam").alias("stage_name"),
+                         F.col("n3").alias("n_docs")),
+            )
+        ).alias("f")
+    ).select("f.stage", "f.stage_name", "f.n_docs")

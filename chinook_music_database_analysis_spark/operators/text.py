@@ -137,7 +137,7 @@ GOPHER_MIN_UNIQUE_Q = 3_000  # distinct-token fraction >= 0.30
 GOPHER_MIN_STOP_HITS = 2  # >= 2 English function-word hits
 
 
-def gopher_quality(docs: DataFrame) -> DataFrame:
+def gopher_quality(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Gopher-style rule-chain quality filter: per-document signals,
     one boolean per rule, and the conjunctive ``keep`` verdict — the
     canonical cheap pre-filter of large-scale training-data pipelines
@@ -151,11 +151,16 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     at 100 TB this is the embarrassingly-parallel first pass, and the
     per-rule booleans (not just the verdict) are what an audit
     dashboard aggregates to see WHICH rule drops documents.
+
+    ``carry`` names upstream columns threaded through unchanged, so a
+    fused pipeline (pipe_filter_funnel) can compute hashes/flags in
+    the SAME single scan instead of re-joining by doc_id.
     """
     toks = tokens_expr()
-    d = docs.select("doc_id", "text", toks.alias("toks"))
+    d = docs.select("doc_id", "text", toks.alias("toks"), *carry)
     base = d.select(
         "doc_id",
+        *carry,
         F.size("toks").alias("n_tokens"),
         (F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("bigint") * 10_000)
         .alias("cq"),
@@ -164,6 +169,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
     scored = base.select(
         "doc_id",
+        *carry,
         "n_tokens",
         F.expr("cq div n_tokens").alias("avg_len_q"),
         F.expr("uq div n_tokens").alias("unique_q"),
@@ -175,6 +181,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     r_stop = F.col("sw_hits") >= GOPHER_MIN_STOP_HITS
     return scored.select(
         "doc_id",
+        *carry,
         "n_tokens",
         "avg_len_q",
         "unique_q",

@@ -102,10 +102,11 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r4 NOTE: the rotation list is at 49/50 slots.  Evicted to make room
+# r4 NOTE: the rotation list is at 50/50 slots.  Evicted to make room
 # for the late-r4 registrations (tx_gopher_quality, cur_cluster_sample):
 # q13b_not_in_null_aware, q20_stats_profile (green r3, builders
-# byte-unchanged — their second confirmation moves to r5's window along
-# with any r4-registered entries that miss this round's cutoff).
+# byte-unchanged — their second confirmation moves to r5's window).
+# Registered after the r4 cutoff with the local oracle gate only
+# (rotate into r5's window): pipe_filter_funnel.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -672,3 +672,79 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(matches.cast("double") / N_HASHES, 4).alias("est_jaccard"),
         )
     )
+
+
+def _funnel_oracle() -> str:
+    from ..operators.text import (
+        GOPHER_AVG_LEN_MAX_Q,
+        GOPHER_AVG_LEN_MIN_Q,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MIN_UNIQUE_Q,
+    )
+    from .extensions import _SW_EN
+
+    return f"""
+    WITH {_sql_shingles_k(DECONTAM_K)},
+    d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+             md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
+             substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 4)
+               < '{pct_threshold(BENCH_PCT)}' AS is_bench
+      FROM documents
+    ), sg AS (
+      SELECT doc_id, content_hash, is_bench,
+             len(toks) AS n_tokens,
+             (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 10000)
+               // len(toks) AS avg_len_q,
+             (CAST(len(list_distinct(toks)) AS BIGINT) * 10000)
+               // len(toks) AS unique_q,
+             len(list_filter(toks, t -> t IN ({_SW_EN}))) AS sw_hits
+      FROM d
+    ), kp AS (
+      SELECT doc_id, content_hash, is_bench,
+             (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+               AND (avg_len_q BETWEEN {GOPHER_AVG_LEN_MIN_Q} AND {GOPHER_AVG_LEN_MAX_Q})
+               AND unique_q >= {GOPHER_MIN_UNIQUE_Q}
+               AND sw_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+      FROM sg
+    ), r AS (
+      SELECT doc_id, is_bench, keep,
+             keep AND doc_id = MIN(CASE WHEN keep THEN doc_id END)
+               OVER (PARTITION BY content_hash) AS rep
+      FROM kp
+    ), bs AS (
+      SELECT DISTINCT s FROM wsh JOIN kp USING (doc_id) WHERE kp.is_bench
+    ), cont AS (
+      SELECT DISTINCT wsh.doc_id FROM wsh
+      JOIN kp USING (doc_id) JOIN bs USING (s) WHERE NOT kp.is_bench
+    ), fl AS (
+      SELECT r.keep, r.rep,
+             r.rep AND NOT r.is_bench AND cont.doc_id IS NULL AS clean
+      FROM r LEFT JOIN cont USING (doc_id)
+    ), agg AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CAST(keep AS INT)) AS BIGINT) AS n1,
+             CAST(SUM(CAST(rep AS INT)) AS BIGINT) AS n2,
+             CAST(SUM(CAST(clean AS INT)) AS BIGINT) AS n3
+      FROM fl
+    )
+    SELECT 0 AS stage, 'raw' AS stage_name, n0 AS n_docs FROM agg
+    UNION ALL SELECT 1, 'quality', n1 FROM agg
+    UNION ALL SELECT 2, 'dedup', n2 FROM agg
+    UNION ALL SELECT 3, 'decontam', n3 FROM agg
+    """
+
+
+@register("pipe_filter_funnel", oracle=_funnel_oracle())
+def pipe_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel survival report: raw -> Gopher quality ->
+    exact-dedup representative -> decontaminated, as four (stage,
+    stage_name, n_docs) rows.  One scan computes quality signals +
+    content hash + benchmark flag together (gopher_quality's carry
+    columns); one content-hash window shuffle; contaminated ids arrive
+    broadcast (operators.pipeline.filter_funnel)."""
+    from ..operators.pipeline import filter_funnel
+
+    return filter_funnel(load_tables(spark, sf_dir)["documents"], bench_pct=BENCH_PCT)
