@@ -584,3 +584,25 @@ def test_cluster_sample_quota_and_determinism(spark):
     a = r.sort_values(["cell_id", "rnk"]).reset_index(drop=True)
     b = r2.sort_values(["cell_id", "rnk"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_filter_funnel_monotone(spark):
+    """Funnel counts must be monotone non-increasing, start at the
+    corpus size, and each stage's count must re-derive from the
+    underlying operators (quality count == gopher keepers)."""
+    from chinook_music_database_analysis_spark.operators.text import gopher_quality
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    r = (
+        QUERIES["pipe_filter_funnel"](spark, SF_TEST_DIR)
+        .toPandas()
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    assert list(r.stage) == [0, 1, 2, 3]
+    assert list(r.stage_name) == ["raw", "quality", "dedup", "decontam"]
+    docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+    assert r.n_docs[0] == docs.count()
+    assert (r.n_docs.diff().dropna() <= 0).all()
+    n_keep = gopher_quality(docs).filter("keep").count()
+    assert r.n_docs[1] == n_keep
