@@ -115,6 +115,8 @@ BNLJ_ALLOWED = {
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_sq8_topk",
+    # broadcast ~sqrt(N) centroid relation (the IVF assignment argmax)
+    "cur_cluster_sample",
 }
 
 
@@ -171,6 +173,16 @@ def test_column_pruning_reaches_scans(spark):
     assert doc_scans and all(c == {"doc_id", "text"} for c in doc_scans)
     for cols in read_schemas("dd_fuzzy_dictionary"):
         assert cols == {"p_name"}, cols
+    # late-r4: the Gopher rule chain reads only (doc_id, text)
+    doc_scans = [c for c in read_schemas("tx_gopher_quality") if "text" in c]
+    assert doc_scans and all(c == {"doc_id", "text"} for c in doc_scans)
+
+
+def test_gopher_quality_plan_has_no_exchange(spark):
+    """The rule-chain filter is the 100 TB first-pass map: its plan
+    must contain zero shuffles (pure scan + codegen projections)."""
+    p = _plan(spark, "tx_gopher_quality")
+    assert "Exchange" not in p, p
 
 
 def test_literal_not_in_sql_plans_null_aware_anti_join(spark):
