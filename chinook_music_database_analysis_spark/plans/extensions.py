@@ -1653,6 +1653,57 @@ def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type, last_event_id, last_ts, last_value, n_versions
+    FROM (
+      SELECT user_id, event_type,
+             event_id AS last_event_id, ts AS last_ts, value AS last_value,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+               AS n_versions,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ev_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: materialize the latest-writer-wins state
+    table from an upsert event stream — the CDC-merge read path of a
+    lakehouse (each (user_id, event_type) key's newest version by
+    (ts, event_id), plus the version count a compaction planner uses).
+
+    Plan: ONE hash aggregate with ``max_by(struct(...), struct(ts,
+    event_id))`` — the partial (map-side) combine reduces every input
+    partition to at most one row per key BEFORE the shuffle, so the
+    exchange carries ~|keys| rows however many versions pile up.  The
+    oracle's window form (ROW_NUMBER ... DESC = 1) would shuffle and
+    sort EVERY version — the agg form is the 100 TB answer, and
+    hash-matching it against the window-form oracle proves the two
+    formulations equivalent."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.expr(
+                "max_by(struct(event_id, ts, value), struct(ts, event_id))"
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.value").alias("last_value"),
+            "n_versions",
+        )
+    )
+
+
+@register(
     "ev_json_extract",
     oracle="""
     SELECT event_type,
