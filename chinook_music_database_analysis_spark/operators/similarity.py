@@ -255,6 +255,75 @@ def embedding_near_dup_pairs(
     )
 
 
+#: neighbors per vector in the corpus-wide k-NN graph.
+KNN_GRAPH_K = 3
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = KNN_GRAPH_K,
+    buckets: DataFrame | None = None,
+    norms: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-wide approximate k-NN graph: every vector's top-``k``
+    most-similar LSH bucket-mates as directed edges (src_id, nbr_id,
+    cos_sim, rnk) — the neighbor graph semantic-dedup, graph
+    clustering, and label-propagation pipelines consume.
+
+    Candidates are bucket-bounded exactly like
+    :func:`embedding_near_dup_pairs` (multi-table sign-projection LSH
+    with corpus-scaled bits keeps expected candidates ~linear in N;
+    recall < 1 by design), then scored exactly and cut to the per-src
+    top-k.  The rank window engages Spark's WindowGroupLimit: each
+    src group keeps only k rows through the sort, so the post-shuffle
+    state is k·N edges, not the candidate multiset.  At 100 TB both
+    signature relations come from the persisted index store — graph
+    construction never rescans or re-projects the corpus.
+    """
+    from pyspark.sql import Window
+
+    if buckets is None:
+        buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
+    bk = buckets
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src_id"), F.col("b.vec_id").alias("nbr_id"))
+        .distinct()
+    )
+    wn = with_norms(emb) if norms is None else norms
+    scored = (
+        cand.join(
+            wn.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "src_id",
+        )
+        .join(
+            wn.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "nbr_id",
+        )
+        .select(
+            "src_id",
+            "nbr_id",
+            _cos("emb_a", "emb_b", "norm_a", "norm_b").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src_id", "nbr_id", "cos_sim", "rnk")
+    )
+
+
 def range_search(
     emb: DataFrame,
     tau: float = 0.2,

@@ -107,6 +107,7 @@ _rotate_window(_WINDOW_FIRST)
 # q13b_not_in_null_aware, q20_stats_profile (green r3, builders
 # byte-unchanged — their second confirmation moves to r5's window).
 # Registered after the r4 cutoff with the local oracle gate only
-# (rotate into r5's window): pipe_filter_funnel, ev_cdc_latest_state.
+# (rotate into r5's window): pipe_filter_funnel, ev_cdc_latest_state,
+# sim_knn_graph.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

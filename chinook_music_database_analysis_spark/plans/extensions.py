@@ -1314,6 +1314,49 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_knn_graph() -> None:
+    from ..operators.similarity import KNN_GRAPH_K
+
+    @register(
+        "sim_knn_graph",
+        oracle=f"""
+        WITH {_SQL_LSH_BUCKETS},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+          FROM bkts a
+          JOIN bkts b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                     AND a.vec_id <> b.vec_id
+        ), p AS (
+          SELECT c.src_id, c.nbr_id,
+                 {_sql_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.src_id
+          JOIN embeddings eb ON eb.vec_id = c.nbr_id
+        )
+        SELECT src_id, nbr_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id) AS INTEGER) AS rnk
+        FROM p QUALIFY rnk <= {KNN_GRAPH_K}
+        """,
+    )
+    def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-wide approximate k-NN graph (every vector's top-k
+        LSH bucket-mates as directed edges) from the persisted
+        bucket/norm signature stores — the neighbor-graph build
+        semantic-dedup and graph-clustering pipelines start from
+        (operators.similarity.knn_graph)."""
+        from ..operators.similarity import knn_graph
+
+        return knn_graph(
+            load_tables(spark, sf_dir)["embeddings"],
+            buckets=_emb_buckets(spark, sf_dir),
+            norms=_emb_norms(spark, sf_dir),
+        )
+
+
+_register_knn_graph()
+
+
 @register(
     "dd_embedding_cosine",
     oracle=f"""

@@ -85,6 +85,8 @@ QUERIES = {
     "tx_gopher_quality": 1.3,
     # k-means training + N x sqrt(N) assignment like the IVF family
     "cur_cluster_sample": 1.7,
+    # bucket-bounded candidates + per-src top-k, like the cosine family
+    "sim_knn_graph": 1.6,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).

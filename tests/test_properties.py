@@ -606,3 +606,24 @@ def test_filter_funnel_monotone(spark):
     assert (r.n_docs.diff().dropna() <= 0).all()
     n_keep = gopher_quality(docs).filter("keep").count()
     assert r.n_docs[1] == n_keep
+
+
+def test_knn_graph_degree_and_symmetry(spark):
+    """Every vector's out-degree is <= k (exactly k when enough
+    bucket-mates exist), ranks are contiguous from 1, and the cosine
+    score is symmetric where both directed edges exist."""
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    r = QUERIES["sim_knn_graph"](spark, SF_TEST_DIR).toPandas()
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        KNN_GRAPH_K,
+    )
+
+    deg = r.groupby("src_id").rnk.agg(["size", "max", "min"])
+    assert (deg["size"] <= KNN_GRAPH_K).all()
+    assert (deg["max"] == deg["size"]).all() and (deg["min"] == 1).all()
+    assert not (r.src_id == r.nbr_id).any()
+    fwd = {(a, b): c for a, b, c in zip(r.src_id, r.nbr_id, r.cos_sim)}
+    both = [(k, fwd[(k[1], k[0])]) for k in fwd if (k[1], k[0]) in fwd]
+    assert both, "no reciprocal edges on the fixture corpus"
+    assert all(abs(fwd[k] - c) < 1e-12 for k, c in both)
