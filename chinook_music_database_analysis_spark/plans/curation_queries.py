@@ -748,3 +748,57 @@ def pipe_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import filter_funnel
 
     return filter_funnel(load_tables(spark, sf_dir)["documents"], bench_pct=BENCH_PCT)
+
+
+@register(
+    "dq_documents_expectations",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS v0,
+             COUNT(CASE WHEN NOT COALESCE(length(trim(text)) > 0, FALSE) THEN 1 END) AS v1,
+             COUNT(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE) THEN 1 END) AS v2,
+             COUNT(CASE WHEN NOT COALESCE(lang IN ('en','de','es','fr','zh'), FALSE) THEN 1 END) AS v3,
+             COUNT(CASE WHEN NOT COALESCE(source LIKE 'src%', FALSE) THEN 1 END) AS v4,
+             COUNT(*) - COUNT(DISTINCT doc_id) AS v5
+      FROM documents
+    )
+    SELECT 'doc_id_not_null' AS rule, n AS n_rows, v0 AS n_violations,
+           ROUND(CAST(v0 AS DOUBLE)/n, 6) AS violation_rate FROM a
+    UNION ALL SELECT 'text_not_empty', n, v1, ROUND(CAST(v1 AS DOUBLE)/n, 6) FROM a
+    UNION ALL SELECT 'chars_consistent', n, v2, ROUND(CAST(v2 AS DOUBLE)/n, 6) FROM a
+    UNION ALL SELECT 'lang_known', n, v3, ROUND(CAST(v3 AS DOUBLE)/n, 6) FROM a
+    UNION ALL SELECT 'source_prefixed', n, v4, ROUND(CAST(v4 AS DOUBLE)/n, 6) FROM a
+    UNION ALL SELECT 'doc_id_unique', n, v5, ROUND(CAST(v5 AS DOUBLE)/n, 6) FROM a
+    """,
+)
+def dq_documents_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over the documents corpus (the ingest gate a
+    training pipeline runs before any curation): not-null, non-empty,
+    metadata-consistency (n_chars == length(text)), set-membership,
+    prefix, and primary-key uniqueness — row-wise rules in ONE scan
+    via operators.quality.expectation_report, the uniqueness rule as a
+    second global aggregate (count vs distinct count) unioned in."""
+    from ..operators.quality import expectation_report
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    report = expectation_report(
+        docs,
+        {
+            "doc_id_not_null": F.col("doc_id").isNotNull(),
+            "text_not_empty": F.length(F.trim(F.col("text"))) > 0,
+            "chars_consistent": F.col("n_chars") == F.length("text"),
+            "lang_known": F.col("lang").isin("en", "de", "es", "fr", "zh"),
+            "source_prefixed": F.col("source").startswith("src"),
+        },
+    )
+    uniq = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("v"),
+    ).select(
+        F.lit("doc_id_unique").alias("rule"),
+        F.col("n").alias("n_rows"),
+        F.col("v").alias("n_violations"),
+        F.round(F.col("v") / F.col("n"), 6).alias("violation_rate"),
+    )
+    return report.unionAll(uniq)
