@@ -179,3 +179,80 @@ def resample_ffill(
             F.col("v").isNull().alias("is_gap"),
         )
     )
+
+
+#: block width (arrival-axis range) for the two-level prefix max — the
+#: within-block window partition size and the block-relation row count
+#: trade off through this constant, same role as curation.PACK_BLOCK.
+LATENESS_BLOCK = 1000
+
+
+def event_lateness(
+    events: DataFrame,
+    block: int = LATENESS_BLOCK,
+    arrival_col: str | None = None,
+) -> DataFrame:
+    """Per-event lateness: how far behind the maximum event-time
+    already ARRIVED each event's timestamp is, in microseconds — the
+    quantity a Structured Streaming watermark trades off (events with
+    lateness beyond the watermark delay are dropped from stateful
+    operators).
+
+    Arrival order is ``arrival_col`` (a numeric ingest-sequence
+    column; ties broken by event_id), defaulting to event_id itself.
+    ``block`` is the arrival-axis width of one prefix block — for a
+    dense sequence use row counts (default 1000); for a hash-valued
+    arrival axis use a power-of-two slice of the hash range.
+
+    The naive plan is one global ordered running-max — a single
+    partition holding every event.  This is the two-level distributed
+    prefix MAX instead (the pack_sequences pattern with max for sum):
+    per-block maxima (one shuffled row per ``arrival div block``), an
+    exclusive prefix max over that tiny block relation, broadcast
+    back, and an exclusive within-block running max partitioned by
+    block — both corpus-scale stages are keyed by block id, so no
+    partition ever holds more than one block of state.
+
+    Timestamps are compared in integer microseconds (the generator's
+    grain), so lateness — and the oracle — is exact; the sentinel for
+    "no prior event" is epoch 0, below every real timestamp.
+    """
+    arr = arrival_col or "event_id"
+    e = events.select(
+        "event_id",
+        F.col(arr).alias("arr"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.expr(f"{arr} div {block}").alias("grp"),
+    )
+    blocks = (
+        e.groupBy("grp")
+        .agg(F.max("us").alias("gmax"))
+        .withColumn(
+            "gprior",
+            F.coalesce(
+                F.max("gmax").over(
+                    Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("grp", "gprior")
+    )
+    w_in = (
+        Window.partitionBy("grp")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.join(F.broadcast(blocks), "grp")
+        .withColumn(
+            "prior",
+            F.greatest(
+                F.col("gprior"), F.coalesce(F.max("us").over(w_in), F.lit(0))
+            ),
+        )
+        .select(
+            "event_id",
+            F.greatest(F.lit(0), F.col("prior") - F.col("us")).alias("late_us"),
+        )
+    )

@@ -1746,6 +1746,111 @@ def ev_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_watermark_audit() -> None:
+    delays = (0, 300, 900, 3600)  # candidate watermark delays, seconds
+    # The generator emits events already ordered by event time, so the
+    # true arrival axis has zero lateness — like cur_pii_redact's
+    # injected PII, the query synthesizes deterministic LOCAL disorder
+    # (each event's arrival slot displaced forward by a
+    # content-addressed 0..20 positions), giving a lateness
+    # distribution every candidate delay slices differently
+    # (measured at sf0.01: 70% > 0, 64% > 5 min, 53% > 15 min,
+    # 10% > 1 h).  A full shuffle would make ~everything late and
+    # the audit degenerate.
+    arr_jitter = 21
+    arr_block = 1000
+    arms_sql = " ".join(
+        f"UNION ALL SELECT {d}, CAST(n_{d} AS BIGINT), "
+        f"ROUND(CAST(n_{d} AS DOUBLE)/n, 6) FROM a"
+        for d in delays[1:]
+    )
+    counts_sql = ", ".join(
+        f"SUM(CASE WHEN late_us > {d * 1_000_000} THEN 1 ELSE 0 END) AS n_{d}"
+        for d in delays
+    )
+
+    @register(
+        "ev_watermark_audit",
+        oracle=f"""
+        WITH e AS (
+          SELECT event_id,
+                 event_id + ('0x' || substr(md5('arr|' ||
+                   CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % {arr_jitter}
+                   AS arr,
+                 epoch_us(ts) AS us
+          FROM events
+        ), eg AS (
+          SELECT event_id, arr, us, arr // {arr_block} AS grp FROM e
+        ), g AS (
+          SELECT grp, MAX(us) AS gmax FROM eg GROUP BY grp
+        ), gp AS (
+          SELECT grp, COALESCE(MAX(gmax) OVER (
+            ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS gprior
+          FROM g
+        ), w AS (
+          SELECT eg.event_id, eg.us,
+                 GREATEST(gp.gprior, COALESCE(MAX(eg.us) OVER (
+                   PARTITION BY eg.grp ORDER BY eg.arr, eg.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS prior
+          FROM eg JOIN gp USING (grp)
+        ), l AS (
+          SELECT GREATEST(0, prior - us) AS late_us FROM w
+        ), a AS (
+          SELECT COUNT(*) AS n, {counts_sql} FROM l
+        )
+        SELECT {delays[0]} AS watermark_delay_s, CAST(n_{delays[0]} AS BIGINT)
+                 AS n_dropped,
+               ROUND(CAST(n_{delays[0]} AS DOUBLE)/n, 6) AS dropped_rate FROM a
+        {arms_sql}
+        """,
+    )
+    def ev_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Watermark tuning audit: for each candidate watermark delay,
+        the count and fraction of events that would be DROPPED by
+        stateful streaming operators (lateness beyond the delay),
+        where lateness is measured against the running max event-time
+        in arrival order (operators.temporal.event_lateness — the
+        two-level distributed prefix max; no global sort).  The
+        generator's stream is time-ordered, so the arrival axis is a
+        content-addressed local displacement (0..20 arrival slots
+        forward) — the audit must measure real disorder, not no-op."""
+        from ..operators.temporal import event_lateness
+
+        ev = load_tables(spark, sf_dir)["events"].withColumn(
+            "arrival_id",
+            F.expr(
+                "event_id + CAST(conv(substr(md5(concat('arr|',"
+                " CAST(event_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+                f" % {arr_jitter}"
+            ),
+        )
+        lat = event_lateness(ev, block=arr_block, arrival_col="arrival_id")
+        agg = lat.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0)
+                ).alias(f"n_{d}")
+                for d in delays
+            ],
+        )
+        arms = ", ".join(f"{d}, n_{d}" for d in delays)
+        return agg.select(
+            "n",
+            F.expr(
+                f"stack({len(delays)}, {arms}) AS (watermark_delay_s, n_dropped)"
+            ),
+        ).select(
+            "watermark_delay_s",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.col("n"), 6).alias("dropped_rate"),
+        )
+
+
+_register_watermark_audit()
+
+
 @register(
     "ev_json_extract",
     oracle="""
