@@ -627,3 +627,30 @@ def test_knn_graph_degree_and_symmetry(spark):
     both = [(k, fwd[(k[1], k[0])]) for k in fwd if (k[1], k[0]) in fwd]
     assert both, "no reciprocal edges on the fixture corpus"
     assert all(abs(fwd[k] - c) < 1e-12 for k, c in both)
+
+
+def test_cdc_latest_state_consistency(spark):
+    """The compacted state must carry each key's true maximum (ts,
+    event_id) version and a version count that sums back to the corpus
+    row count."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    r = QUERIES["ev_cdc_latest_state"](spark, SF_TEST_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet")
+    from chinook_music_database_analysis_spark.sources.session import (
+        _normalize_event_ts,
+    )
+
+    ev = _normalize_event_ts(ev)
+    assert r.n_versions.sum() == ev.count()
+    truth = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "event_type", F.col("m.event_id").alias("last_event_id"))
+        .toPandas()
+    )
+    merged = r.merge(truth, on=["user_id", "event_type"], suffixes=("", "_t"))
+    assert len(merged) == len(r) == len(truth)
+    assert (merged.last_event_id == merged.last_event_id_t).all()
