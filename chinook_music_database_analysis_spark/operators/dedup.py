@@ -547,3 +547,61 @@ def fuzzy_name_pairs(
         # dedups exactly like the multi-table LSH candidate union
         pairs = pairs.union(one_pass(1)).distinct()
     return pairs
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment over the LSH candidate pairs —
+    the snippet/quote detector symmetric Jaccard misses: a short doc
+    fully embedded in a long one has tiny Jaccard (union is the long
+    doc) but containment ~1 on the short side.  Broder's second
+    resemblance measure, the signal quote-dedup and
+    extraction-pipeline audits need.
+
+    Emits both directional scores (c_a_in_b = |A∩B|/|A|, c_b_in_a =
+    |A∩B|/|B|) plus their max, filtered at ``threshold`` on the max.
+    Same candidate/verify split and candidate-semi-restricted shuffle
+    discipline as :func:`ngram_jaccard_pairs` — never all-pairs, and
+    the wide intersection join scales with the candidate set.
+    """
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_candidate_pairs(docs, bands=bands)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_cand = sh.join(
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
+        "doc_id",
+        "leftsemi",
+    )
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    c_a = F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 4)
+    c_b = F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 4)
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("c_a_in_b"),
+            c_b.alias("c_b_in_a"),
+            F.greatest(c_a, c_b).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -108,6 +108,7 @@ _rotate_window(_WINDOW_FIRST)
 # byte-unchanged — their second confirmation moves to r5's window).
 # Registered after the r4 cutoff with the local oracle gate only
 # (rotate into r5's window): pipe_filter_funnel, ev_cdc_latest_state,
-# sim_knn_graph, dq_documents_expectations, ev_watermark_audit.
+# sim_knn_graph, dq_documents_expectations, ev_watermark_audit,
+# dd_containment.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -584,6 +584,46 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, c_a_in_b, c_b_in_a,
+           GREATEST(c_a_in_b, c_b_in_a) AS containment
+    FROM (
+      SELECT i.doc_a, i.doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE), 4) AS c_a_in_b,
+             ROUND(CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE), 4) AS c_b_in_a
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+    )
+    WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.5
+    """,
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder's second resemblance
+    measure) over the LSH candidates — the snippet/quote detector
+    symmetric Jaccard misses (operators.dedup.containment_pairs),
+    served from the persisted shingle/band/candidate relations."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return containment_pairs(
+        docs,
+        shingles=_shingles(spark, sf_dir),
+        candidates=_cand_pairs(spark, sf_dir),
+    )
+
+
+@register(
     "dd_ngram_jaccard",
     oracle=f"""
     WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND},
