@@ -568,6 +568,15 @@ def containment_pairs(
     Same candidate/verify split and candidate-semi-restricted shuffle
     discipline as :func:`ngram_jaccard_pairs` — never all-pairs, and
     the wide intersection join scales with the candidate set.
+
+    KNOWN LIMIT: candidates come from Jaccard-tuned MinHash banding,
+    which under-proposes extreme-asymmetry pairs (a tiny snippet
+    inside a huge doc has low Jaccard, so its bands rarely collide).
+    The scores are exact for every proposed pair; full snippet RECALL
+    needs a containment-aware candidate pass (e.g. banding over the
+    SHORT side's shingles only, or suffix blocking) — the same
+    recall<1-by-design posture as the LSH family, stated rather than
+    hidden.
     """
     sh = shingles if shingles is not None else doc_shingles(docs)
     cand = (
