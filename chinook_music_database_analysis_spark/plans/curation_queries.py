@@ -31,7 +31,6 @@ from .extensions import (
     _SQL_CAND,
     _SQL_SHINGLES,
     _SQL_SIG,
-    _cached,
     _cand_pairs,
     _dup_clusters,
     _persisted_index,
