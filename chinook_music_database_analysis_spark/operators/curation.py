@@ -204,12 +204,12 @@ def benchmark_contamination(
         .select(F.explode(shingles_from_tokens(k=k)).alias("s"))  # expands
         .distinct()  # the benchmark slice
     )
-    probe = docs.filter(~is_bench).select("doc_id", tokens_expr().alias("toks")).select(
-        "doc_id", F.explode(shingles_from_tokens(k=k)).alias("s")
-    )
+    probe = docs.filter(~is_bench).select(
+        F.col(key), tokens_expr().alias("toks")
+    ).select(key, F.explode(shingles_from_tokens(k=k)).alias("s"))
     return (
         probe.join(F.broadcast(bench_sh), "s")
-        .groupBy("doc_id")
+        .groupBy(key)
         .agg(F.count_distinct(F.col("s")).alias("n_overlap"))
     )
 
@@ -242,18 +242,18 @@ def contamination_report(
         .distinct()
         .select("s", F.lit(True).alias("hit"))
     )
-    probe = docs.filter(~is_bench).select("doc_id", tokens_expr().alias("toks")).select(
-        "doc_id", F.explode(F.array_distinct(shingles_from_tokens(k=k))).alias("s")
-    )
+    probe = docs.filter(~is_bench).select(
+        F.col(key), tokens_expr().alias("toks")
+    ).select(key, F.explode(F.array_distinct(shingles_from_tokens(k=k))).alias("s"))
     return (
         probe.join(F.broadcast(bench_sh), "s", "left")
-        .groupBy("doc_id")
+        .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count("hit").alias("n_overlap"),
         )
         .select(
-            "doc_id",
+            key,
             "n_shingles",
             "n_overlap",
             F.round(

@@ -126,17 +126,33 @@ def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> s
     4.4 s of a cold session's first query (it paid the whole first-job
     warmup before the index store could even be consulted).
 
-    Staleness safety is directionally sound: any rewrite of the corpus
-    changes size or mtime_ns (nanosecond granularity) and forces a
-    retrain, while a spurious mismatch (touch without change) merely
-    retrains — never serves stale.  The oracle side retrains from the
-    live corpus unconditionally, so a wrong-serve bug would surface as
-    a CORRECTNESS hash mismatch, not silence."""
+    Staleness safety: any rewrite of the corpus changes size or
+    mtime_ns (nanosecond granularity) — and because mtime-preserving
+    tooling exists (``rsync -a`` / ``cp -p`` restores of a different
+    corpus version keep both), each file also contributes a TAIL PROBE:
+    its final 16 bytes, which in a parquet file are the thrift footer's
+    tail + 4-byte footer length + ``PAR1`` magic and change with any
+    content rewrite in practice.  A spurious mismatch (touch without
+    change) merely retrains — never serves stale.  The oracle side
+    retrains from the live corpus unconditionally, so a wrong-serve bug
+    would surface as a CORRECTNESS hash mismatch, not silence."""
     import hashlib as _hashlib
 
+    def _tail_probe(p: str, size: int) -> str:
+        # last 16 bytes without a Spark job; sub-16-byte files (never
+        # valid parquet, but be total) hash whatever exists
+        with open(p, "rb") as fh:
+            fh.seek(max(0, size - 16))
+            return fh.read(16).hex()
+
     tables = (table,) if isinstance(table, str) else tuple(table)
-    key = ("fp", tables, spark.sparkContext.applicationId, sf_dir,
-           _table_set_id(sf_dir))
+    # key shape MUST match _cached/_emb_count ((kind, appId, sf_dir,
+    # table_set_id)) — reset_memo evicts on k[2] == sf_dir, so a
+    # differently-shaped key would survive a corpus re-mount and let a
+    # stale fingerprint keep matching the old store (regression-tested
+    # by test_fp_memo_evicted_on_reset).
+    key = ("fp:" + "|".join(tables), spark.sparkContext.applicationId,
+           sf_dir, _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
         entries: list[str] = []
         for t in tables:
@@ -149,10 +165,16 @@ def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> s
                         p = _os.path.join(dirpath, f)
                         st = _os.stat(p)
                         rel = _os.path.join(t, _os.path.relpath(p, root))
-                        entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+                        entries.append(
+                            f"{rel}|{st.st_size}|{st.st_mtime_ns}"
+                            f"|{_tail_probe(p, st.st_size)}"
+                        )
             else:
                 st = _os.stat(root)
-                entries.append(f"{t}.parquet|{st.st_size}|{st.st_mtime_ns}")
+                entries.append(
+                    f"{t}.parquet|{st.st_size}|{st.st_mtime_ns}"
+                    f"|{_tail_probe(root, st.st_size)}"
+                )
         manifest = "\n".join(sorted(entries))
         _SCALAR_MEMO[key] = _hashlib.md5(manifest.encode()).hexdigest()
     return _SCALAR_MEMO[key]
@@ -193,10 +215,18 @@ def _persisted_index(
                 return spark.read.parquet(_os.path.join(d, "data"))
         except Exception:
             pass  # unreadable store — rebuild below
+        # Staging dir is unique per process+attempt so two concurrent
+        # sessions building the same store can't rmtree each other's
+        # in-progress tmp; a lost rename race (the other writer just
+        # swapped its build in) falls back to this session's own build.
+        import uuid as _uuid
+
+        def _stage_dir() -> str:
+            return f"{d}.tmp.{_os.getpid()}.{_uuid.uuid4().hex[:8]}"
+
         if writer is not None:
+            tmp = _stage_dir()
             try:
-                tmp = d + ".tmp"
-                _shutil.rmtree(tmp, ignore_errors=True)
                 writer(build(), _os.path.join(tmp, "data"))
                 with open(_os.path.join(tmp, "_FINGERPRINT"), "w") as fh:
                     fh.write(fp)
@@ -204,16 +234,25 @@ def _persisted_index(
                 _os.rename(tmp, d)
                 return spark.read.parquet(_os.path.join(d, "data"))
             except Exception:
-                return build()  # store not writable — original layout
+                _shutil.rmtree(tmp, ignore_errors=True)
+                # swap lost to a concurrent writer: its store is valid
+                # for the same fingerprint — serve it; otherwise (store
+                # unwritable / still stale) fall back to the unswapped
+                # in-session build
+                try:
+                    if open(fp_file).read().strip() == fp:
+                        return spark.read.parquet(_os.path.join(d, "data"))
+                except Exception:
+                    pass
+                return build()
         # Train once into the session cache, then write FROM the cache
         # (the training lineage executes exactly once; the write is a
         # cache scan) and keep serving the cached relation this
         # session — only later sessions read the parquet back.
         df = build().cache()
         df.count()
+        tmp = _stage_dir()
         try:
-            tmp = d + ".tmp"
-            _shutil.rmtree(tmp, ignore_errors=True)
             # Natural partitioning: index relations range from ~sqrt(N)
             # rows (centroids, codebooks) to N rows (reconstructions) —
             # no driver-side coalesce, the writer parallelism scales
@@ -224,7 +263,10 @@ def _persisted_index(
             _shutil.rmtree(d, ignore_errors=True)
             _os.rename(tmp, d)
         except Exception:
-            pass  # store not writable — in-session cache still serves
+            # store not writable, or swap lost to a concurrent writer
+            # (same fingerprint -> same relation) — the in-session
+            # cached build serves either way
+            _shutil.rmtree(tmp, ignore_errors=True)
         return df
 
     return _cached(kind, spark, sf_dir, load_or_build, cache=writer is None)
@@ -1596,15 +1638,18 @@ def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_sessionized",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- event_id in the running-sum ORDER BY: with duplicate
+      -- (user_id, ts) rows the peer order would otherwise be
+      -- engine-ambiguous, making session-id assignment nondeterministic
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )
@@ -1637,15 +1682,17 @@ def ev_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_session_funnel_windows",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- event_id tie-break as in ev_sessionized: deterministic peer
+      -- order for duplicate (user_id, ts) rows
       SELECT user_id, ts, event_type,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     ), g AS (

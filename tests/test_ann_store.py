@@ -124,3 +124,48 @@ def test_index_store_fingerprint_guard(spark, tmp_path, monkeypatch):
         assert open(os.path.join(d, "_FINGERPRINT")).read().strip() != "stale"
     finally:
         ext.reset_memo(SF_TEST_DIR)
+
+
+def test_fp_memo_evicted_on_reset_and_retrain_after_regen(spark, tmp_path, monkeypatch):
+    """The corpus-fingerprint memo must share the (kind, appId, sf_dir,
+    table_set_id) key shape so reset_memo(sf_dir) evicts it — otherwise
+    an in-session corpus regeneration followed by the documented
+    reset_memo() re-mount keeps serving the OLD fingerprint, which
+    still matches the old store's _FINGERPRINT, and _persisted_index
+    silently serves an index trained on the replaced corpus."""
+    import shutil
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf_dir = str(corpus)
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    n_all = emb.count()
+    emb.limit(n_all - 10).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    monkeypatch.setattr(ext, "_INDEX_ROOT", str(tmp_path / "idx"))
+    ext.reset_memo(sf_dir)
+    try:
+        fp1 = ext._corpus_fp(spark, sf_dir)
+        assert any(k[2] == sf_dir and str(k[0]).startswith("fp:")
+                   for k in ext._SCALAR_MEMO), "fp key not sf_dir-evictable"
+        ext._ivf_cents(spark, sf_dir)
+
+        # Regenerate the corpus in place (different contents), re-mount.
+        shutil.rmtree(f"{sf_dir}/embeddings.parquet")
+        emb.limit(n_all - 3).write.parquet(f"{sf_dir}/embeddings.parquet")
+        ext.reset_memo(sf_dir)
+        assert not any(k[2] == sf_dir for k in ext._SCALAR_MEMO)
+
+        fp2 = ext._corpus_fp(spark, sf_dir)
+        assert fp2 != fp1, "fingerprint did not track the regenerated corpus"
+        # And the store retrains rather than serving the stale index:
+        # the persisted fingerprint now matches the NEW corpus.
+        ext._ivf_cents(spark, sf_dir)
+        import glob
+
+        fps = glob.glob(str(tmp_path / "idx" / "*" / "ivf_cents" / "_FINGERPRINT"))
+        assert fps and open(fps[0]).read().strip() == fp2
+    finally:
+        ext.reset_memo(sf_dir)
