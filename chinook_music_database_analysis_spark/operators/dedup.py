@@ -213,7 +213,10 @@ def _simhash_nibbles(sig: DataFrame) -> DataFrame:
 
 
 def simhash_cross_matches(
-    sig: DataFrame, refs: DataFrame, max_hamming: int = 3
+    sig: DataFrame,
+    refs: DataFrame,
+    max_hamming: int = 3,
+    nibbles: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus SimHash contamination: for each NON-reference doc,
     the number of reference docs within ``max_hamming`` of its 48-bit
@@ -228,8 +231,12 @@ def simhash_cross_matches(
     by a join (the only shuffles are the banding distinct and the
     final per-doc agg).  Same pigeonhole bound as the self-join: a
     within-3 pair must agree on one of the four 12-bit blocks.
+
+    ``nibbles`` accepts a cached banded relation (plans/extensions
+    memoizes one per session) so the probe and membership branches
+    scan it instead of re-deriving the explode per branch.
     """
-    nib = _simhash_nibbles(sig)
+    nib = nibbles if nibbles is not None else _simhash_nibbles(sig)
     ref_nib = nib.join(F.broadcast(refs), "doc_id").select(
         F.col("doc_id").alias("ref_id"),
         F.col("simhash").alias("ref_hash"),
@@ -254,7 +261,10 @@ def simhash_cross_matches(
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, sig: DataFrame | None = None
+    docs: DataFrame,
+    max_hamming: int = 3,
+    sig: DataFrame | None = None,
+    nibbles: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= max_hamming on the
     48-bit signature.
@@ -266,11 +276,11 @@ def simhash_near_dup_pairs(
     The exact hamming filter (bit_count(a XOR b)) then verifies.
 
     Pass a cached ``sig`` relation to avoid evaluating the signature
-    pipeline on both self-join sides (plans/extensions memoizes it).
+    pipeline on both self-join sides (plans/extensions memoizes it);
+    ``nibbles`` additionally pre-bands it so neither side re-explodes.
     """
-    if sig is None:
-        sig = simhash(docs)
-    nibbles = _simhash_nibbles(sig)
+    if nibbles is None:
+        nibbles = _simhash_nibbles(sig if sig is not None else simhash(docs))
     a, b = nibbles.alias("a"), nibbles.alias("b")
     cand = (
         a.join(

@@ -385,6 +385,19 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_nib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (doc_id, simhash, band, nib) relation — session-cached on
+    top of the stored signatures so the pair self-join and the
+    cross-corpus probe scan the pre-exploded form instead of each
+    re-deriving the four 12-bit blocks per branch."""
+    from ..operators.dedup import _simhash_nibbles
+
+    return _cached(
+        "simhash_nib", spark, sf_dir,
+        lambda: _simhash_nibbles(_simhash_sig(spark, sf_dir)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared oracle fragments (mirror operators/text.py + dedup.py)
 # ---------------------------------------------------------------------------
@@ -770,7 +783,9 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) with block-band candidate
     bounding (pigeonhole over the four 12-bit blocks)."""
     return simhash_near_dup_pairs(
-        load_tables(spark, sf_dir)["documents"], sig=_simhash_sig(spark, sf_dir)
+        load_tables(spark, sf_dir)["documents"],
+        sig=_simhash_sig(spark, sf_dir),
+        nibbles=_simhash_nib(spark, sf_dir),
     )
 
 
@@ -821,7 +836,10 @@ def _register_dd_cross_simhash() -> None:
         refs = docs.filter(
             _hash_bucket(F.col("doc_id"), "bench") < F.lit(thr)
         ).select("doc_id")
-        return simhash_cross_matches(_simhash_sig(spark, sf_dir), refs)
+        return simhash_cross_matches(
+            _simhash_sig(spark, sf_dir), refs,
+            nibbles=_simhash_nib(spark, sf_dir),
+        )
 
 
 _register_dd_cross_simhash()
