@@ -559,6 +559,67 @@ def fuzzy_name_pairs(
     return pairs
 
 
+#: bottom-k sketch width for the containment probe: each doc probes its
+#: PROBE_K smallest-by-md5 shingles against the corpus inverted index.
+#: If doc A has containment c in doc B, each of A's bottom-k shingles
+#: lies in B with probability ~c independently, so pair recall is
+#: ~1 - (1-c)^k — 0.996 at c=0.5, k=8 — INDEPENDENT of the size ratio
+#: |B|/|A| that defeats Jaccard-tuned banding.
+PROBE_K = 8
+
+
+def containment_probe_candidates(
+    shingles: DataFrame, k: int = PROBE_K, max_df: int | None = None
+) -> DataFrame:
+    """Containment-tuned candidate pairs: each document probes its k
+    smallest-by-md5 shingles (a bottom-k sketch of the set) against the
+    full (shingle -> doc) inverted relation.  This is the candidate
+    pass Jaccard-tuned MinHash banding cannot provide: a tiny snippet
+    inside a huge doc has near-zero Jaccard (bands almost never
+    collide) but its OWN shingles are by definition present in the
+    host, so probing the snippet's sketch finds the host directly —
+    recall depends only on the containment score, not the size ratio.
+
+    Scale shape: the probe side is N*k rows (linear); the join is
+    keyed by shingle, so fan-out is bounded by the probed shingles'
+    document frequencies.  ``max_df`` is the prefix-filtering analog
+    for adversarial corpora: host postings for shingles with df >
+    max_df are dropped (an ultra-common shingle is uninformative for
+    candidacy — a true containment pair almost surely also collides on
+    a rarer probe shingle).  Default None: the driver corpus' DF
+    distribution needs no cap, and the oracle mirrors exactly.
+    """
+    from pyspark.sql import Window
+
+    ranked = (
+        shingles.select(
+            "doc_id",
+            "s",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy(F.md5("s")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "s")
+    )
+    host = shingles
+    if max_df is not None:
+        df_counts = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        host = host.join(
+            df_counts.filter(F.col("df") <= max_df).select("s"), "s", "leftsemi"
+        )
+    return (
+        ranked.alias("p")
+        .join(host.alias("h"), "s")
+        .filter(F.col("p.doc_id") != F.col("h.doc_id"))
+        .select(
+            F.least("p.doc_id", "h.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "h.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -579,14 +640,16 @@ def containment_pairs(
     discipline as :func:`ngram_jaccard_pairs` — never all-pairs, and
     the wide intersection join scales with the candidate set.
 
-    KNOWN LIMIT: candidates come from Jaccard-tuned MinHash banding,
-    which under-proposes extreme-asymmetry pairs (a tiny snippet
-    inside a huge doc has low Jaccard, so its bands rarely collide).
-    The scores are exact for every proposed pair; full snippet RECALL
-    needs a containment-aware candidate pass (e.g. banding over the
-    SHORT side's shingles only, or suffix blocking) — the same
-    recall<1-by-design posture as the LSH family, stated rather than
-    hidden.
+    Candidate generation: callers should pass the UNION of the
+    Jaccard-banded LSH candidates and
+    :func:`containment_probe_candidates` (plans/extensions does) —
+    banding alone under-proposes extreme-asymmetry pairs (a tiny
+    snippet inside a huge doc has low Jaccard, so its bands rarely
+    collide), which are exactly the pairs a snippet detector exists
+    for; the bottom-k probe recovers them with recall ~1-(1-c)^k
+    regardless of size ratio (floor-asserted against exact all-pairs
+    ground truth in test_properties).  The scores are exact for every
+    proposed pair either way.
     """
     sh = shingles if shingles is not None else doc_shingles(docs)
     cand = (

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     BANDS,
     N_HASHES,
+    PROBE_K,
     ROWS_PER_BAND,
     SIMHASH_BITS,
     doc_shingles,
@@ -642,10 +643,27 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_containment",
     oracle=f"""
     WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND},
+    probe AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY md5(s)) AS rn
+        FROM sh
+      ) WHERE rn <= {PROBE_K}
+    ),
+    cand_probe AS (
+      SELECT DISTINCT LEAST(p.doc_id, h.doc_id) AS doc_a,
+                      GREATEST(p.doc_id, h.doc_id) AS doc_b
+      FROM probe p JOIN sh h ON h.s = p.s AND h.doc_id <> p.doc_id
+    ),
+    candu AS (
+      SELECT doc_a, doc_b FROM cand
+      UNION
+      SELECT doc_a, doc_b FROM cand_probe
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-      FROM cand c
+      FROM candu c
       JOIN sh sa ON sa.doc_id = c.doc_a
       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
       GROUP BY c.doc_a, c.doc_b
@@ -665,16 +683,35 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (Broder's second resemblance
-    measure) over the LSH candidates — the snippet/quote detector
-    symmetric Jaccard misses (operators.dedup.containment_pairs),
-    served from the persisted shingle/band/candidate relations."""
+    measure) — the snippet/quote detector symmetric Jaccard misses
+    (operators.dedup.containment_pairs).  Candidates are the UNION of
+    the Jaccard-banded LSH pairs and the bottom-k containment probe
+    (containment_probe_candidates): banding alone misses exactly the
+    extreme-asymmetry pairs this operator exists for; the probe's
+    recall is independent of the size ratio (floor-asserted against
+    exact ground truth in test_properties).  Served from the persisted
+    shingle/band/candidate relations."""
     from ..operators.dedup import containment_pairs
 
     docs = load_tables(spark, sf_dir)["documents"]
     return containment_pairs(
         docs,
         shingles=_shingles(spark, sf_dir),
-        candidates=_cand_pairs(spark, sf_dir),
+        candidates=_containment_cand(spark, sf_dir),
+    )
+
+
+def _containment_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of LSH-banded and bottom-k-probe candidate pairs —
+    session-cached: containment_pairs references the candidate spine
+    three times (two semi-filters + the intersection join)."""
+    from ..operators.dedup import containment_probe_candidates
+
+    return _cached(
+        "containment_cand", spark, sf_dir,
+        lambda: _cand_pairs(spark, sf_dir)
+        .union(containment_probe_candidates(_shingles(spark, sf_dir)))
+        .distinct(),
     )
 
 

@@ -698,3 +698,99 @@ def test_containment_dominates_jaccard(spark):
     jpair = ngram_jaccard_pairs(two, threshold=0.0).toPandas()
     jhit = jpair[(jpair.doc_a == 900001) & (jpair.doc_b == 900002)]
     assert hit.containment.iloc[0] > jhit.jaccard.iloc[0]
+
+
+def test_containment_probe_recovers_extreme_asymmetry(spark):
+    """A tiny snippet inside a huge host has near-zero Jaccard, so the
+    MinHash bands (all 16 slot minima dominated by host shingles) miss
+    it — the probe pass must recover it: the snippet's bottom-k
+    shingles are by definition present in the host."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        containment_probe_candidates,
+        doc_shingles,
+        minhash_candidate_pairs,
+    )
+
+    # host: 400 distinct words; snippet: a 12-word span copied from it
+    host_words = [f"hw{i}" for i in range(400)]
+    snippet = " ".join(host_words[100:112])
+    docs = spark.createDataFrame(
+        [(1, " ".join(host_words)), (2, snippet)], "doc_id long, text string"
+    )
+    sh = doc_shingles(docs).cache()
+    banded = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()}
+    probed = {(r.doc_a, r.doc_b) for r in containment_probe_candidates(sh).collect()}
+    assert (1, 2) not in banded  # Jaccard ~ 10/398: bands cannot collide
+    assert (1, 2) in probed
+    # max_df cap: with df<=1 every shared shingle's posting is dropped,
+    # so the pair disappears — the prefix-filter trade-off is explicit
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_probe_candidates(sh, max_df=1).collect()
+    }
+    assert (1, 2) not in capped
+    sh.unpersist()
+
+
+def test_containment_recall_measured_against_exact_truth(spark):
+    """Quantified containment recall (VERDICT r4 #3): exact all-pairs
+    ground truth (test-only shingle self-join at sf0.001 — fine at
+    corpus grain here, never a production plan), then measured recall
+    of LSH-banded candidates alone vs the banded+probe union that
+    dd_containment now runs on.  Floors: union >= 0.95 and union >=
+    banded-only; no false positives either way (scores are exact on
+    every proposed pair)."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        containment_pairs,
+        containment_probe_candidates,
+        doc_shingles,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+    sh = doc_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    truth_df = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .filter(
+            F.greatest(
+                F.round(F.col("n_inter") / F.col("n_a"), 4),
+                F.round(F.col("n_inter") / F.col("n_b"), 4),
+            )
+            >= 0.5
+        )
+    )
+    truth = {(r.doc_a, r.doc_b) for r in truth_df.collect()}
+    assert truth, "fixture corpus has no containment pairs"
+
+    banded_cand = minhash_candidate_pairs(docs).cache()
+    union_cand = (
+        banded_cand.union(containment_probe_candidates(sh)).distinct().cache()
+    )
+    got_banded = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(docs, shingles=sh, candidates=banded_cand).collect()
+    }
+    got_union = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(docs, shingles=sh, candidates=union_cand).collect()
+    }
+    assert got_banded <= truth and got_union <= truth  # exact scores: no FPs
+    recall_banded = len(got_banded & truth) / len(truth)
+    recall_union = len(got_union & truth) / len(truth)
+    assert recall_union >= 0.95, (recall_banded, recall_union)
+    assert recall_union >= recall_banded
+    for df in (sh, banded_cand, union_cand):
+        df.unpersist()
