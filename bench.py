@@ -44,6 +44,16 @@ def main() -> None:
 
     try:
         names = sorted(QUERIES)
+        # Generic engine warmup — UNtimed and not a registry query: one
+        # codegen'd job + one parquet footer read, so the alphabetically
+        # first cold slot measures that QUERY instead of absorbing
+        # JVM/codegen/session bring-up (~3 s, measured in PERF.md's
+        # reordering experiment).
+        try:
+            spark.range(1_000_000).selectExpr("sum(id * 2)").collect()
+            spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        except Exception:
+            pass
         # Cold pass: run every query once (codegen, footer caches,
         # memoized shared relations all cold).  Timed and emitted in
         # the JSON alongside the warm numbers so both methodologies

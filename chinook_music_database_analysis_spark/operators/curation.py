@@ -126,8 +126,24 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_redacted", n).withColumn("clean_text", clean)
 
 
+def boilerplate_set(shingles: DataFrame, min_df: int) -> DataFrame:
+    """The corpus's template dictionary: distinct n-grams occurring in
+    >= min_df documents, as (s, is_boiler=true) — small by construction
+    of min_df and a deterministic function of the corpus, so callers
+    persist it beside the other index relations."""
+    return (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= F.lit(min_df))
+        .select("s", F.lit(True).alias("is_boiler"))
+    )
+
+
 def boilerplate_score(
-    docs: DataFrame, min_df: int = BOILER_MIN_DF, shingles: DataFrame | None = None
+    docs: DataFrame,
+    min_df: int = BOILER_MIN_DF,
+    shingles: DataFrame | None = None,
+    boiler_set: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document boilerplate ratio: the fraction of a doc's distinct
     n-grams that occur in >= min_df distinct documents (C4's
@@ -140,10 +156,12 @@ def boilerplate_score(
     agg.  The DF relation is filtered down to the boilerplate set
     (template n-grams only — small by construction of min_df) and
     **broadcast** into a left join; the (doc, shingle) relation itself
-    is never join-shuffled.  At 100 TB persist the boilerplate set (it
-    is the corpus's template dictionary) and, should it outgrow the
-    broadcast threshold, drop the explicit broadcast and let AQE pick
-    the join side.
+    is never join-shuffled.  ``boiler_set`` accepts the PERSISTED
+    template dictionary (it is a deterministic function of the corpus
+    — plans/curation_queries serves it from the on-disk index store,
+    paying the DF aggregation once per corpus version); should it
+    outgrow the broadcast threshold, drop the explicit broadcast and
+    let AQE pick the join side.
     """
     sh = (
         shingles
@@ -152,12 +170,8 @@ def boilerplate_score(
             "doc_id", F.explode(F.array_distinct(shingles_from_tokens())).alias("s")
         )
     )
-    boiler_set = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= F.lit(min_df))
-        .select("s", F.lit(True).alias("is_boiler"))
-    )
+    if boiler_set is None:
+        boiler_set = boilerplate_set(sh, min_df)
     return (
         sh.join(F.broadcast(boiler_set), "s", "left")
         .groupBy("doc_id")

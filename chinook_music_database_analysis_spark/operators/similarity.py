@@ -542,7 +542,12 @@ def ivf_assignments(emb: DataFrame, cents: DataFrame) -> DataFrame:
 CLUSTER_SAMPLE_M = 25
 
 
-def cluster_sample(emb: DataFrame, cents: DataFrame, m: int = CLUSTER_SAMPLE_M) -> DataFrame:
+def cluster_sample(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int = CLUSTER_SAMPLE_M,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
     """Cluster-balanced diversity sample: at most ``m`` vectors per
     IVF cell, chosen by a content-addressed hash — the embedding-space
     curation step (SemDeDup's sibling: instead of dropping near-dups
@@ -557,7 +562,9 @@ def cluster_sample(emb: DataFrame, cents: DataFrame, m: int = CLUSTER_SAMPLE_M) 
 
     Scale: the assignment is :func:`ivf_assignments` (broadcast
     centroids, map-side argmax — no shuffle beyond the vec_id
-    repartition); the quota needs one shuffle keyed by cell_id and a
+    repartition), or the PERSISTED inverted file via ``assigned``
+    (must correspond to the same ``cents``); the quota needs one
+    shuffle keyed by cell_id and a
     per-cell sort of hash values.  Cells are ~sqrt(N) sized by
     construction, so the sort is bounded per task; at extreme corpus
     sizes swap the exact quota for hash-threshold rate sampling
@@ -566,7 +573,9 @@ def cluster_sample(emb: DataFrame, cents: DataFrame, m: int = CLUSTER_SAMPLE_M) 
     """
     from pyspark.sql import Window
 
-    a = ivf_assignments(emb, cents).select("vec_id", "cell_id")
+    a = (assigned if assigned is not None else ivf_assignments(emb, cents)).select(
+        "vec_id", "cell_id"
+    )
     h = F.md5(F.concat(F.lit("cls|"), F.col("vec_id").cast("string")))
     w = Window.partitionBy("cell_id").orderBy("h", "vec_id")
     wc = Window.partitionBy("cell_id")
@@ -586,6 +595,7 @@ def ivf_topk(
     stride: int | None = None,
     n_probe: int = IVF_N_PROBE,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     cell-probing alternative to sign-projection LSH.
@@ -625,7 +635,10 @@ def ivf_topk(
             F.col("embedding").alias("c_emb"),
             _norm("embedding").alias("c_norm"),
         )
-    assigned = ivf_assignments(emb, cents)
+    # `assigned` (the persisted inverted file) must correspond to the
+    # same centroid relation the probe stage scores
+    if assigned is None:
+        assigned = ivf_assignments(emb, cents)
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("c_sim").desc(), F.col("cell_id")
     )

@@ -190,14 +190,36 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cur_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate ratio (bigram document frequency >= 5% of
-    corpus — C4's repeated-line filter at n-gram grain).  The bigram
-    relation feeds both the DF agg and the probe side, so it is
-    memoized per (session, table set) like the dedup shingles."""
+    corpus — C4's repeated-line filter at n-gram grain).  Both inputs
+    are store-served: the bigram relation AND the boilerplate template
+    dictionary (_boiler_set), so a cold session pays two parquet reads
+    + one broadcast join + one agg instead of re-running the corpus DF
+    aggregation."""
     docs = load_tables(spark, sf_dir)["documents"]
     n = _doc_count(spark, sf_dir)
-    sh2 = _doc_bigrams(spark, sf_dir)
     return boilerplate_score(
-        docs, min_df=(n * BOILER_PCT_NUM + 99) // 100, shingles=sh2
+        docs,
+        min_df=(n * BOILER_PCT_NUM + 99) // 100,
+        shingles=_doc_bigrams(spark, sf_dir),
+        boiler_set=_boiler_set(spark, sf_dir),
+    )
+
+
+def _boiler_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate bigram dictionary — on-disk index store entry (the
+    corpus-wide DF aggregation is cur_boilerplate's dominant cold
+    cost; the dictionary itself is tiny by construction of min_df)."""
+    from ..operators.curation import boilerplate_set
+
+    return _persisted_index(
+        "boiler_set",
+        spark,
+        sf_dir,
+        lambda: boilerplate_set(
+            _doc_bigrams(spark, sf_dir),
+            (_doc_count(spark, sf_dir) * BOILER_PCT_NUM + 99) // 100,
+        ),
+        table="documents",
     )
 
 

@@ -1021,6 +1021,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         load_tables(spark, sf_dir)["embeddings"],
         centroids=_ivf_cents(spark, sf_dir),
+        assigned=_ivf_assign(spark, sf_dir),
     )
 
 
@@ -1058,11 +1059,14 @@ def cur_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space-aware curation (dense regions can't dominate the
     mixture).  Reuses the persisted centroid index; the per-vector
     assignment is the broadcast argmax of operators.similarity
-    .ivf_assignments (no pair shuffle)."""
+    .ivf_assignments (no pair shuffle), served from the persisted
+    inverted file (_ivf_assign)."""
     from ..operators.similarity import cluster_sample
 
     return cluster_sample(
-        load_tables(spark, sf_dir)["embeddings"], _ivf_cents(spark, sf_dir)
+        load_tables(spark, sf_dir)["embeddings"],
+        _ivf_cents(spark, sf_dir),
+        assigned=_ivf_assign(spark, sf_dir),
     )
 
 
@@ -2401,15 +2405,17 @@ def dd_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached IVF assignment relation (vec_id, cell_id, embedding,
-    norm) shared by the semantic-dedup sides — consumed three times
-    per query, persisted once per (session, table set) like the other
-    signature stores."""
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment relation (vec_id, cell_id, embedding, norm) —
+    on-disk index store entry (the N x cells argmax is the dominant
+    cold cost of every inverted-file consumer: dd_semantic's pair
+    sides, cur_cluster_sample's quota input, sim_ivf_topk's candidate
+    restriction).  This IS the inverted file a production IVF index
+    persists beside its centroids."""
     from ..operators.similarity import ivf_assignments
 
-    return _cached(
-        "sem_assigned", spark, sf_dir,
+    return _persisted_index(
+        "ivf_assign", spark, sf_dir,
         lambda: ivf_assignments(
             load_tables(spark, sf_dir)["embeddings"], _ivf_cents(spark, sf_dir)
         ),
@@ -2449,7 +2455,7 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir)["embeddings"],
         _ivf_cents(spark, sf_dir),
         threshold=0.2,
-        assigned=_sem_assigned(spark, sf_dir),
+        assigned=_ivf_assign(spark, sf_dir),
     )
 
 
