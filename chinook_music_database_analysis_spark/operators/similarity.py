@@ -928,8 +928,14 @@ PQ_DSUB = EMB_DIM // PQ_M
 PQ_K = 256
 PQ_C = 8
 
-#: ADC candidate depth for the exact-rerank stage of pq_topk.
-PQ_RERANK = 100
+#: ADC candidate depth for the exact-rerank stage of pq_topk/ivfpq_topk.
+#: Measured on the clustered scalecheck corpus (20k vectors,
+#: recall@5 vs brute force): 100 -> pq 0.48 / ivfpq 0.66;
+#: 400 -> pq 0.68 / ivfpq 0.82.  Depth costs |queries| * rerank exact
+#: rescores — query-time only, no index/compression change (the 64x
+#: PQ_M=4 layout stays) — so 400 is the better default; the floors are
+#: asserted in scripts/scalecheck.py.
+PQ_RERANK = 400
 
 
 def _sq_l2(a: str, b: str) -> F.Column:

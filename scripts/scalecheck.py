@@ -254,6 +254,12 @@ def main() -> int:
           f"pq={r_pq:.3f} ivfpq={r_ivfpq:.3f}")
     if r_ivfpq < r_pq:
         failures.append(("ivfpq_residual_recall", r_ivfpq, r_pq))
+    # Absolute floors at the registered parameters (PQ_RERANK=400
+    # raised them from 0.48/0.66 — see similarity.PQ_RERANK).
+    if r_pq < 0.6:
+        failures.append(("pq_recall_floor", r_pq, 0.6))
+    if r_ivfpq < 0.6:
+        failures.append(("ivfpq_recall_floor", r_ivfpq, 0.6))
 
     if failures:
         print("SCALE REGRESSIONS:", failures, file=sys.stderr)
