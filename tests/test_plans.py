@@ -117,6 +117,9 @@ BNLJ_ALLOWED = {
     "sim_sq8_topk",
     # broadcast ~sqrt(N) centroid relation (the IVF assignment argmax)
     "cur_cluster_sample",
+    # salt replication: dimension x broadcast DEFAULT_SALTS-row range
+    # (skew.salted_join) — fixed-size build side by construction
+    "s15_skew_salted",
 }
 
 
@@ -206,6 +209,30 @@ def test_literal_not_in_sql_plans_null_aware_anti_join(spark):
     import re
 
     assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", p), p
+
+
+def test_s15_salted_join_spreads_hot_key(spark):
+    """s15_skew_salted must physically join on (skew_key, _salt) —
+    proof the hot key (70% of the fact on one key) spreads across
+    DEFAULT_SALTS reducers instead of serializing one task.  Broadcast
+    is disabled so the shuffle-join path (where the salt matters) is
+    what plans; the salt column must appear in the join keys and be
+    gone from the output."""
+    import re
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["s15_skew_salted"](spark, SF_TEST_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin) \[skew_key#\d+L?, _salt#\d+", p
+        ), p
+        assert "_salt" not in df.columns
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_driver_window_rotation_invariants():
