@@ -527,3 +527,61 @@ def stratified_take(
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
     )
+
+
+#: context-window chunking defaults: 32-token windows advancing 24
+#: tokens (8-token overlap), sized so the test corpus (~50 tokens/doc)
+#: actually produces multi-chunk documents; production corpora pass
+#: their tokenizer's window (e.g. 2048/1536).
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-token-window chunking — the context-window
+    splitter every RAG indexer and long-document training pipeline
+    runs between curation and tokenization (LangChain/LlamaIndex-style
+    "chunk with overlap", expressed as pure Spark SQL).
+
+    Chunk ``i`` covers tokens ``[1 + i*stride, 1 + i*stride + window)``
+    (1-based); the number of chunks is ``1 + ceil(max(n - window, 0) /
+    stride)``, so every token is covered, the final chunk may be
+    short, and a doc shorter than one window yields exactly one chunk.
+
+    Scale shape: a narrow per-row map — tokenize, one ``sequence`` +
+    ``explode`` with ~n/stride fan-out, ``slice`` + ``array_join`` per
+    chunk.  No shuffle at all; the output inherits the input
+    partitioning, and the fan-out is bounded by document length over
+    stride (the same fan-out the downstream tokenizer pays anyway).
+    """
+    from .text import tokens_expr
+
+    toks = docs.select("doc_id", tokens_expr(text_col).alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    n_chunks = F.expr(f"1 + CAST(ceil(greatest(n - {window}, 0) / {stride}) AS INT)")
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                "toks", F.col("chunk_idx") * stride + 1, window
+            ).alias("ctoks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("ctoks").alias("n_chunk_tokens"),
+            F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+    )

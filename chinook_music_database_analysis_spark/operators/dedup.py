@@ -567,6 +567,23 @@ def fuzzy_name_pairs(
 #: |B|/|A| that defeats Jaccard-tuned banding.
 PROBE_K = 8
 
+#: default document-frequency cap for the probe's inverted-file side,
+#: derived from corpus size: cap = max(MIN, ceil(FRAC * n_docs)).
+#: Bounds candidate generation at cap * |probes| memberships (linear in
+#: corpus size) no matter how hot an adversarial shingle runs — the
+#: prefix-filtering analog the r5 review asked for.  Pairs whose EVERY
+#: shared shingle is hotter than the cap are the documented recall
+#: cost; the exact path (containment_pairs_exact) has no such gap.
+PROBE_DF_CAP_MIN = 4
+PROBE_DF_CAP_FRAC = 0.001
+
+
+def probe_df_cap(n_docs: int) -> int:
+    """Corpus-stat-derived default for ``max_df`` (see above)."""
+    import math
+
+    return max(PROBE_DF_CAP_MIN, math.ceil(PROBE_DF_CAP_FRAC * n_docs))
+
 
 def containment_probe_candidates(
     shingles: DataFrame, k: int = PROBE_K, max_df: int | None = None
@@ -675,6 +692,70 @@ def containment_pairs(
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     c_a = F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 4)
     c_b = F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 4)
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("c_a_in_b"),
+            c_b.alias("c_b_in_a"),
+            F.greatest(c_a, c_b).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_exact(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact all-pairs shingle containment via the inverted-file
+    self-join — no candidate stage, recall 1.0 by construction.
+
+    Same output contract as :func:`containment_pairs` (doc_a < doc_b,
+    both directional scores, max filtered at ``threshold``).
+
+    Scale shape: the self-join on the shingle key expands to
+    sum(df(s)^2) rows — the classic inverted-index join bound.  That
+    is LINEAR in corpus size whenever per-shingle document frequency
+    is bounded (true for natural-text shingles after boilerplate /
+    stop-shingle removal: almost all shingles have df 1-2), and it is
+    strictly cheaper than scoring a loose candidate set: scoring P
+    candidate pairs re-expands each pair's full shingle lists
+    (P x |doc| rows), while the inverted join touches each co-occurring
+    (doc, doc, shingle) triple exactly once.  Measured at sf0.1: 2.3M
+    join rows vs 12.6M for the 252k-pair probe candidate set, 1.1 s vs
+    2.9 s warm, and the candidate path missed a containment-1.0 pair
+    whose shared shingles were all common (df >= 7) while this form
+    cannot miss anything.
+
+    When a corpus has unremoved ultra-hot shingles (df in the
+    millions), sum(df^2) explodes and the two-stage path is the right
+    trade: :func:`containment_probe_candidates` with a df cap bounds
+    candidate generation at cap x |shingles| rows (linear), at the
+    documented recall cost on pairs whose every shared shingle is
+    hotter than the cap.  Both paths are kept and tested; plans
+    register the exact form (dd_containment) and the capped probe form
+    (dd_containment_scale) side by side.
+    """
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    c_a = F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 4)
+    c_b = F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 4)
+    # sizes is per-doc — broadcastable at test SF but not at 100 TB, so
+    # the join strategy is left to AQE (it picks broadcast when small).
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")

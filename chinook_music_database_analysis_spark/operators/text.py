@@ -395,3 +395,88 @@ def zscore_by_source(docs: DataFrame) -> DataFrame:
     return counted.groupBy("source").applyInPandas(
         _z, schema="doc_id long, source string, z_tokens double"
     )
+
+
+#: BM25 fixed-point knobs.  k1=1.2 and b=0.75 (the standard Robertson
+#: defaults) are folded into exact integer arithmetic below; SCALE is
+#: the fixed-point denominator for the length-normalized tf ratio.
+BM25_SCALE = 1000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    n_docs: int,
+    total_tokens: int,
+    top_k: int = 20,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 keyword retrieval: top ``top_k`` documents for a bag of
+    query terms — the lexical half of a RAG retrieval stack (the dense
+    half is the sim_* ANN family).
+
+    **Fixed-point scoring** (the repo's determinism pattern, see
+    :func:`tfidf_top_terms`): with k1 = 6/5 and b = 3/4, the BM25 term
+    ratio  tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)  multiplied
+    through by 10*avgdl_q (avgdl_q = total_tokens*SCALE div n_docs, a
+    fixed-point average doc length) becomes the exact integer ratio
+
+        22*tf*avgdl_q  /  (10*tf*avgdl_q + 3*avgdl_q + 9*SCALE*dl)
+
+    quantized as ratio_q = (num * SCALE) div den  (bounded by
+    2.2*SCALE regardless of corpus size), and IDF is the same
+    integer-quantized surrogate as TF-IDF: idf_q = n_docs*idf_scale
+    div df (monotone in the Robertson idf).  score = sum over query
+    terms of idf_q * ratio_q — all int64, bit-identical on Spark and
+    DuckDB.  Magnitude bound: idf_q <= n_docs*idf_scale and ratio_q <=
+    2.2e3, so the per-term product stays inside int64 for corpora up
+    to ~4e9 documents.
+
+    Plan shape (all linear): one token explode filtered to the query
+    bag BEFORE any shuffle (the filter prunes ~the whole token
+    stream), tf hash-agg keyed (doc, term), df hash-agg over the tf
+    relation (|query| rows -> broadcast), doc-length join keyed by
+    doc, per-doc sum, then a global top-k that compiles to
+    TakeOrderedAndProject — no corpus-wide sort.  n_docs /
+    total_tokens are caller-provided stats-pass scalars.
+    """
+    from pyspark.sql import Window
+
+    qt = list(query_terms)
+    avgdl_q = (total_tokens * BM25_SCALE) // n_docs
+    toks = docs.select("doc_id", tokens_expr().alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.expr(f"CAST({n_docs} AS BIGINT) * {idf_scale} div count(1)").alias("idf_q")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"idf_q * ((22 * tf * CAST({avgdl_q} AS BIGINT) * {BM25_SCALE}) div "
+                f"(10 * tf * CAST({avgdl_q} AS BIGINT)"
+                f" + 3 * CAST({avgdl_q} AS BIGINT) + 9 * {BM25_SCALE} * dl))"
+            ).alias("term_score"),
+        )
+    )
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+    )
+    # rank over the already-LIMITed <= top_k rows: a single tiny
+    # partition, not a corpus-wide unpartitioned window
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        "doc_id", "score", "n_terms_hit",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

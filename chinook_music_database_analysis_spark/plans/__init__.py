@@ -22,71 +22,74 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 4 window: the four late-r3 registrations that only ever had the
-# local oracle gate (union coverage -> 103/103), the ANN compression
-# ladder that is rewired to the persisted PQ index this round, the two
-# cold-path queries whose shared-relation reuse changed, any new r4
-# registrations, then second-confirmation fills for entries green exactly
-# once (in r3).  Evicted: entries driver-green in two-plus rounds with
-# byte-identical builders (q01-q12 parity anchors, mm_*, ev_* streaming
-# analogs verified r1+r3, sim_bruteforce/lsh).
+# Round 6 window (the r5 driver snapshot ran before the list could
+# rotate, so the 6 post-r4 registrations + s15 still have only the
+# local oracle gate): every never-driver-checked entry first — the
+# r6-reworked dd_containment (now the exact inverted-file join), the
+# new dd_containment_scale / tx_bm25_topk / cur_chunk, the post-r4 six
+# and s15_skew_salted — then every entry green exactly ONCE across
+# r1-r5 (second confirmation), then the stalest twice-green entries
+# (last green r2: the dd_* family sharing the reworked shingle-store
+# consumers, the tx_* linears, and the q01-q12 parity anchors).
+# Evicted: everything driver-green in r5 or green twice with
+# byte-unchanged builders.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked: late-r3 registrations (4)
-    "dd_dup_ngrams",
-    "dd_semantic",
-    "tx_surprisal",
-    "dd_fuzzy_dictionary",
-    # mutated in r4 (persisted-PQ-index wiring / shared-relation reuse) —
-    # keep the whole sim_* ladder + shared _ivf_cents consumers in-window (7)
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "sim_ivf_topk",
-    "sim_ivf_stride_topk",
-    "sim_sq8_topk",
-    "cur_boilerplate",
-    "dd_canonical",
-    "s04_affinity_types_scaled",
-    # new in round 4 — never driver-checked
-    "pipe_layout_rebuild",
-    "dd_cross_simhash",
-    "tx_keyphrases",
-    "cur_contamination_report",
-    "ev_session_funnel_windows",
-    "tx_gopher_quality",
-    "cur_cluster_sample",
-    # green exactly once (r3) — second confirmation (rest of the 50)
-    "cur_sample",
-    "cur_split",
-    "cur_pii_redact",
-    "cur_decontam",
-    "cur_winsorize",
-    "cur_mix",
-    "cur_pack",
-    "cur_stats_rollup",
-    "cur_stats_approx",
-    "cur_temperature_mix",
-    "cur_stratified_eval",
-    "ev_json_extract",
-    "ev_asof_error_before_click",
-    "ev_range_clicks_after_error",
-    "ev_enriched_segments",
-    "ev_user_funnel",
-    "ev_retention_cohorts",
-    "ev_gapfill_hourly",
-    "ev_unpivot_user_types",
-    "ev_hll_week_rollup",
-    "ev_anomaly_hours",
-    "ev_json_variant",
-    "tx_tfidf",
-    "tx_repetition",
-    "dd_incremental",
-    "dd_minhash_estimate",
-    "dd_embedding_cosine",
-    "pipe_training_set",
-    "s13_zorder_locality",
-    "sim_range_search",
-    "s14_brand_pagerank",
+    # never driver-checked (10): r6 rework + r6 new + post-r4 + r5 skew
+    "dd_containment",
+    "dd_containment_scale",
+    "tx_bm25_topk",
+    "cur_chunk",
+    "dq_documents_expectations",
+    "ev_cdc_latest_state",
+    "ev_watermark_audit",
+    "pipe_filter_funnel",
+    "sim_knn_graph",
+    "s15_skew_salted",
+    # green exactly once across r1-r5 (13) — second confirmation
+    "dq_order_expectations",
+    "ev_pivot_user_types",
+    "q04d_cube_geo",
+    "q04e_grouping_sets",
+    "q13_no_big_order",
+    "q13b_not_in_null_aware",
+    "q14_rolling_90d_spend",
+    "q15_spend_distribution",
+    "q16_order_value_frames",
+    "q17_top_spender_maxby",
+    "q18_price_profile_arrays",
+    "q20_stats_profile",
+    "s12_retention_setops",
+    # stalest twice-green (last green r2): dd_/tx_ families first (they
+    # consume the shingle store the containment rework touches)
+    "dd_dup_clusters",
+    "dd_exact",
+    "dd_minhash_pairs",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "dd_simhash_pairs",
+    "pipe_clean_corpus",
+    "tx_fingerprint",
+    "tx_langid",
+    "tx_stats",
+    # parity anchors, last green r2
+    "q01_nulls",
+    "q02_top_parts_nation0",
+    "q03_demographics",
+    "q03b_segment_geo",
+    "q04_rev_by_geo",
+    "q04b_topk_nations",
+    "q04c_rollup_geo",
+    "q05_top5_cust_per_nation",
+    "q06_top_part_per_cust",
+    "q07_purchase_trends",
+    "q08_churn_rate",
+    "q09_type_pct_nation0",
+    "q09b_top_brands_top_types",
+    "q10_multi_type_cust",
+    "q10b_approx_distinct",
+    "q11_type_rank_nation0",
+    "q12_inactive_3mo",
 ]
 
 
@@ -102,13 +105,10 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r4 NOTE: the rotation list is at 50/50 slots.  Evicted to make room
-# for the late-r4 registrations (tx_gopher_quality, cur_cluster_sample):
-# q13b_not_in_null_aware, q20_stats_profile (green r3, builders
-# byte-unchanged — their second confirmation moves to r5's window).
-# Registered after the r4 cutoff with the local oracle gate only
-# (rotate into r5's window): pipe_filter_funnel, ev_cdc_latest_state,
-# sim_knn_graph, dq_documents_expectations, ev_watermark_audit,
-# dd_containment.
+# r6 NOTE: the rotation list is at 50/50 slots.  With this window
+# green, union driver coverage reaches every registry entry.  r7
+# should rotate in the remaining stale twice-green entries (s01-s11,
+# s04_*, s10_add_column, mm_*, ev_* streaming analogs) plus any entry
+# mutated in r6's perf work.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

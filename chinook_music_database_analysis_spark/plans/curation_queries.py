@@ -823,3 +823,128 @@ def dq_documents_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v") / F.col("n"), 6).alias("violation_rate"),
     )
     return report.unionAll(uniq)
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval + context chunking (round 6)
+# ---------------------------------------------------------------------------
+
+#: deterministic benchmark query for the BM25 retrieval path — terms
+#: present in the synthetic corpus vocabulary.
+BM25_QUERY = ("vector", "merge", "filter")
+BM25_TOP_K = 20
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus token total for the BM25 length normalization, computed
+    once per (session, table set) — same stats pattern as _doc_count."""
+    key = ("token_count", spark.sparkContext.applicationId, sf_dir,
+           _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        _SCALAR_MEMO[key] = (
+            load_tables(spark, sf_dir)["documents"]
+            .select(F.sum(F.size(tokens_expr())).alias("n"))
+            .collect()[0]["n"]
+        )
+    return int(_SCALAR_MEMO[key])
+
+
+def _sql_bm25() -> str:
+    from ..operators.text import BM25_SCALE
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             (SUM(len(toks)) * {BM25_SCALE}) // COUNT(*) AS avgdl_q
+      FROM d
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term, (SELECT n_docs FROM stats) * 1000000 // COUNT(*) AS idf_q
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             idf.idf_q * ((22 * tf * (SELECT avgdl_q FROM stats) * {BM25_SCALE}) //
+               (10 * tf * (SELECT avgdl_q FROM stats)
+                + 3 * (SELECT avgdl_q FROM stats)
+                + 9 * {BM25_SCALE} * dl.dl)) AS term_score
+      FROM tf JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_terms_hit,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM agg
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """
+
+
+@register("tx_bm25_topk", oracle=_sql_bm25())
+def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-20 documents for a fixed query bag —
+    the sparse half of a hybrid RAG retriever (operators.text.bm25_topk;
+    the dense half is the sim_* ANN ladder).  Fixed-point integer
+    scoring (k1=1.2, b=0.75 folded into exact int64 ratios) so the
+    ranking is bit-deterministic on both engines; the token explode is
+    filtered to the query bag before any shuffle and the top-k compiles
+    to TakeOrderedAndProject."""
+    from ..operators.text import bm25_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_topk(
+        docs,
+        BM25_QUERY,
+        n_docs=_doc_count(spark, sf_dir),
+        total_tokens=_token_count(spark, sf_dir),
+        top_k=BM25_TOP_K,
+    )
+
+
+def _sql_chunks() -> str:
+    from ..operators.curation import CHUNK_STRIDE, CHUNK_WINDOW
+
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, toks,
+             unnest([i for i in range(0, 1 + CAST(ceil(greatest(n - {w}, 0) / {s}) AS INT))])
+               AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id, chunk_idx,
+           len(toks[chunk_idx * {s} + 1 : chunk_idx * {s} + {w}]) AS n_chunk_tokens,
+           array_to_string(toks[chunk_idx * {s} + 1 : chunk_idx * {s} + {w}], ' ')
+             AS chunk_text
+    FROM ex
+    """
+
+
+@register("cur_chunk", oracle=_sql_chunks())
+def cur_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (32-token windows, stride
+    24) — the RAG-indexer / long-doc training splitter
+    (operators.curation.chunk_documents).  Pure narrow map: tokenize +
+    sequence/explode + slice per row, zero shuffles."""
+    from ..operators.curation import chunk_documents
+
+    return chunk_documents(load_tables(spark, sf_dir)["documents"])

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     BANDS,
     N_HASHES,
+    PROBE_DF_CAP_FRAC,
+    PROBE_DF_CAP_MIN,
     PROBE_K,
     ROWS_PER_BAND,
     SIMHASH_BITS,
@@ -140,11 +142,25 @@ def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> s
     import hashlib as _hashlib
 
     def _tail_probe(p: str, size: int) -> str:
-        # last 16 bytes without a Spark job; sub-16-byte files (never
-        # valid parquet, but be total) hash whatever exists
+        # Hash a footer-proportional tail slice without a Spark job:
+        # a parquet file ends with [thrift footer][4-byte footer len]
+        # ["PAR1"], so hashing min(4 KiB, footer_len + 8) trailing
+        # bytes covers (a prefix of) the real metadata — row counts,
+        # column statistics, offsets — not just writer-constant thrift
+        # tail fields.  A same-size, same-mtime rewrite with different
+        # contents now has to collide on the footer statistics
+        # themselves to go undetected (r5 review hardening).  Files too
+        # small / non-parquet hash their last 16 bytes.
         with open(p, "rb") as fh:
-            fh.seek(max(0, size - 16))
-            return fh.read(16).hex()
+            n = 16
+            if size >= 8:
+                fh.seek(size - 8)
+                trailer = fh.read(8)
+                if trailer[4:] == b"PAR1":
+                    footer_len = int.from_bytes(trailer[:4], "little")
+                    n = min(4096, footer_len + 8, size)
+            fh.seek(max(0, size - n))
+            return _hashlib.md5(fh.read(n)).hexdigest()
 
     tables = (table,) if isinstance(table, str) else tuple(table)
     # key shape MUST match _cached/_emb_count ((kind, appId, sf_dir,
@@ -220,7 +236,31 @@ def _persisted_index(
         # sessions building the same store can't rmtree each other's
         # in-progress tmp; a lost rename race (the other writer just
         # swapped its build in) falls back to this session's own build.
+        import glob as _glob
         import uuid as _uuid
+
+        # GC stale staging siblings before starting a new build: a
+        # build killed mid-write would otherwise orphan its unique
+        # d.tmp.<pid>.<rand> directory forever (r5 review).  Reclaim
+        # when the owning pid is gone; age out (>1 day) when the name
+        # doesn't parse or liveness can't be checked.
+        import time as _time
+
+        for stale in _glob.glob(f"{d}.tmp.*"):
+            try:
+                pid = int(stale[len(d) + 5:].split(".", 1)[0])
+                if pid == _os.getpid():
+                    continue
+                _os.kill(pid, 0)  # raises if the owner is gone
+            except (ValueError, IndexError, PermissionError):
+                try:
+                    if _time.time() - _os.path.getmtime(stale) < 86400:
+                        continue
+                except OSError:
+                    pass
+                _shutil.rmtree(stale, ignore_errors=True)
+            except ProcessLookupError:
+                _shutil.rmtree(stale, ignore_errors=True)
 
         def _stage_dir() -> str:
             return f"{d}.tmp.{_os.getpid()}.{_uuid.uuid4().hex[:8]}"
@@ -642,7 +682,58 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_containment",
     oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c_a_in_b, c_b_in_a,
+           GREATEST(c_a_in_b, c_b_in_a) AS containment
+    FROM (
+      SELECT i.doc_a, i.doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE), 4) AS c_a_in_b,
+             ROUND(CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE), 4) AS c_b_in_a
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+    )
+    WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.5
+    """,
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder's second resemblance
+    measure) — the snippet/quote detector symmetric Jaccard misses.
+    EXACT inverted-file self-join (operators.dedup.
+    containment_pairs_exact): recall 1.0 by construction, sum(df^2)
+    join rows — linear in corpus size for df-bounded shingles, and
+    measured CHEAPER at sf0.1 than scoring the loose probe candidate
+    set it replaces (1.1 s vs 2.9 s warm; the candidate path also
+    missed a containment-1.0 near-duplicate whose shared shingles were
+    all common).  dd_containment_scale keeps the capped two-stage path
+    for corpora with unremoved ultra-hot shingles.  Served from the
+    persisted shingle relation."""
+    from ..operators.dedup import containment_pairs_exact
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return containment_pairs_exact(docs, shingles=_shingles(spark, sf_dir))
+
+
+@register(
+    "dd_containment_scale",
+    oracle=f"""
     WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND},
+    dfcap AS (
+      SELECT GREATEST({PROBE_DF_CAP_MIN},
+                      CAST(CEIL({PROBE_DF_CAP_FRAC} *
+                           (SELECT COUNT(*) FROM documents)) AS BIGINT)) AS cap
+    ),
+    hot AS (
+      SELECT s FROM sh GROUP BY s
+      HAVING COUNT(*) > (SELECT cap FROM dfcap)
+    ),
+    cold AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
     probe AS (
       SELECT doc_id, s FROM (
         SELECT doc_id, s,
@@ -653,7 +744,7 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_probe AS (
       SELECT DISTINCT LEAST(p.doc_id, h.doc_id) AS doc_a,
                       GREATEST(p.doc_id, h.doc_id) AS doc_b
-      FROM probe p JOIN sh h ON h.s = p.s AND h.doc_id <> p.doc_id
+      FROM probe p JOIN cold h ON h.s = p.s AND h.doc_id <> p.doc_id
     ),
     candu AS (
       SELECT doc_a, doc_b FROM cand
@@ -681,16 +772,16 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.5
     """,
 )
-def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric shingle containment (Broder's second resemblance
-    measure) — the snippet/quote detector symmetric Jaccard misses
-    (operators.dedup.containment_pairs).  Candidates are the UNION of
-    the Jaccard-banded LSH pairs and the bottom-k containment probe
-    (containment_probe_candidates): banding alone misses exactly the
-    extreme-asymmetry pairs this operator exists for; the probe's
-    recall is independent of the size ratio (floor-asserted against
-    exact ground truth in test_properties).  Served from the persisted
-    shingle/band/candidate relations."""
+def dd_containment_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial-scale containment path: two-stage candidate /
+    exact-verify with a corpus-stat-derived document-frequency cap on
+    the probe's inverted-file side (operators.dedup.probe_df_cap —
+    the r5 review's unbounded-fan-out fix).  Candidate generation is
+    bounded at cap x |probes| memberships regardless of how hot any
+    single shingle runs; scores stay exact on every proposed pair
+    (over the FULL shingle sets), so the only recall cost vs
+    dd_containment is pairs whose every shared shingle is hotter than
+    the cap — measured and floor-asserted in test_properties."""
     from ..operators.dedup import containment_pairs
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -702,17 +793,24 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union of LSH-banded and bottom-k-probe candidate pairs —
-    session-cached: containment_pairs references the candidate spine
-    three times (two semi-filters + the intersection join)."""
-    from ..operators.dedup import containment_probe_candidates
+    """Union of LSH-banded and df-capped bottom-k-probe candidate
+    pairs — session-cached: containment_pairs references the candidate
+    spine three times (two semi-filters + the intersection join)."""
+    from ..operators.dedup import containment_probe_candidates, probe_df_cap
 
-    return _cached(
-        "containment_cand", spark, sf_dir,
-        lambda: _cand_pairs(spark, sf_dir)
-        .union(containment_probe_candidates(_shingles(spark, sf_dir)))
-        .distinct(),
-    )
+    def build() -> DataFrame:
+        from .curation_queries import _doc_count
+
+        cap = probe_df_cap(_doc_count(spark, sf_dir))
+        return (
+            _cand_pairs(spark, sf_dir)
+            .union(
+                containment_probe_candidates(_shingles(spark, sf_dir), max_df=cap)
+            )
+            .distinct()
+        )
+
+    return _cached("containment_cand", spark, sf_dir, build)
 
 
 @register(

@@ -87,6 +87,19 @@ QUERIES = {
     "cur_cluster_sample": 1.7,
     # bucket-bounded candidates + per-src top-k, like the cosine family
     "sim_knn_graph": 1.6,
+    # r6: containment.  NOTE the 2.0 bounds are honest, not lax: this
+    # generator reuses the sf0.1 vocabulary verbatim, so per-shingle df
+    # grows ~factor and the TRUE >=0.5-containment pair count itself
+    # grows ~factor^2 — output density, not plan shape, is quadratic
+    # here.  On df-bounded natural corpora both run linear (sum(df^2)
+    # ~ df_max * |shingles| for the exact join; cap * k * N for the
+    # capped probe — the absolute candidate bound is asserted below).
+    "dd_containment": 2.0,
+    "dd_containment_scale": 2.0,
+    # r6: query-bag-filtered explode + tiny aggregates — linear
+    "tx_bm25_topk": 1.3,
+    # r6: pure narrow map (sequence/explode/slice) — linear
+    "cur_chunk": 1.3,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
@@ -260,6 +273,35 @@ def main() -> int:
         failures.append(("pq_recall_floor", r_pq, 0.6))
     if r_ivfpq < 0.6:
         failures.append(("ivfpq_recall_floor", r_ivfpq, 0.6))
+
+    # --- containment candidate bound (r5 advice): the df-capped
+    # probe's distinct candidate pairs can never exceed the documented
+    # probes x cap membership bound, and the measured count is LOGGED
+    # at both scales so an adversarial df distribution surfaces here
+    # before production.
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        PROBE_K,
+        containment_probe_candidates,
+        probe_df_cap,
+    )
+    from chinook_music_database_analysis_spark.plans.curation_queries import (
+        _doc_count,
+    )
+    from chinook_music_database_analysis_spark.plans.extensions import _shingles
+
+    for tag, d in (("base", BASE), (f"{args.factor}x", out_dir)):
+        n_docs = _doc_count(spark, d)
+        cap = probe_df_cap(n_docs)
+        n_cand = containment_probe_candidates(
+            _shingles(spark, d), max_df=cap
+        ).count()
+        bound_pairs = n_docs * PROBE_K * cap
+        print(
+            f"containment probe candidates ({tag}): {n_cand} "
+            f"(cap={cap}, bound={bound_pairs})"
+        )
+        if n_cand > bound_pairs:
+            failures.append((f"containment_cand_bound_{tag}", n_cand, bound_pairs))
 
     if failures:
         print("SCALE REGRESSIONS:", failures, file=sys.stderr)

@@ -169,3 +169,80 @@ def test_fp_memo_evicted_on_reset_and_retrain_after_regen(spark, tmp_path, monke
         assert fps and open(fps[0]).read().strip() == fp2
     finally:
         ext.reset_memo(sf_dir)
+
+
+def test_stale_staging_dirs_reclaimed(spark, tmp_path, monkeypatch):
+    """A build killed mid-write leaves its unique d.tmp.<pid>.<rand>
+    staging dir behind; the next build for that store must GC siblings
+    whose owning pid is dead (r5 review) while leaving a live-pid
+    sibling and an unparseable-but-recent one alone."""
+    import glob
+    import os
+    import subprocess
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    monkeypatch.setattr(ext, "_INDEX_ROOT", str(tmp_path))
+    ext.reset_memo(SF_TEST_DIR)
+    try:
+        # Predict the store dir the same way _persisted_index does.
+        import re
+
+        tag = re.sub(r"[^A-Za-z0-9.]+", "_", SF_TEST_DIR).strip("_")
+        d = os.path.join(str(tmp_path), tag, "ivf_cents")
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        proc = subprocess.Popen(["true"])  # a pid guaranteed dead
+        proc.wait()
+        dead = f"{d}.tmp.{proc.pid}.aaaaaaaa"
+        live = f"{d}.tmp.{os.getpid()}.bbbbbbbb"
+        odd = f"{d}.tmp.unparseable"
+        for p in (dead, live, odd):
+            os.makedirs(p, exist_ok=True)
+
+        ext._ivf_cents(spark, SF_TEST_DIR).count()  # triggers a build
+        left = set(glob.glob(f"{d}.tmp.*"))
+        assert dead not in left, "dead-pid staging dir not reclaimed"
+        assert live in left, "live-pid staging dir must survive"
+        assert odd in left, "recent unparseable staging dir must survive"
+        for p in (live, odd):
+            os.rmdir(p)
+    finally:
+        ext.reset_memo(SF_TEST_DIR)
+
+
+def test_fingerprint_sees_footer_content(tmp_path):
+    """Two parquet rewrites with identical path/size/mtime but
+    different values must fingerprint differently: the tail probe
+    hashes a footer-length-proportional slice, and parquet footers
+    carry column statistics (min/max) that differ with the data (r5
+    review hardening — the old fixed-16-byte probe could collide on
+    writer-constant thrift tail fields)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    class _FakeCtx:
+        applicationId = "fp-test"
+
+    class _FakeSpark:
+        sparkContext = _FakeCtx()
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    f = str(corpus / "documents.parquet")
+
+    def write(vals):
+        pq.write_table(pa.table({"doc_id": pa.array(vals, pa.int64())}), f)
+
+    write([1, 2, 3, 4])
+    st = os.stat(f)
+    fp1 = ext._corpus_fp(_FakeSpark(), str(corpus), "documents")
+    ext._SCALAR_MEMO.clear()
+    write([1, 2, 3, 9])  # same schema/rowcount/writer -> same size
+    assert os.path.getsize(f) == st.st_size, "fixture requires equal sizes"
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # mtime-preserving restore
+    fp2 = ext._corpus_fp(_FakeSpark(), str(corpus), "documents")
+    assert fp1 != fp2

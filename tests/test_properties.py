@@ -775,9 +775,27 @@ def test_containment_recall_measured_against_exact_truth(spark):
     truth = {(r.doc_a, r.doc_b) for r in truth_df.collect()}
     assert truth, "fixture corpus has no containment pairs"
 
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        containment_pairs_exact,
+        probe_df_cap,
+    )
+
+    # the exact inverted-file path (registered dd_containment) IS the
+    # ground truth — equality, not a recall floor
+    got_exact = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs_exact(docs, shingles=sh).collect()
+    }
+    assert got_exact == truth
+
+    # the capped two-stage path (registered dd_containment_scale) at
+    # its production default cap: bounded candidates, floored recall
+    cap = probe_df_cap(docs.count())
     banded_cand = minhash_candidate_pairs(docs).cache()
     union_cand = (
-        banded_cand.union(containment_probe_candidates(sh)).distinct().cache()
+        banded_cand.union(containment_probe_candidates(sh, max_df=cap))
+        .distinct()
+        .cache()
     )
     got_banded = {
         (r.doc_a, r.doc_b)
