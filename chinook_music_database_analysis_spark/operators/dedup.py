@@ -160,7 +160,6 @@ def ngram_jaccard_pairs(
         if candidates is not None
         else minhash_candidate_pairs(docs, bands=bands)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Semi-restrict the shingle relation to candidate docs BEFORE the
     # (doc, s) intersection joins: the wide shuffle then scales with
     # the candidate set, not the corpus (the candidate set is orders
@@ -173,6 +172,9 @@ def ngram_jaccard_pairs(
         "doc_id",
         "leftsemi",
     )
+    # only candidate docs reach the score join, so set sizes come from
+    # the semi-filtered relation, not a full-corpus aggregate
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
@@ -674,12 +676,14 @@ def containment_pairs(
         if candidates is not None
         else minhash_candidate_pairs(docs, bands=bands)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh_cand = sh.join(
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
         "doc_id",
         "leftsemi",
     )
+    # only candidate docs ever reach the score join, so their set sizes
+    # come from the semi-filtered relation, not a full-corpus aggregate
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (

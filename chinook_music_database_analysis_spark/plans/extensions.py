@@ -794,8 +794,12 @@ def dd_containment_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _containment_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of LSH-banded and df-capped bottom-k-probe candidate
-    pairs — session-cached: containment_pairs references the candidate
-    spine three times (two semi-filters + the intersection join)."""
+    pairs — on-disk index store entry (the probe's per-doc bottom-k
+    window plus the df-count semi-filter over the whole shingle
+    relation are the scale path's dominant cold cost; the resulting
+    pair spine is tiny and corpus-versioned like the bands).
+    containment_pairs references the spine three times (two
+    semi-filters + the intersection join)."""
     from ..operators.dedup import containment_probe_candidates, probe_df_cap
 
     def build() -> DataFrame:
@@ -810,7 +814,9 @@ def _containment_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    return _cached("containment_cand", spark, sf_dir, build)
+    return _persisted_index(
+        "containment_cand", spark, sf_dir, build, table="documents"
+    )
 
 
 @register(
