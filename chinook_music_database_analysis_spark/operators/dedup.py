@@ -710,10 +710,47 @@ def containment_pairs(
     )
 
 
+#: routing bound for the exact inverted-file containment join: when the
+#: join-row count sum(df*(df-1)/2) exceeds HOT_JOIN_FACTOR x the
+#: shingle-row count, the corpus has unremoved hot shingles and the
+#: exact self-join is super-linear — callers should take the df-capped
+#: two-stage path instead.  Driver corpora measure 0.5-4.9x (sf0.001-
+#: sf0.1); a single df-millions boilerplate shingle pushes the ratio
+#: into the thousands, so 32 separates the regimes with wide margin.
+HOT_JOIN_FACTOR = 32
+
+
+class HotShingleCorpusError(RuntimeError):
+    """Raised by :func:`containment_pairs_exact` when ``guard_factor``
+    is set and the corpus' inverted-join blowup exceeds it — the
+    signal to route to :func:`containment_probe_candidates` +
+    :func:`containment_pairs` (bounded candidates, exact scores)."""
+
+
+def containment_join_stats(shingles: DataFrame) -> tuple[int, int]:
+    """(shingle_rows, join_rows) for the exact inverted self-join:
+    join_rows = sum over shingles of df*(df-1)/2 — the EXACT row count
+    of the ``a.join(b, "s").filter(doc_a < doc_b)`` stage, computable
+    from a df histogram (two hash-aggs over the shingle relation, no
+    join).  This is the stats pass a production run does before
+    choosing the exact vs capped containment path."""
+    row = (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum("df").alias("n"),
+            F.sum(F.expr("df * (df - 1) div 2")).alias("jr"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"] or 0), int(row["jr"] or 0)
+
+
 def containment_pairs_exact(
     docs: DataFrame,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    guard_factor: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs shingle containment via the inverted-file
     self-join — no candidate stage, recall 1.0 by construction.
@@ -743,8 +780,26 @@ def containment_pairs_exact(
     hotter than the cap.  Both paths are kept and tested; plans
     register the exact form (dd_containment) and the capped probe form
     (dd_containment_scale) side by side.
+
+    ``guard_factor`` (e.g. :data:`HOT_JOIN_FACTOR`) arms the
+    hot-shingle guard: the df-histogram stats pass runs first and a
+    :class:`HotShingleCorpusError` is raised when join_rows >
+    guard_factor * shingle_rows, so the exact path can never silently
+    go quadratic on an un-curated corpus (r6 review).  The registered
+    dd_containment plan performs the equivalent check with a memoized
+    stats scalar and AUTO-ROUTES to the capped path instead of
+    raising.
     """
     sh = shingles if shingles is not None else doc_shingles(docs)
+    if guard_factor is not None:
+        n_rows, join_rows = containment_join_stats(sh)
+        if join_rows > guard_factor * n_rows:
+            raise HotShingleCorpusError(
+                f"inverted containment join would expand to {join_rows} rows "
+                f"(> {guard_factor}x the {n_rows}-row shingle relation): "
+                "hot shingles present — use containment_probe_candidates "
+                "with a df cap + containment_pairs instead"
+            )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")

@@ -403,6 +403,34 @@ def zscore_by_source(docs: DataFrame) -> DataFrame:
 BM25_SCALE = 1000
 
 
+def bm25_corpus_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side BM25 artifacts a serving deployment persists
+    beside the corpus: the full ``(doc_id, term, tf)`` inverted
+    postings relation and the ``(doc_id, dl)`` document-length
+    relation.  Both are linear in corpus token count and built with
+    one scan + one hash-agg; :func:`bm25_topk` consumes them via its
+    ``postings``/``doclens`` parameters so repeated retrieval batches
+    never re-tokenize the corpus (the RAG-serving shape at 100 TB —
+    plans/curation_queries serves both from the fingerprint-guarded
+    index store).
+
+    The postings relation is clustered by term (hash repartition +
+    sort-within-partitions) so a parquet store of it carries term
+    min/max row-group statistics: a query bag's ``term IN (...)``
+    filter then prunes row groups at scan time instead of reading the
+    whole vocabulary back."""
+    toks = docs.select("doc_id", tokens_expr().alias("toks"))
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition("term")
+        .sortWithinPartitions("term")
+    )
+    doclens = toks.select("doc_id", F.size("toks").alias("dl"))
+    return postings, doclens
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...],
@@ -410,6 +438,9 @@ def bm25_topk(
     total_tokens: int,
     top_k: int = 20,
     idf_scale: int = 1_000_000,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
+    max_dl: int | None = None,
 ) -> DataFrame:
     """BM25 keyword retrieval: top ``top_k`` documents for a bag of
     query terms — the lexical half of a RAG retrieval stack (the dense
@@ -428,9 +459,25 @@ def bm25_topk(
     integer-quantized surrogate as TF-IDF: idf_q = n_docs*idf_scale
     div df (monotone in the Robertson idf).  score = sum over query
     terms of idf_q * ratio_q — all int64, bit-identical on Spark and
-    DuckDB.  Magnitude bound: idf_q <= n_docs*idf_scale and ratio_q <=
-    2.2e3, so the per-term product stays inside int64 for corpora up
-    to ~4e9 documents.
+    DuckDB.  Magnitude bounds (both sides of the product):
+
+    - idf side: idf_q <= n_docs*idf_scale, so the per-term product
+      idf_q * ratio_q stays inside int64 for corpora up to ~4e9
+      documents at the default idf_scale.
+    - ratio side: the un-divided numerator 22*tf*avgdl_q*SCALE must
+      itself fit int64 BEFORE the div, which requires tf*avgdl_q <=
+      (2^63-1)/(22*SCALE) ~= 4.2e14 — with avgdl_q = SCALE*avgdl
+      that is tf*avgdl <= 4.2e11 (e.g. average doc length 1e5 tokens
+      allows per-doc tf up to ~4.2e6; tf <= dl, so any corpus with
+      max_dl*avgdl below the bound is safe).  Pass ``max_dl`` (the
+      corpus max document length, a stats-pass scalar like n_docs) to
+      assert the bound at plan-build time instead of silently
+      wrapping: OverflowError if max_dl*avgdl_q exceeds it.
+
+    ``postings``/``doclens`` (from :func:`bm25_corpus_relations`,
+    typically store-served) replace the tokenize+explode of ``docs``:
+    the query-bag filter is then a pushed-down parquet predicate over
+    the postings table rather than a full-corpus token explode.
 
     Plan shape (all linear): one token explode filtered to the query
     bag BEFORE any shuffle (the filter prunes ~the whole token
@@ -444,14 +491,26 @@ def bm25_topk(
 
     qt = list(query_terms)
     avgdl_q = (total_tokens * BM25_SCALE) // n_docs
-    toks = docs.select("doc_id", tokens_expr().alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(qt))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if max_dl is not None and max_dl * avgdl_q > (2**63 - 1) // (22 * BM25_SCALE):
+        raise OverflowError(
+            f"BM25 fixed-point numerator would exceed int64: max_dl={max_dl} "
+            f"* avgdl_q={avgdl_q} > (2^63-1)/(22*{BM25_SCALE}); reduce "
+            "BM25_SCALE or truncate pathological documents"
+        )
+    if postings is not None:
+        if doclens is None:
+            raise ValueError("postings requires doclens (both store-served)")
+        tf = postings.filter(F.col("term").isin(qt)).select("doc_id", "term", "tf")
+        dl = doclens.select("doc_id", "dl")
+    else:
+        toks = docs.select("doc_id", tokens_expr().alias("toks"))
+        dl = toks.select("doc_id", F.size("toks").alias("dl"))
+        tf = (
+            toks.select("doc_id", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(qt))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     idf = tf.groupBy("term").agg(
         F.expr(f"CAST({n_docs} AS BIGINT) * {idf_scale} div count(1)").alias("idf_q")
     )

@@ -171,6 +171,7 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(shingles_from_tokens(k=BOILER_K))).alias("s"),
         ),
         table="documents",
+        params=f"k={BOILER_K}",
     )
 
 
@@ -220,6 +221,7 @@ def _boiler_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_doc_count(spark, sf_dir) * BOILER_PCT_NUM + 99) // 100,
         ),
         table="documents",
+        params=f"k={BOILER_K},pct={BOILER_PCT_NUM}",
     )
 
 
@@ -655,6 +657,7 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffling the corpus (dd_ngram_jaccard is the exact-verify
     alternative when precision matters)."""
     from ..operators.dedup import N_HASHES, minhash_signatures
+    from ..operators.text import SHINGLE_K
 
     from .extensions import _persisted_index, _shingles
 
@@ -670,6 +673,7 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: minhash_signatures(docs, shingles=_shingles(spark, sf_dir)),
         table="documents",
+        params=f"k={SHINGLE_K},h={N_HASHES}",
     )
     cand = _cand_pairs(spark, sf_dir)
     sa = sig.select(
@@ -835,17 +839,58 @@ BM25_QUERY = ("vector", "merge", "filter")
 BM25_TOP_K = 20
 
 
+def _bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (doc_id, term, tf) inverted postings — on-disk index store
+    entry, term-clustered so the query bag's IN-filter prunes row
+    groups on read-back (operators.text.bm25_corpus_relations).  The
+    corpus is tokenized once per version; every retrieval batch after
+    that is a pushed-down postings scan — the RAG-serving shape."""
+    from ..operators.text import bm25_corpus_relations
+
+    return _persisted_index(
+        "bm25_postings",
+        spark,
+        sf_dir,
+        lambda: bm25_corpus_relations(load_tables(spark, sf_dir)["documents"])[0],
+        table="documents",
+    )
+
+
+def _bm25_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl) document lengths — on-disk index store entry
+    (joined per retrieval batch; also the source of the corpus token
+    total and max-dl stats scalars, so a cold session derives ALL BM25
+    corpus state from the store without re-tokenizing)."""
+    from ..operators.text import bm25_corpus_relations
+
+    return _persisted_index(
+        "bm25_doclens",
+        spark,
+        sf_dir,
+        lambda: bm25_corpus_relations(load_tables(spark, sf_dir)["documents"])[1],
+        table="documents",
+    )
+
+
 def _token_count(spark: SparkSession, sf_dir: str) -> int:
     """Corpus token total for the BM25 length normalization, computed
-    once per (session, table set) — same stats pattern as _doc_count."""
+    once per (session, table set) — same stats pattern as _doc_count.
+    Aggregates the store-served doclen relation (sum(dl) == the direct
+    tokenize-and-sum over documents, without re-tokenizing the corpus
+    in a cold session); the max is memoized alongside for the int64
+    overflow guard."""
+    # key shape (kind, appId, sf_dir, table_set_id) — reset_memo evicts
+    # on k[2] == sf_dir, so both scalars use the standard 4-tuple
     key = ("token_count", spark.sparkContext.applicationId, sf_dir,
            _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
-        _SCALAR_MEMO[key] = (
-            load_tables(spark, sf_dir)["documents"]
-            .select(F.sum(F.size(tokens_expr())).alias("n"))
-            .collect()[0]["n"]
+        row = (
+            _bm25_doclens(spark, sf_dir)
+            .agg(F.sum("dl").alias("n"), F.max("dl").alias("mx"))
+            .collect()[0]
         )
+        _SCALAR_MEMO[key] = int(row["n"])
+        _SCALAR_MEMO[("max_dl",) + key[1:]] = int(row["mx"])
     return int(_SCALAR_MEMO[key])
 
 
@@ -900,18 +945,32 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sparse half of a hybrid RAG retriever (operators.text.bm25_topk;
     the dense half is the sim_* ANN ladder).  Fixed-point integer
     scoring (k1=1.2, b=0.75 folded into exact int64 ratios) so the
-    ranking is bit-deterministic on both engines; the token explode is
-    filtered to the query bag before any shuffle and the top-k compiles
-    to TakeOrderedAndProject."""
+    ranking is bit-deterministic on both engines; the top-k compiles
+    to TakeOrderedAndProject.
+
+    Corpus state is store-served (r7): the (doc_id, term, tf) postings
+    and (doc_id, dl) length relations load from the fingerprint-guarded
+    index store, so a retrieval batch is a term-pruned postings scan +
+    broadcast idf join + doc-length join — the corpus itself is never
+    re-tokenized after the first session.  The stats scalars
+    (n_docs/total_tokens/max_dl) come from the same store, and max_dl
+    feeds bm25_topk's int64 fixed-point overflow guard."""
     from ..operators.text import bm25_topk
 
     docs = load_tables(spark, sf_dir)["documents"]
+    total_tokens = _token_count(spark, sf_dir)
     return bm25_topk(
         docs,
         BM25_QUERY,
         n_docs=_doc_count(spark, sf_dir),
-        total_tokens=_token_count(spark, sf_dir),
+        total_tokens=total_tokens,
         top_k=BM25_TOP_K,
+        postings=_bm25_postings(spark, sf_dir),
+        doclens=_bm25_doclens(spark, sf_dir),
+        max_dl=_SCALAR_MEMO[
+            ("max_dl", spark.sparkContext.applicationId, sf_dir,
+             _table_set_id(sf_dir))
+        ],
     )
 
 

@@ -142,25 +142,36 @@ def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> s
     import hashlib as _hashlib
 
     def _tail_probe(p: str, size: int) -> str:
-        # Hash a footer-proportional tail slice without a Spark job:
-        # a parquet file ends with [thrift footer][4-byte footer len]
-        # ["PAR1"], so hashing min(4 KiB, footer_len + 8) trailing
-        # bytes covers (a prefix of) the real metadata — row counts,
-        # column statistics, offsets — not just writer-constant thrift
-        # tail fields.  A same-size, same-mtime rewrite with different
-        # contents now has to collide on the footer statistics
-        # themselves to go undetected (r5 review hardening).  Files too
-        # small / non-parquet hash their last 16 bytes.
+        # Hash a footer-proportional slice without a Spark job: a
+        # parquet file ends with [thrift footer][4-byte footer len]
+        # ["PAR1"].  Hash the LAST min(4 KiB, footer_len + 8) bytes,
+        # and — when the footer exceeds that tail slice — ALSO the
+        # FIRST 4 KiB of the footer region: in many-row-group files
+        # the differing row-group statistics can sit entirely at the
+        # head of the footer, which a tail-only probe (a SUFFIX, the
+        # r6 form) never reads (r6 review hardening; two seeks, still
+        # no Spark job).  A same-size, same-mtime rewrite with
+        # different contents now has to collide on the footer
+        # statistics themselves to go undetected.  Files too small /
+        # non-parquet hash their last 16 bytes.
         with open(p, "rb") as fh:
+            h = _hashlib.md5()
             n = 16
+            head_start = None
             if size >= 8:
                 fh.seek(size - 8)
                 trailer = fh.read(8)
                 if trailer[4:] == b"PAR1":
                     footer_len = int.from_bytes(trailer[:4], "little")
                     n = min(4096, footer_len + 8, size)
+                    if footer_len + 8 > n:
+                        head_start = max(0, size - 8 - footer_len)
+            if head_start is not None:
+                fh.seek(head_start)
+                h.update(fh.read(min(4096, size - head_start)))
             fh.seek(max(0, size - n))
-            return _hashlib.md5(fh.read(n)).hexdigest()
+            h.update(fh.read(n))
+            return h.hexdigest()
 
     tables = (table,) if isinstance(table, str) else tuple(table)
     # key shape MUST match _cached/_emb_count ((kind, appId, sf_dir,
@@ -204,11 +215,20 @@ def _persisted_index(
     build,
     table: str | tuple[str, ...] = "embeddings",
     writer=None,
+    params: str = "",
 ) -> DataFrame:
     """Session-memoized relation backed by the on-disk index store:
     load when the fingerprint matches, else train, persist, reload.
     Falls back to the plain session cache when persistence is
     impossible (mounted override tables, read-only filesystem).
+
+    ``params`` names the GOVERNING CONSTANTS of the build (banding
+    knobs, df caps, shingle k, damping...) and is mixed into the
+    stored fingerprint: without it, editing a knob between versions
+    would keep serving a stale store trained under different semantics
+    — corpus bytes alone can't see a code change (r6 review).  Call
+    sites pass a stable human-readable string (e.g. ``"k=8,cap=4"``)
+    so a knob edit invalidates exactly the stores it governs.
 
     ``writer(df, path)`` overrides the plain parquet write for stores
     whose PHYSICAL LAYOUT is the point (partitioned/z-ordered
@@ -224,6 +244,8 @@ def _persisted_index(
 
     def load_or_build() -> DataFrame:
         fp = _corpus_fp(spark, sf_dir, table)
+        if params:
+            fp = f"{fp}|{params}"
         tag = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir).strip("_")
         d = _os.path.join(_INDEX_ROOT, tag, kind)
         fp_file = _os.path.join(d, "_FINGERPRINT")
@@ -252,7 +274,13 @@ def _persisted_index(
                 if pid == _os.getpid():
                     continue
                 _os.kill(pid, 0)  # raises if the owner is gone
-            except (ValueError, IndexError, PermissionError):
+            except PermissionError:
+                # EPERM from kill(pid, 0) means the pid EXISTS (e.g.
+                # another user's build) — the owner is alive, never
+                # reclaim its in-progress staging dir (r6 review)
+                continue
+            except (ValueError, IndexError):
+                # unparseable name — liveness unknowable; age out >1 day
                 try:
                     if _time.time() - _os.path.getmtime(stale) < 86400:
                         continue
@@ -313,8 +341,8 @@ def _persisted_index(
     return _cached(kind, spark, sf_dir, load_or_build, cache=writer is None)
 
 
-#: memoized scalars (corpus counts) keyed like _MEMO.
-_SCALAR_MEMO: dict[tuple, "int | dict[str, int]"] = {}
+#: memoized scalars (corpus counts / stats tuples) keyed like _MEMO.
+_SCALAR_MEMO: dict[tuple, "int | tuple[int, int] | dict[str, int]"] = {}
 
 
 def reset_memo(sf_dir: str | None = None) -> None:
@@ -353,6 +381,7 @@ def _emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_tables(spark, sf_dir)["embeddings"],
             lsh_n_bits(_emb_count(spark, sf_dir)),
         ),
+        params=f"tables={N_TABLES},max_planes={MAX_PLANES}",
     )
 
 
@@ -376,6 +405,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_shingles", spark, sf_dir,
         lambda: doc_shingles(load_tables(spark, sf_dir)["documents"]),
         table="documents",
+        params=f"k={SHINGLE_K}",
     )
 
 
@@ -389,6 +419,7 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_tables(spark, sf_dir)["documents"], shingles=_shingles(spark, sf_dir)
         ),
         table="documents",
+        params=f"k={SHINGLE_K},h={N_HASHES},b={BANDS}",
     )
 
 
@@ -402,6 +433,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_clusters", spark, sf_dir,
         lambda: duplicate_clusters(_cand_pairs(spark, sf_dir)),
         table="documents",
+        params=f"k={SHINGLE_K},h={N_HASHES},b={BANDS}",
     )
 
 
@@ -423,6 +455,7 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash", spark, sf_dir,
         lambda: simhash(load_tables(spark, sf_dir)["documents"]),
         table="documents",
+        params=f"bits={SIMHASH_BITS}",
     )
 
 
@@ -713,11 +746,41 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed a containment-1.0 near-duplicate whose shared shingles were
     all common).  dd_containment_scale keeps the capped two-stage path
     for corpora with unremoved ultra-hot shingles.  Served from the
-    persisted shingle relation."""
-    from ..operators.dedup import containment_pairs_exact
+    persisted shingle relation.
+
+    Hot-shingle guard (r7): a memoized df-histogram stats pass
+    (operators.dedup.containment_join_stats — the exact join-row
+    count, two hash-aggs) runs first, and when join_rows exceeds
+    HOT_JOIN_FACTOR x shingle_rows the builder AUTO-ROUTES to the
+    df-capped candidate path with exact per-pair scoring — so this
+    entry can never go quadratic on an un-curated corpus, while
+    driver corpora (ratio 0.5-4.9 measured) always take the exact
+    form and the oracle is unchanged."""
+    from ..operators.dedup import HOT_JOIN_FACTOR, containment_pairs_exact
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return containment_pairs_exact(docs, shingles=_shingles(spark, sf_dir))
+    sh = _shingles(spark, sf_dir)
+    n_rows, join_rows = _containment_join_stats(spark, sf_dir)
+    if join_rows > HOT_JOIN_FACTOR * n_rows:
+        from ..operators.dedup import containment_pairs
+
+        return containment_pairs(
+            docs, shingles=sh, candidates=_containment_cand(spark, sf_dir)
+        )
+    return containment_pairs_exact(docs, shingles=sh)
+
+
+def _containment_join_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Memoized (shingle_rows, join_rows) stats scalar for the
+    containment router — computed once per (session, table set) over
+    the store-served shingle relation."""
+    from ..operators.dedup import containment_join_stats
+
+    key = ("containment_join_stats", spark.sparkContext.applicationId,
+           sf_dir, _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        _SCALAR_MEMO[key] = containment_join_stats(_shingles(spark, sf_dir))
+    return _SCALAR_MEMO[key]
 
 
 @register(
@@ -814,8 +877,14 @@ def _containment_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
+    from ..operators.dedup import PROBE_DF_CAP_FRAC, PROBE_DF_CAP_MIN
+
     return _persisted_index(
-        "containment_cand", spark, sf_dir, build, table="documents"
+        "containment_cand", spark, sf_dir, build, table="documents",
+        params=(
+            f"k={SHINGLE_K},h={N_HASHES},b={BANDS},probe_k={PROBE_K},"
+            f"cap_min={PROBE_DF_CAP_MIN},cap_frac={PROBE_DF_CAP_FRAC}"
+        ),
     )
 
 
@@ -1080,6 +1149,7 @@ def _ivf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: kmeans_centroids(
             load_tables(spark, sf_dir)["embeddings"], _emb_count(spark, sf_dir)
         ),
+        params=f"iters={KMEANS_ITERS}",
     )
 
 
@@ -1288,13 +1358,14 @@ def _pq_books(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PQ codebook relation — on-disk index store entry (the
     per-subspace k-means training is the dominant cold cost of the PQ
     family; paid once per corpus version, loaded thereafter)."""
-    from ..operators.similarity import pq_codebooks
+    from ..operators.similarity import PQ_K, PQ_M, pq_codebooks
 
     return _persisted_index(
         "pq_books", spark, sf_dir,
         lambda: pq_codebooks(
             load_tables(spark, sf_dir)["embeddings"], _emb_count(spark, sf_dir)
         ),
+        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS}",
     )
 
 
@@ -1302,7 +1373,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PQ reconstruction relation — on-disk index store entry
     (encode + decode of the whole corpus; the compressed-corpus table a
     production deployment persists beside the codebook)."""
-    from ..operators.similarity import pq_encode, pq_reconstruct
+    from ..operators.similarity import PQ_K, PQ_M, pq_encode, pq_reconstruct
 
     return _persisted_index(
         "pq_recon", spark, sf_dir,
@@ -1312,6 +1383,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _pq_books(spark, sf_dir),
         ),
+        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS}",
     )
 
 
@@ -1400,7 +1472,12 @@ def _ivfpq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _persisted_index("ivfpq_recon", spark, sf_dir, build)
+    from ..operators.similarity import PQ_K, PQ_M
+
+    return _persisted_index(
+        "ivfpq_recon", spark, sf_dir, build,
+        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS}",
+    )
 
 
 def _register_sim_ivfpq() -> None:
@@ -2523,6 +2600,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ivf_assignments(
             load_tables(spark, sf_dir)["embeddings"], _ivf_cents(spark, sf_dir)
         ),
+        params=f"iters={KMEANS_ITERS}",
     )
 
 

@@ -480,8 +480,11 @@ def s14_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pagerank_integer(edges)
 
+    from ..operators.graph import PAGERANK_D_NUM, PAGERANK_SCALE
+
     return _persisted_index(
-        "brand_pagerank", spark, sf_dir, build, table=("lineitem", "part")
+        "brand_pagerank", spark, sf_dir, build, table=("lineitem", "part"),
+        params=f"iters=3,d={PAGERANK_D_NUM},scale={PAGERANK_SCALE}",
     )
 
 
@@ -519,6 +522,7 @@ def _zordered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer=lambda df, path: write_zordered_partitioned(
             df, path, "l_ship_year", "l_partkey", "l_suppkey"
         ),
+        params="part=l_ship_year,z=l_partkey:l_suppkey",
     )
 
 

@@ -166,7 +166,9 @@ def test_fp_memo_evicted_on_reset_and_retrain_after_regen(spark, tmp_path, monke
         import glob
 
         fps = glob.glob(str(tmp_path / "idx" / "*" / "ivf_cents" / "_FINGERPRINT"))
-        assert fps and open(fps[0]).read().strip() == fp2
+        # stored form is "<corpus_fp>|<params>" since r7 (governing
+        # constants are mixed in); the corpus half must track fp2
+        assert fps and open(fps[0]).read().strip().split("|", 1)[0] == fp2
     finally:
         ext.reset_memo(sf_dir)
 
@@ -246,3 +248,141 @@ def test_fingerprint_sees_footer_content(tmp_path):
     os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # mtime-preserving restore
     fp2 = ext._corpus_fp(_FakeSpark(), str(corpus), "documents")
     assert fp1 != fp2
+
+
+def test_fingerprint_probes_footer_head_region(tmp_path):
+    """Many-row-group files have footers larger than the 4 KiB tail
+    slice; statistics for early row groups then sit entirely OUTSIDE
+    the tail.  The r7 probe hashes the FIRST 4 KiB of the footer
+    region too, so a same-size mtime-preserving rewrite that only
+    changes an early row group's data/statistics must still change the
+    fingerprint (r6 review: the old probe read only a footer SUFFIX)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    class _FakeCtx:
+        applicationId = "fp-head-test"
+
+    class _FakeSpark:
+        sparkContext = _FakeCtx()
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    f = str(corpus / "documents.parquet")
+
+    def write(swap):
+        # swapping a value across row groups 0 and 1 changes both
+        # groups' min/max statistics (head of the footer) while the
+        # value multiset — and thus the encoded size — stays identical
+        vals = list(range(3000))
+        if swap:
+            vals[0], vals[5] = vals[5], vals[0]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(vals, pa.int64())}), f, row_group_size=5
+        )
+
+    write(False)
+    # precondition: the footer really is bigger than the tail slice
+    with open(f, "rb") as fh:
+        fh.seek(os.path.getsize(f) - 8)
+        trailer = fh.read(8)
+    assert trailer[4:] == b"PAR1"
+    footer_len = int.from_bytes(trailer[:4], "little")
+    assert footer_len + 8 > 4096, "fixture must exceed the 4 KiB tail slice"
+
+    st = os.stat(f)
+    fp1 = ext._corpus_fp(_FakeSpark(), str(corpus), "documents")
+    ext._SCALAR_MEMO.clear()
+    write(True)  # only early row groups' head-of-footer stats change
+    assert os.path.getsize(f) == st.st_size, "fixture requires equal sizes"
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp2 = ext._corpus_fp(_FakeSpark(), str(corpus), "documents")
+    assert fp1 != fp2
+
+
+def test_eperm_staging_dir_never_reclaimed(spark, tmp_path, monkeypatch):
+    """PermissionError from kill(pid, 0) means the pid EXISTS (another
+    user's live build) — its staging dir must survive GC even when
+    older than the 1-day age-out that applies to unparseable names
+    (r6 review: EPERM was previously lumped with 'liveness unknown')."""
+    import os
+    import re
+    import time
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    monkeypatch.setattr(ext, "_INDEX_ROOT", str(tmp_path))
+    ext.reset_memo(SF_TEST_DIR)
+    real_kill = os.kill
+    eperm_pid = 999999 + os.getpid()  # never a real pid we own
+
+    def fake_kill(pid, sig):
+        if pid == eperm_pid:
+            raise PermissionError("operation not permitted")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(ext._os, "kill", fake_kill)
+    try:
+        tag = re.sub(r"[^A-Za-z0-9.]+", "_", SF_TEST_DIR).strip("_")
+        d = os.path.join(str(tmp_path), tag, "ivf_cents")
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        eperm = f"{d}.tmp.{eperm_pid}.cccccccc"
+        old_odd = f"{d}.tmp.unparseable_old"
+        os.makedirs(eperm)
+        os.makedirs(old_odd)
+        two_days_ago = time.time() - 2 * 86400
+        os.utime(eperm, (two_days_ago, two_days_ago))
+        os.utime(old_odd, (two_days_ago, two_days_ago))
+
+        ext._ivf_cents(spark, SF_TEST_DIR).count()  # triggers GC + build
+        assert os.path.isdir(eperm), "EPERM (live foreign) staging dir reclaimed"
+        assert not os.path.isdir(old_odd), "aged unparseable dir must be GC'd"
+        os.rmdir(eperm)
+    finally:
+        ext.reset_memo(SF_TEST_DIR)
+
+
+def test_store_params_mismatch_invalidates(spark, tmp_path, monkeypatch):
+    """Governing constants are mixed into the stored fingerprint via
+    ``params``: the same corpus with a different params string must
+    retrain instead of serving the stale store (r6 review — a knob
+    edit is invisible to corpus-byte fingerprints)."""
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    monkeypatch.setattr(ext, "_INDEX_ROOT", str(tmp_path))
+    builds = []
+
+    def make_build(tagval):
+        def build():
+            builds.append(tagval)
+            return spark.range(3).select(F.col("id").alias("x"))
+
+        return build
+
+    try:
+        ext.reset_memo(SF_TEST_DIR)
+        ext._persisted_index(
+            "params_probe", spark, SF_TEST_DIR, make_build("a"),
+            table="documents", params="k=1",
+        ).count()
+        assert builds == ["a"]
+        # same params, fresh session-memo: served from the store
+        ext.reset_memo(SF_TEST_DIR)
+        ext._persisted_index(
+            "params_probe", spark, SF_TEST_DIR, make_build("a2"),
+            table="documents", params="k=1",
+        ).count()
+        assert builds == ["a"], "matching params must hit the store"
+        # changed params: must rebuild
+        ext.reset_memo(SF_TEST_DIR)
+        ext._persisted_index(
+            "params_probe", spark, SF_TEST_DIR, make_build("b"),
+            table="documents", params="k=2",
+        ).count()
+        assert builds == ["a", "b"], "changed params must invalidate the store"
+    finally:
+        ext.reset_memo(SF_TEST_DIR)

@@ -443,3 +443,34 @@ def test_stratified_take_prefilter_preserves_result(spark, docs):
     pre = {tuple(r) for r in stratified_take(docs, "source", "doc_id", 3, prefilter_pct=60.0)
            .select("doc_id", "source", "rn").collect()}
     assert pre == base and len(base) > 0
+
+
+def test_bm25_store_relations_match_direct_and_guards(spark, docs):
+    """The store-served BM25 path (postings + doclens from
+    bm25_corpus_relations) must rank identically to the direct
+    tokenize path; the int64 fixed-point overflow guard raises on a
+    pathological max_dl; postings without doclens is a usage error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.text import (
+        bm25_corpus_relations,
+        bm25_topk,
+    )
+
+    n_docs = docs.count()
+    postings, doclens = bm25_corpus_relations(docs)
+    total = int(doclens.agg(F.sum("dl")).collect()[0][0])
+    q = ("vector", "merge", "filter")
+    direct = bm25_topk(docs, q, n_docs=n_docs, total_tokens=total)
+    stored = bm25_topk(
+        docs, q, n_docs=n_docs, total_tokens=total,
+        postings=postings, doclens=doclens,
+        max_dl=int(doclens.agg(F.max("dl")).collect()[0][0]),
+    )
+    assert [tuple(r) for r in direct.collect()] == [tuple(r) for r in stored.collect()]
+
+    with pytest.raises(OverflowError):
+        bm25_topk(docs, q, n_docs=n_docs, total_tokens=total, max_dl=2**62)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, q, n_docs=n_docs, total_tokens=total, postings=postings)

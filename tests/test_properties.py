@@ -812,3 +812,53 @@ def test_containment_recall_measured_against_exact_truth(spark):
     assert recall_union >= recall_banded
     for df in (sh, banded_cand, union_cand):
         df.unpersist()
+
+
+def test_hot_shingle_guard_and_containment_router(spark):
+    """r7 hot-shingle guard: (a) containment_pairs_exact with
+    guard_factor raises HotShingleCorpusError on a corpus whose
+    inverted-join blowup exceeds the bound, (b) the natural test
+    corpus passes the same guard, and (c) the registered
+    dd_containment builder AUTO-ROUTES to the df-capped candidate
+    path (visible as the candidate LeftSemi restriction in the plan)
+    on the hot corpus while keeping the exact inverted-file form on
+    the natural one."""
+    import pytest
+
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        HOT_JOIN_FACTOR,
+        HotShingleCorpusError,
+        containment_pairs_exact,
+    )
+    from chinook_music_database_analysis_spark.plans import QUERIES
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+    from chinook_music_database_analysis_spark.sources.session import TABLE_OVERRIDES
+
+    hot = spark.createDataFrame(
+        [
+            (i, "spam ham eggs common boiler plate line " + f"u{i} v{i} w{i}")
+            for i in range(400)
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(HotShingleCorpusError):
+        containment_pairs_exact(hot, guard_factor=HOT_JOIN_FACTOR)
+
+    docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+    containment_pairs_exact(docs, guard_factor=HOT_JOIN_FACTOR)  # no raise
+
+    handle = "hot-containment-handle"
+    TABLE_OVERRIDES[handle] = {"documents": hot}
+    try:
+        ext.reset_memo(handle)
+        routed = QUERIES["dd_containment"](spark, handle)
+        plan = routed._jdf.queryExecution().analyzed().toString()
+        assert "LeftSemi" in plan, "hot corpus must take the capped path"
+        assert routed.count() >= 0
+    finally:
+        del TABLE_OVERRIDES[handle]
+        ext.reset_memo(handle)
+
+    exact = QUERIES["dd_containment"](spark, SF_TEST_DIR)
+    plan2 = exact._jdf.queryExecution().analyzed().toString()
+    assert "LeftSemi" not in plan2, "natural corpus must keep the exact form"
