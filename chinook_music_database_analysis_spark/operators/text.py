@@ -539,3 +539,58 @@ def bm25_topk(
         "doc_id", "score", "n_terms_hit",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+#: reciprocal-rank-fusion constants: the standard k=60 (Cormack et
+#: al., SIGIR'09 — robust across collections without tuning) with an
+#: integer scale so every contribution is an exact int64.
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    k: int = RRF_K,
+    scale: int = RRF_SCALE,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — the standard
+    combiner for a hybrid sparse (BM25) + dense (ANN) retrieval stack.
+
+    Each input DataFrame carries ``(id_col, rank)`` with a 1-based
+    deterministic rank.  A list's contribution to a document is the
+    exact integer ``scale div (k + rank)`` (absent -> contributes
+    nothing), so the fused score — the sum over lists — is pure int64
+    and bit-identical across engines; ties break on id.
+
+    Plan shape: union-all of the (already tiny, <= depth-row) ranked
+    lists + one hash-agg — NO joins, linear in the sum of list
+    lengths; the final top_k sorts a handful of rows.  At serving
+    scale the inputs are each a top-depth result of their own
+    retrieval plan (TakeOrderedAndProject), so fusion cost is
+    independent of corpus size.
+    """
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"CAST({scale} AS BIGINT) div ({k} + rank)").alias("c"),
+        )
+        for r in rankings
+    ]
+    from pyspark.sql import Window
+
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("rrf_score"), F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.col("rrf_score").desc(), id_col)
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), id_col)
+    return fused.select(
+        id_col, "rrf_score", "n_lists",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -22,23 +22,36 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 6 window (the r5 driver snapshot ran before the list could
-# rotate, so the 6 post-r4 registrations + s15 still have only the
-# local oracle gate): every never-driver-checked entry first — the
-# r6-reworked dd_containment (now the exact inverted-file join), the
-# new dd_containment_scale / tx_bm25_topk / cur_chunk, the post-r4 six
-# and s15_skew_salted — then every entry green exactly ONCE across
-# r1-r5 (second confirmation), then the stalest twice-green entries
-# (last green r2: the dd_* family sharing the reworked shingle-store
-# consumers, the tx_* linears, and the q01-q12 parity anchors).
-# Evicted: everything driver-green in r5 or green twice with
-# byte-unchanged builders.
+# Round 7 window: (1) the never-driver-checked r7 registration
+# (tx_hybrid_rrf); (2) every builder MUTATED this round — the BM25
+# store path (tx_bm25_topk), the containment router (dd_containment),
+# and every query whose persisted-store builder gained a params
+# fingerprint or whose store format changed (containment_scale,
+# minhash_estimate, boilerplate, pagerank, layout rebuild, the
+# pq/ivf ladder, dup_clusters); (3) the ten r6 first-timers for their
+# second green; (4) the stalest twice-green entries (last green r2:
+# the s01-s11 scale suite + s10_add_column; last green r3: the mm_*
+# multimodal family, the streaming-analog ev_* windows, the LSH/brute
+# sim pair, q01_dupes); (5) last-r5 twice-green fill.  Evicted:
+# everything green in r6 with byte-unchanged builders.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked (10): r6 rework + r6 new + post-r4 + r5 skew
+    # never driver-checked (1)
+    "tx_hybrid_rrf",
+    # r7-mutated builders (12)
+    "tx_bm25_topk",
     "dd_containment",
     "dd_containment_scale",
-    "tx_bm25_topk",
+    "dd_minhash_estimate",
+    "cur_boilerplate",
+    "s14_brand_pagerank",
+    "pipe_layout_rebuild",
+    "sim_ivf_topk",
+    "sim_ivf_stride_topk",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "dd_dup_clusters",
+    # r6 first-timers, second green (7)
     "cur_chunk",
     "dq_documents_expectations",
     "ev_cdc_latest_state",
@@ -46,50 +59,39 @@ _WINDOW_FIRST = [
     "pipe_filter_funnel",
     "sim_knn_graph",
     "s15_skew_salted",
-    # green exactly once across r1-r5 (13) — second confirmation
-    "dq_order_expectations",
-    "ev_pivot_user_types",
-    "q04d_cube_geo",
-    "q04e_grouping_sets",
-    "q13_no_big_order",
-    "q13b_not_in_null_aware",
-    "q14_rolling_90d_spend",
-    "q15_spend_distribution",
-    "q16_order_value_frames",
-    "q17_top_spender_maxby",
-    "q18_price_profile_arrays",
-    "q20_stats_profile",
-    "s12_retention_setops",
-    # stalest twice-green (last green r2): dd_/tx_ families first (they
-    # consume the shingle store the containment rework touches)
-    "dd_dup_clusters",
-    "dd_exact",
-    "dd_minhash_pairs",
-    "dd_ngram_jaccard",
-    "dd_simhash",
-    "dd_simhash_pairs",
-    "pipe_clean_corpus",
-    "tx_fingerprint",
-    "tx_langid",
-    "tx_stats",
-    # parity anchors, last green r2
-    "q01_nulls",
-    "q02_top_parts_nation0",
-    "q03_demographics",
-    "q03b_segment_geo",
-    "q04_rev_by_geo",
-    "q04b_topk_nations",
-    "q04c_rollup_geo",
-    "q05_top5_cust_per_nation",
-    "q06_top_part_per_cust",
-    "q07_purchase_trends",
-    "q08_churn_rate",
-    "q09_type_pct_nation0",
-    "q09b_top_brands_top_types",
-    "q10_multi_type_cust",
-    "q10b_approx_distinct",
-    "q11_type_rank_nation0",
-    "q12_inactive_3mo",
+    # stalest twice-green, last green r2 (10)
+    "s01_brand_promo",
+    "s02_intl_types",
+    "s03_old_vs_new",
+    "s04_affinity_brands",
+    "s04_affinity_types",
+    "s05_regional_churn",
+    "s06_risk_profile",
+    "s07_clv_segments",
+    "s10_add_column",
+    "s11_geo_behavior",
+    # last green r3 (10)
+    "mm_media_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "ev_tumbling_1h",
+    "ev_sliding_1h_30m",
+    "ev_sessionized",
+    "ev_dedup_first",
+    "sim_lsh_topk",
+    "sim_bruteforce_topk",
+    "q01_dupes",
+    # last-r5 twice-green fill (10)
+    "tx_surprisal",
+    "cur_contamination_report",
+    "tx_gopher_quality",
+    "dd_dup_ngrams",
+    "dd_cross_simhash",
+    "cur_cluster_sample",
+    "dd_fuzzy_dictionary",
+    "tx_keyphrases",
+    "ev_session_funnel_windows",
+    "dd_semantic",
 ]
 
 
@@ -105,10 +107,10 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r6 NOTE: the rotation list is at 50/50 slots.  With this window
-# green, union driver coverage reaches every registry entry.  r7
-# should rotate in the remaining stale twice-green entries (s01-s11,
-# s04_*, s10_add_column, mm_*, ev_* streaming analogs) plus any entry
-# mutated in r6's perf work.
+# r7 NOTE: 50/50 slots.  With this window green, every registry entry
+# is driver-green >= 2x EXCEPT the remaining last-r5 thrice-green pool
+# and tx_hybrid_rrf (1st green this round).  r8 should rotate in the
+# last-r5 count-3 entries (cur_* samplers, ev_* temporal family,
+# sim_sq8/range, tx_tfidf/repetition, s13) plus anything r8 mutates.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -974,6 +974,87 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hybrid retrieval: fuse the BM25 top-20 with the dense cosine top-20
+#: for query vector 0 (the synthetic corpus aligns vec_id with doc_id
+#: on the embedded prefix — documented join assumption).
+HYBRID_DEPTH = 20
+HYBRID_TOP_K = 10
+HYBRID_QUERY_VEC = 0
+
+
+def _sql_hybrid() -> str:
+    from ..operators.text import RRF_K, RRF_SCALE
+    from .extensions import _sql_cos
+
+    cos = _sql_cos("q.qe", "e.embedding")
+    return f"""
+    WITH sparse AS (SELECT doc_id, rank FROM ({_sql_bm25()})),
+    dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT e.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id)
+                    AS INTEGER) AS rank
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings
+              WHERE vec_id = {HYBRID_QUERY_VEC}) q
+        WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+      ) WHERE rank <= {HYBRID_DEPTH}
+    ),
+    u AS (
+      SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS c FROM sparse
+      UNION ALL
+      SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS c FROM dense
+    ),
+    f AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+             COUNT(*) AS n_lists
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOP_K}
+    """
+
+
+@register("tx_hybrid_rrf", oracle=_sql_hybrid())
+def tx_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r7): reciprocal-rank fusion of the sparse
+    BM25 top-20 (store-served postings, tx_bm25_topk's exact plan) and
+    the dense exact-cosine top-20 for query vector 0 — the standard
+    two-tower RAG retrieval stack fused with Cormack's k=60 RRF.  All
+    arithmetic integer (contribution = SCALE div (k + rank)), so the
+    fused ranking is bit-identical on both engines; fusion itself is a
+    union-all + hash-agg over two <= 20-row lists — no joins, cost
+    independent of corpus size."""
+    from ..operators.similarity import cosine_topk
+    from ..operators.text import bm25_topk, rrf_fuse
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    total_tokens = _token_count(spark, sf_dir)
+    sparse = bm25_topk(
+        docs,
+        BM25_QUERY,
+        n_docs=_doc_count(spark, sf_dir),
+        total_tokens=total_tokens,
+        top_k=HYBRID_DEPTH,
+        postings=_bm25_postings(spark, sf_dir),
+        doclens=_bm25_doclens(spark, sf_dir),
+        max_dl=_SCALAR_MEMO[
+            ("max_dl", spark.sparkContext.applicationId, sf_dir,
+             _table_set_id(sf_dir))
+        ],
+    ).select("doc_id", "rank")
+    dense = cosine_topk(
+        load_tables(spark, sf_dir)["embeddings"],
+        n_queries=HYBRID_QUERY_VEC + 1,
+        k=HYBRID_DEPTH,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    return rrf_fuse([sparse, dense], top_k=HYBRID_TOP_K)
+
+
 def _sql_chunks() -> str:
     from ..operators.curation import CHUNK_STRIDE, CHUNK_WINDOW
 

@@ -100,6 +100,12 @@ QUERIES = {
     "tx_bm25_topk": 1.3,
     # r6: pure narrow map (sequence/explode/slice) — linear
     "cur_chunk": 1.3,
+    # r7: per-order pair enumeration (bounded lines/order) + BSP
+    # supersteps on the tiny brand graph — linear in lineitem
+    "s14_brand_pagerank": 1.3,
+    # r7: salted fact-dim join + decomposable (count/sum/max) aggs —
+    # linear in events; the salt only moves physical placement
+    "s15_skew_salted": 1.3,
 }
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
@@ -160,14 +166,63 @@ def generate(out_dir: str, factor: int, seed: int = 7) -> None:
             rng.integers(0, dim, size=n_parts), rng.integers(0, dim, size=n_parts)
         )
     ]
+    brands = [
+        f"Brand#{a}{b}" for a, b in zip(
+            rng.integers(1, 6, size=n_parts), rng.integers(1, 6, size=n_parts)
+        )
+    ]
     pq.write_table(
         pa.table(
             {
                 "p_partkey": pa.array(range(n_parts), pa.int64()),
                 "p_name": pa.array(p_names),
+                "p_brand": pa.array(brands),
             }
         ),
         f"{out_dir}/part.parquet",
+    )
+
+    # facts for the s14/s15 families: lineitem (orders of ~4 lines over
+    # the part dictionary), and a Zipf-ish events table (s15's hot-key
+    # collapse happens in the query itself via user_id % mod).
+    n_li = 600_000 * factor
+    orderkeys = np.repeat(np.arange(n_li // 4, dtype=np.int64), 4)[:n_li]
+    linenum = np.tile(np.arange(1, 5, dtype=np.int32), n_li // 4 + 1)[:n_li]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(orderkeys, pa.int64()),
+                "l_linenumber": pa.array(linenum, pa.int32()),
+                "l_partkey": pa.array(
+                    rng.integers(0, n_parts, size=n_li), pa.int64()
+                ),
+            }
+        ),
+        f"{out_dir}/lineitem.parquet",
+    )
+    n_ev = 100_000 * factor
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "ts": pa.array(
+                    ts0 + rng.integers(0, 30 * 86_400_000_000, size=n_ev),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    rng.integers(0, 1500 * factor, size=n_ev), pa.int64()
+                ),
+                "event_type": pa.array(
+                    rng.choice(["click", "view", "error"], size=n_ev).tolist()
+                ),
+                "value": pa.array(
+                    np.round(rng.uniform(0, 100, size=n_ev), 2), pa.float64()
+                ),
+                "props": pa.array(["{}"] * n_ev),
+            }
+        ),
+        f"{out_dir}/events.parquet",
     )
 
     n_vec = 2000 * factor
@@ -201,7 +256,7 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     if not all(
         os.path.exists(f"{out_dir}/{t}.parquet")
-        for t in ("embeddings", "documents", "part")
+        for t in ("embeddings", "documents", "part", "lineitem", "events")
     ):
         print(f"# generating {args.factor}x corpus under {out_dir}", file=sys.stderr)
         generate(out_dir, args.factor)
@@ -302,6 +357,34 @@ def main() -> int:
         )
         if n_cand > bound_pairs:
             failures.append((f"containment_cand_bound_{tag}", n_cand, bound_pairs))
+
+    # --- exact-containment join-row bound (r6 advice / r7 guard): the
+    # inverted self-join expands to EXACTLY sum(df*(df-1)/2) rows; the
+    # registered dd_containment keeps the exact path only while that
+    # stays within HOT_JOIN_FACTOR x the shingle rows, else auto-routes
+    # to the capped candidate path.  Base (the driver corpus shape)
+    # must stay on the exact path; the vocab-reusing 10x corpus is
+    # EXPECTED to trip the router (per-shingle df grows ~factor), which
+    # is the guard demonstrably working — both decisions are logged.
+    from chinook_music_database_analysis_spark.operators.dedup import (
+        HOT_JOIN_FACTOR,
+    )
+    from chinook_music_database_analysis_spark.plans.extensions import (
+        _containment_join_stats,
+    )
+
+    for tag, d in (("base", BASE), (f"{args.factor}x", out_dir)):
+        n_rows, join_rows = _containment_join_stats(spark, d)
+        routed = join_rows > HOT_JOIN_FACTOR * n_rows
+        print(
+            f"containment exact join rows ({tag}): {join_rows} "
+            f"(shingle rows {n_rows}, bound {HOT_JOIN_FACTOR}x) -> "
+            f"{'CAPPED path' if routed else 'exact path'}"
+        )
+        if tag == "base" and routed:
+            failures.append(
+                ("containment_router_base", join_rows, HOT_JOIN_FACTOR * n_rows)
+            )
 
     if failures:
         print("SCALE REGRESSIONS:", failures, file=sys.stderr)

@@ -474,3 +474,25 @@ def test_bm25_store_relations_match_direct_and_guards(spark, docs):
         bm25_topk(docs, q, n_docs=n_docs, total_tokens=total, max_dl=2**62)
     with pytest.raises(ValueError):
         bm25_topk(docs, q, n_docs=n_docs, total_tokens=total, postings=postings)
+
+
+def test_rrf_fuse_integer_math_and_overlap_rank(spark):
+    """RRF fusion: a doc present in both lists outranks same-depth
+    single-list docs; contributions are the exact integers
+    SCALE div (k + rank); n_lists counts membership."""
+    from chinook_music_database_analysis_spark.operators.text import (
+        RRF_K,
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    out = {
+        r.doc_id: (r.rrf_score, r.n_lists, r.rank)
+        for r in rrf_fuse([a, b], top_k=3).collect()
+    }
+    c1, c2 = RRF_SCALE // (RRF_K + 1), RRF_SCALE // (RRF_K + 2)
+    assert out[2] == (c1 + c2, 2, 1), "doc in both lists must fuse to the top"
+    assert out[1] == (c1, 1, 2)
+    assert out[3] == (c2, 1, 3)

@@ -112,6 +112,9 @@ BNLJ_ALLOWED = {
     "sim_ivf_stride_topk",
     "dd_semantic",
     "tx_surprisal",
+    # dense half of the hybrid fusion: cosine_topk's broadcast of the
+    # single fixed query vector (same pattern as sim_bruteforce_topk)
+    "tx_hybrid_rrf",
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_sq8_topk",

@@ -516,3 +516,40 @@ def test_running_totals_processor_unit():
     )[0]
     assert out2.iloc[0].tolist() == [7, 3, 7.0]
     proc.close()
+
+
+def test_stateful_v2_builder_wiring(spark, monkeypatch):
+    """user_running_totals_stream_v2's wiring runs in CI even without
+    the protobuf runtime the real transformWithStateInPandas state
+    server needs: the GroupedData method is stubbed to capture its
+    arguments, proving the builder keys by user_id and passes the
+    RunningTotalsProcessor / output schema / Update / None-time
+    contract (the processor body itself is covered by
+    test_running_totals_processor_unit).  Together these leave no
+    always-skipped code path in streaming/stateful_v2."""
+    from pyspark.sql.group import GroupedData
+
+    from chinook_music_database_analysis_spark.streaming.stateful_v2 import (
+        OUTPUT_SCHEMA,
+        RunningTotalsProcessor,
+        user_running_totals_stream_v2,
+    )
+
+    captured = {}
+
+    def fake_tws(self, statefulProcessor, outputStructType, outputMode, timeMode, **kw):
+        captured.update(
+            processor=statefulProcessor,
+            schema=outputStructType,
+            mode=outputMode,
+            time=timeMode,
+        )
+        return spark.createDataFrame([], outputStructType)
+
+    monkeypatch.setattr(GroupedData, "transformWithStateInPandas", fake_tws)
+    out = user_running_totals_stream_v2(read_events_stream(spark, SF_TEST_DIR))
+    assert isinstance(captured["processor"], RunningTotalsProcessor)
+    assert captured["schema"] == OUTPUT_SCHEMA
+    assert captured["mode"] == "Update"
+    assert captured["time"] == "None"
+    assert out.schema == OUTPUT_SCHEMA
