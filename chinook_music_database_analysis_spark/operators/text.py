@@ -541,6 +541,72 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    postings: DataFrame,
+    doclens: DataFrame,
+    queries: "dict[int, tuple[str, ...]]",
+    n_docs: int,
+    total_tokens: int,
+    top_k: int = 5,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Batch BM25 retrieval: per-query top-k over the persisted
+    postings store for a BATCH of query bags — the amortized serving
+    shape (one postings scan serves every query in the batch; the
+    single-query form re-scans per call).
+
+    Same fixed-point integer scoring as :func:`bm25_topk` (identical
+    term_score per (doc, term); IDF depends only on the term, so batch
+    and single-query scores agree exactly).  Plan shape: the postings
+    scan is filtered to the UNION of the batch's terms (pushed-down
+    parquet predicate on the term-clustered store), per-term IDF and
+    the (query_id, term) bag relation are broadcast, and the per-query
+    top-k compiles to one WindowGroupLimit — no per-query jobs, no
+    corpus-wide sort.  Batch cost ~ |terms in batch| postings rows,
+    independent of batch size beyond that.
+    """
+    from pyspark.sql import Window
+
+    spark = postings.sparkSession
+    avgdl_q = (total_tokens * BM25_SCALE) // n_docs
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id int, term string",
+    )
+    terms = sorted({t for ts in queries.values() for t in ts})
+    tf = postings.filter(F.col("term").isin(terms)).select("doc_id", "term", "tf")
+    idf = tf.groupBy("term").agg(
+        F.expr(f"CAST({n_docs} AS BIGINT) * {idf_scale} div count(1)").alias("idf_q")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclens.select("doc_id", "dl"), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                f"idf_q * ((22 * tf * CAST({avgdl_q} AS BIGINT) * {BM25_SCALE}) div "
+                f"(10 * tf * CAST({avgdl_q} AS BIGINT)"
+                f" + 3 * CAST({avgdl_q} AS BIGINT) + 9 * {BM25_SCALE} * dl))"
+            ).alias("term_score"),
+        )
+    )
+    per_query = (
+        scored.join(F.broadcast(qrel), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
+    )
+
+
 #: reciprocal-rank-fusion constants: the standard k=60 (Cormack et
 #: al., SIGIR'09 — robust across collections without tuning) with an
 #: integer scale so every contribution is an exact int64.

@@ -974,6 +974,90 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: batch retrieval: three query bags served from ONE postings scan —
+#: the amortized RAG-serving shape (terms drawn from the corpus
+#: vocabulary; bag 0 is the single-query benchmark's bag).
+BM25_BATCH: dict[int, tuple[str, ...]] = {
+    0: ("vector", "merge", "filter"),
+    1: ("join", "hash", "scan"),
+    2: ("stream", "window", "sort"),
+}
+BM25_BATCH_K = 5
+
+
+def _sql_bm25_batch() -> str:
+    from ..operators.text import BM25_SCALE
+
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in BM25_BATCH.values() for t in ts})
+    )
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(BM25_BATCH.items()) for t in ts
+    )
+    return f"""
+    WITH qrel AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+    d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             (SUM(len(toks)) * {BM25_SCALE}) // COUNT(*) AS avgdl_q
+      FROM d
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+      WHERE term IN ({all_terms})
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term, (SELECT n_docs FROM stats) * 1000000 // COUNT(*) AS idf_q
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             idf.idf_q * ((22 * tf * (SELECT avgdl_q FROM stats) * {BM25_SCALE}) //
+               (10 * tf * (SELECT avgdl_q FROM stats)
+                + 3 * (SELECT avgdl_q FROM stats)
+                + 9 * {BM25_SCALE} * dl.dl)) AS term_score
+      FROM tf JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+    ),
+    pq AS (
+      SELECT q.query_id, s.doc_id,
+             CAST(SUM(term_score) AS BIGINT) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM scored s JOIN qrel q USING (term)
+      GROUP BY q.query_id, s.doc_id
+    )
+    SELECT query_id, doc_id, score, n_terms_hit,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM pq QUALIFY rank <= {BM25_BATCH_K}
+    """
+
+
+@register("tx_bm25_batch", oracle=_sql_bm25_batch())
+def tx_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval (r7): three query bags answered from ONE
+    pushed-down scan of the persisted postings store — per-query top-5
+    via a single WindowGroupLimit (operators.text.bm25_batch_topk).
+    This is the amortized serving shape: batch cost scales with the
+    union of the batch's terms, not with batch size, and the corpus is
+    never re-tokenized."""
+    from ..operators.text import bm25_batch_topk
+
+    total_tokens = _token_count(spark, sf_dir)
+    return bm25_batch_topk(
+        _bm25_postings(spark, sf_dir),
+        _bm25_doclens(spark, sf_dir),
+        BM25_BATCH,
+        n_docs=_doc_count(spark, sf_dir),
+        total_tokens=total_tokens,
+        top_k=BM25_BATCH_K,
+    )
+
+
 #: hybrid retrieval: fuse the BM25 top-20 with the dense cosine top-20
 #: for query vector 0 (the synthetic corpus aligns vec_id with doc_id
 #: on the embedded prefix — documented join assumption).
@@ -1077,6 +1161,72 @@ def _sql_chunks() -> str:
              AS chunk_text
     FROM ex
     """
+
+
+#: chunk identity encoding for the RAG-index dedup representative:
+#: enc = doc_id * RAG_ENC + chunk_idx is unique and order-isomorphic
+#: to (doc_id, chunk_idx) while staying pure int64 (valid for docs up
+#: to RAG_ENC chunks ~ 24M tokens at the registered window/stride).
+RAG_ENC = 1_000_000
+
+
+def _sql_rag_index() -> str:
+    return f"""
+    WITH chunks AS (SELECT * FROM ({_sql_chunks()})),
+    h AS (
+      SELECT doc_id, chunk_idx, n_chunk_tokens,
+             md5(chunk_text) AS ch,
+             doc_id * {RAG_ENC} + chunk_idx AS enc
+      FROM chunks
+    ),
+    rep AS (SELECT ch, MIN(enc) AS rep_enc FROM h GROUP BY ch),
+    f AS (SELECT h.*, (enc = rep_enc) AS is_rep FROM h JOIN rep USING (ch))
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CAST(is_rep AS INT)) AS BIGINT) AS n_indexed,
+           CAST(COUNT(*) - SUM(CAST(is_rep AS INT)) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN is_rep THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+             AS tok_indexed
+    FROM f GROUP BY doc_id
+    """
+
+
+@register("pipe_rag_index", oracle=_sql_rag_index())
+def pipe_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion pipeline (r7): chunk the corpus into overlapping
+    context windows, dedup chunks CORPUS-WIDE by content hash (boiler
+    chunks repeat across documents; the min-(doc,chunk) representative
+    is kept, the RAG-index analog of exact_dedup's rep rule), and
+    report per-document index stats — chunks produced, chunks actually
+    indexed, duplicates elided, tokens indexed.
+
+    Plan shape: chunking is a zero-shuffle narrow map (cur_chunk's
+    plan), then ONE hash-shuffle keyed by chunk hash (rep agg + join
+    back — AQE broadcasts the rep side only when it fits) and one
+    doc-keyed agg.  Linear in corpus tokens; no pair joins."""
+    from ..operators.curation import chunk_documents
+
+    chunks = chunk_documents(load_tables(spark, sf_dir)["documents"])
+    h = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("ch"),
+        (F.col("doc_id") * F.lit(RAG_ENC) + F.col("chunk_idx")).alias("enc"),
+    )
+    rep = h.groupBy("ch").agg(F.min("enc").alias("rep_enc"))
+    flagged = h.join(rep, "ch").withColumn(
+        "is_rep", F.col("enc") == F.col("rep_enc")
+    )
+    is_rep_l = F.col("is_rep").cast("bigint")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(is_rep_l).alias("n_indexed"),
+        (F.count(F.lit(1)) - F.sum(is_rep_l)).alias("n_dup_chunks"),
+        F.sum(
+            F.when(F.col("is_rep"), F.col("n_chunk_tokens")).otherwise(F.lit(0))
+        ).cast("bigint").alias("tok_indexed"),
+    )
 
 
 @register("cur_chunk", oracle=_sql_chunks())
