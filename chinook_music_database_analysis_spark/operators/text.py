@@ -549,6 +549,7 @@ def bm25_batch_topk(
     total_tokens: int,
     top_k: int = 5,
     idf_scale: int = 1_000_000,
+    max_dl: int | None = None,
 ) -> DataFrame:
     """Batch BM25 retrieval: per-query top-k over the persisted
     postings store for a BATCH of query bags — the amortized serving
@@ -569,6 +570,11 @@ def bm25_batch_topk(
 
     spark = postings.sparkSession
     avgdl_q = (total_tokens * BM25_SCALE) // n_docs
+    if max_dl is not None and max_dl * avgdl_q > (2**63 - 1) // (22 * BM25_SCALE):
+        raise OverflowError(
+            f"BM25 fixed-point numerator would exceed int64: max_dl={max_dl} "
+            f"* avgdl_q={avgdl_q} > (2^63-1)/(22*{BM25_SCALE})"
+        )
     qrel = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
         "query_id int, term string",

@@ -1055,6 +1055,10 @@ def tx_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs=_doc_count(spark, sf_dir),
         total_tokens=total_tokens,
         top_k=BM25_BATCH_K,
+        max_dl=_SCALAR_MEMO[
+            ("max_dl", spark.sparkContext.applicationId, sf_dir,
+             _table_set_id(sf_dir))
+        ],
     )
 
 

@@ -103,6 +103,14 @@ QUERIES = {
     # r7: per-order pair enumeration (bounded lines/order) + BSP
     # supersteps on the tiny brand graph — linear in lineitem
     "s14_brand_pagerank": 1.3,
+    # r7: batch retrieval from the postings store — linear in the
+    # union of the batch's postings
+    "tx_bm25_batch": 1.3,
+    # r7: chunk + chunk-hash dedup + doc agg — linear, no pair joins
+    "pipe_rag_index": 1.3,
+    # r7: two bounded top-k lists + union-all/hash-agg fusion — the
+    # dense half (exact cosine scan) dominates, linear
+    "tx_hybrid_rrf": 1.3,
     # r7: salted fact-dim join + decomposable (count/sum/max) aggs —
     # linear in events; the salt only moves physical placement
     "s15_skew_salted": 1.3,
