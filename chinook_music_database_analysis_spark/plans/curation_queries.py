@@ -853,6 +853,11 @@ def _bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: bm25_corpus_relations(load_tables(spark, sf_dir)["documents"])[0],
         table="documents",
+        # UNCACHED: consumers must hit the parquet scan so the query
+        # bag's term IN-filter pushes down and prunes the
+        # term-clustered row groups (plan-asserted in test_plans) —
+        # an InMemoryRelation would materialize the whole vocabulary
+        cache=False,
     )
 
 

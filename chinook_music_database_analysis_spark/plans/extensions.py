@@ -216,6 +216,7 @@ def _persisted_index(
     table: str | tuple[str, ...] = "embeddings",
     writer=None,
     params: str = "",
+    cache: bool | None = None,
 ) -> DataFrame:
     """Session-memoized relation backed by the on-disk index store:
     load when the fingerprint matches, else train, persist, reload.
@@ -238,7 +239,17 @@ def _persisted_index(
     Layout stores are memoized UNCACHED — an InMemoryRelation would
     swallow the partition pruning and filter pushdown the rewrite
     exists to enable.
+
+    ``cache=False`` requests the same UNCACHED treatment for a
+    plain-parquet store: consumers then scan the store files directly,
+    so scan-level predicate pushdown (e.g. the BM25 postings term
+    filter pruning term-clustered row groups) keeps working — an
+    InMemoryRelation would materialize the FULL relation into executor
+    storage and filter per cache batch instead (r7: exactly the wrong
+    shape for a 100 TB postings table).
     """
+    if cache is False and writer is None:
+        writer = lambda df, path: df.write.mode("overwrite").parquet(path)  # noqa: E731
     if _table_set_id(sf_dir) is not None:
         return _cached(kind, spark, sf_dir, build, cache=writer is None)
 

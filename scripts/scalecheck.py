@@ -359,6 +359,12 @@ def main() -> int:
             _shingles(spark, d), max_df=cap
         ).count()
         bound_pairs = n_docs * PROBE_K * cap
+        # NOTE: 0 at 10x is expected on THIS generator — its 31-word
+        # vocabulary admits only ~30k distinct 3-grams, so at 50k docs
+        # every shingle's df exceeds the cap (the total-hot-corpus
+        # regime); candidates then come entirely from the LSH bands,
+        # which is also why the exact-containment router (below)
+        # switches to the capped path at this scale.
         print(
             f"containment probe candidates ({tag}): {n_cand} "
             f"(cap={cap}, bound={bound_pairs})"

@@ -285,3 +285,25 @@ def test_join_strategy_hints_are_respected(spark):
         cust.hint("merge"), orders.o_custkey == cust.c_custkey
     )
     assert "SortMergeJoin" in plan_of(joined)
+
+
+def test_bm25_postings_scan_pushes_term_filter(spark):
+    """The BM25 serving claim: both retrieval forms must read the
+    persisted postings store with the query bag's term filter PUSHED
+    into the parquet scan (In(term, ...) in PushedFilters), so the
+    term-clustered store's row-group statistics can prune — a postings
+    scan that filters post-read re-reads the whole vocabulary and is a
+    100 TB regression."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    for name in ("tx_bm25_topk", "tx_bm25_batch"):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[name](spark, SF_TEST_DIR).explain(mode="formatted")
+        plan = buf.getvalue()
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any(
+            "In(term" in p or ("EqualTo(term" in p) for p in pushed
+        ), f"{name}: no term pushdown into the postings scan\n{plan[:2000]}"
