@@ -307,3 +307,13 @@ def test_bm25_postings_scan_pushes_term_filter(spark):
         assert any(
             "In(term" in p or ("EqualTo(term" in p) for p in pushed
         ), f"{name}: no term pushdown into the postings scan\n{plan[:2000]}"
+
+
+def test_chunking_plans_are_narrow(spark):
+    """cur_chunk promises a pure narrow map (tokenize + sequence/
+    explode/slice): ZERO Exchange.  pipe_rag_index adds corpus-wide
+    chunk dedup on top and must stay at <= 3 Exchanges (chunk-hash
+    rep agg, the join back, the doc-keyed agg) — a fourth shuffle
+    means the narrow chunking stage regressed."""
+    assert _plan(spark, "cur_chunk").count("Exchange") == 0
+    assert _plan(spark, "pipe_rag_index").count("Exchange") <= 3

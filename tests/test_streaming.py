@@ -553,3 +553,63 @@ def test_stateful_v2_builder_wiring(spark, monkeypatch):
     assert captured["mode"] == "Update"
     assert captured["time"] == "None"
     assert out.schema == OUTPUT_SCHEMA
+
+
+def test_streaming_postings_log_matches_batch_index(spark, tmp_path):
+    """Incremental BM25 index maintenance (streaming/postings.py): the
+    postings + doc-length relations read back from the streamed
+    per-batch delta log must EXACTLY equal the batch
+    bm25_corpus_relations derivation, retrieval through bm25_topk must
+    rank identically over either, restarting the drained stream with
+    the same checkpoint must change nothing (exactly-once economics),
+    and the term-clustered compaction must preserve the relation."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.text import (
+        bm25_corpus_relations,
+        bm25_topk,
+    )
+    from chinook_music_database_analysis_spark.streaming.postings import (
+        compact_postings_log,
+        read_documents_stream,
+        read_postings,
+        start_postings_log_sink,
+    )
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+    q = start_postings_log_sink(read_documents_stream(spark, SF_TEST_DIR), log, ckpt)
+    q.awaitTermination()
+
+    docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+    want_p, want_dl = bm25_corpus_relations(docs)
+    got_p, got_dl = read_postings(spark, log)
+
+    def rows(df, cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    assert rows(got_p, ["doc_id", "term", "tf"]) == rows(want_p, ["doc_id", "term", "tf"])
+    assert rows(got_dl, ["doc_id", "dl"]) == rows(want_dl, ["doc_id", "dl"])
+
+    # retrieval equivalence through the scorer
+    n_docs = docs.count()
+    total = int(want_dl.agg(F.sum("dl")).collect()[0][0])
+    bag = ("vector", "merge", "filter")
+    want_top = bm25_topk(docs, bag, n_docs=n_docs, total_tokens=total)
+    got_top = bm25_topk(
+        docs, bag, n_docs=n_docs, total_tokens=total,
+        postings=got_p, doclens=got_dl,
+    )
+    assert [tuple(r) for r in got_top.collect()] == [tuple(r) for r in want_top.collect()]
+
+    # replay/restart: the drained checkpoint admits no new batches
+    q2 = start_postings_log_sink(read_documents_stream(spark, SF_TEST_DIR), log, ckpt)
+    q2.awaitTermination()
+    assert rows(read_postings(spark, log)[0], ["doc_id", "term", "tf"]) == rows(
+        want_p, ["doc_id", "term", "tf"]
+    )
+
+    # compaction preserves the relation (and re-clusters by term)
+    compacted = str(tmp_path / "compacted")
+    compact_postings_log(spark, log, compacted)
+    cp = spark.read.parquet(compacted)
+    assert rows(cp, ["doc_id", "term", "tf"]) == rows(want_p, ["doc_id", "term", "tf"])
