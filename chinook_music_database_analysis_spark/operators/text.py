@@ -626,6 +626,7 @@ def rrf_fuse(
     k: int = RRF_K,
     scale: int = RRF_SCALE,
     top_k: int = 10,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of ranked retrieval lists — the standard
     combiner for a hybrid sparse (BM25) + dense (ANN) retrieval stack.
@@ -642,27 +643,39 @@ def rrf_fuse(
     scale the inputs are each a top-depth result of their own
     retrieval plan (TakeOrderedAndProject), so fusion cost is
     independent of corpus size.
+
+    ``group_col`` fuses a BATCH of queries in one pass: each input
+    then carries (group_col, id_col, rank) and fusion/top_k run per
+    group — the per-group rank filter compiles to WindowGroupLimit,
+    so a thousand-query batch still makes one plan.
     """
     from functools import reduce
 
+    from pyspark.sql import Window
+
+    keys = ([group_col] if group_col else []) + [id_col]
     contribs = [
         r.select(
-            F.col(id_col),
+            *keys,
             F.expr(f"CAST({scale} AS BIGINT) div ({k} + rank)").alias("c"),
         )
         for r in rankings
     ]
-    from pyspark.sql import Window
-
     fused = (
         reduce(lambda a, b: a.unionByName(b), contribs)
-        .groupBy(id_col)
+        .groupBy(*keys)
         .agg(F.sum("c").alias("rrf_score"), F.count(F.lit(1)).alias("n_lists"))
-        .orderBy(F.col("rrf_score").desc(), id_col)
-        .limit(top_k)
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), id_col)
-    return fused.select(
-        id_col, "rrf_score", "n_lists",
-        F.row_number().over(w).cast("int").alias("rank"),
+    if group_col is None:
+        fused = fused.orderBy(F.col("rrf_score").desc(), id_col).limit(top_k)
+        w = Window.orderBy(F.col("rrf_score").desc(), id_col)
+        return fused.select(
+            id_col, "rrf_score", "n_lists",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    w = Window.partitionBy(group_col).orderBy(F.col("rrf_score").desc(), id_col)
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(group_col, id_col, "rrf_score", "n_lists", "rank")
     )

@@ -36,8 +36,9 @@ from . import scale_queries  # noqa: E402,F401
 # everything green in r6 with byte-unchanged builders.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked (3)
+    # never driver-checked (4)
     "tx_hybrid_rrf",
+    "tx_hybrid_batch",
     "tx_bm25_batch",
     "pipe_rag_index",
     # r7-mutated builders (12)
@@ -91,7 +92,6 @@ _WINDOW_FIRST = [
     "dd_cross_simhash",
     "cur_cluster_sample",
     "dd_fuzzy_dictionary",
-    "tx_keyphrases",
 ]
 
 
@@ -108,10 +108,11 @@ def _rotate_window(first: list[str]) -> None:
 _rotate_window(_WINDOW_FIRST)
 
 # r7 NOTE: 50/50 slots.  With this window green, every registry entry
-# is driver-green >= 2x EXCEPT the last-r5 pools and the three r7
+# is driver-green >= 2x EXCEPT the last-r5 pools and the four r7
 # registrations (1st green this round).  r8 should rotate in the r7
-# trio for their second green, ev_session_funnel_windows + dd_semantic
-# (displaced from this window at 50), then the last-r5 count-3 entries
+# quartet for their second green, ev_session_funnel_windows +
+# dd_semantic + tx_keyphrases (displaced from this window at 50),
+# then the last-r5 count-3 entries
 # (cur_* samplers, ev_* temporal family, sim_sq8/range,
 # tx_tfidf/repetition, s13) plus anything r8 mutates.
 

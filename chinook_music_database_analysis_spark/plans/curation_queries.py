@@ -990,7 +990,7 @@ BM25_BATCH: dict[int, tuple[str, ...]] = {
 BM25_BATCH_K = 5
 
 
-def _sql_bm25_batch() -> str:
+def _sql_bm25_batch(k: int = BM25_BATCH_K) -> str:
     from ..operators.text import BM25_SCALE
 
     all_terms = ", ".join(
@@ -1038,7 +1038,7 @@ def _sql_bm25_batch() -> str:
     SELECT query_id, doc_id, score, n_terms_hit,
            CAST(ROW_NUMBER() OVER (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-    FROM pq QUALIFY rank <= {BM25_BATCH_K}
+    FROM pq QUALIFY rank <= {k}
     """
 
 
@@ -1073,6 +1073,84 @@ def tx_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 HYBRID_DEPTH = 20
 HYBRID_TOP_K = 10
 HYBRID_QUERY_VEC = 0
+
+
+def _sql_hybrid_batch() -> str:
+    from ..operators.text import RRF_K, RRF_SCALE
+    from .extensions import _sql_cos
+
+    cos = _sql_cos("q.qe", "e.embedding")
+    n_q = len(BM25_BATCH)
+    return f"""
+    WITH sparse AS (
+      SELECT query_id, doc_id, rank FROM ({_sql_bm25_batch(HYBRID_DEPTH)})
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY {cos} DESC, e.vec_id) AS INTEGER) AS rank
+        FROM embeddings e,
+             (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              WHERE vec_id < {n_q}) q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= {HYBRID_DEPTH}
+    ),
+    u AS (
+      SELECT query_id, doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS c FROM sparse
+      UNION ALL
+      SELECT query_id, doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS c FROM dense
+    ),
+    f AS (
+      SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+             COUNT(*) AS n_lists
+      FROM u GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_lists,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+    FROM f QUALIFY rank <= {HYBRID_TOP_K}
+    """
+
+
+@register("tx_hybrid_batch", oracle=_sql_hybrid_batch())
+def tx_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval (r7): the full two-tower serving shape
+    — a BATCH of queries each fused from its sparse BM25 top-20 (one
+    pushed-down postings-store scan for the whole batch) and its dense
+    cosine top-20 (one broadcast-query-set scan), combined per query
+    by integer RRF.  Per-query fusion/top-k compile to ONE
+    WindowGroupLimit over the tiny fused relation; batch cost = one
+    postings scan + one corpus embedding scan regardless of batch
+    size.  Query bags are BM25_BATCH; dense queries are the matching
+    vec_ids (the synthetic corpus aligns vec_id with doc_id on the
+    embedded prefix)."""
+    from ..operators.similarity import cosine_topk
+    from ..operators.text import bm25_batch_topk, rrf_fuse
+
+    total_tokens = _token_count(spark, sf_dir)
+    sparse = bm25_batch_topk(
+        _bm25_postings(spark, sf_dir),
+        _bm25_doclens(spark, sf_dir),
+        BM25_BATCH,
+        n_docs=_doc_count(spark, sf_dir),
+        total_tokens=total_tokens,
+        top_k=HYBRID_DEPTH,
+        max_dl=_SCALAR_MEMO[
+            ("max_dl", spark.sparkContext.applicationId, sf_dir,
+             _table_set_id(sf_dir))
+        ],
+    ).select("query_id", "doc_id", "rank")
+    dense = cosine_topk(
+        load_tables(spark, sf_dir)["embeddings"],
+        n_queries=len(BM25_BATCH),
+        k=HYBRID_DEPTH,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    return rrf_fuse(
+        [sparse, dense], top_k=HYBRID_TOP_K, group_col="query_id"
+    )
 
 
 def _sql_hybrid() -> str:

@@ -113,8 +113,9 @@ BNLJ_ALLOWED = {
     "dd_semantic",
     "tx_surprisal",
     # dense half of the hybrid fusion: cosine_topk's broadcast of the
-    # single fixed query vector (same pattern as sim_bruteforce_topk)
+    # fixed query-vector set (same pattern as sim_bruteforce_topk)
     "tx_hybrid_rrf",
+    "tx_hybrid_batch",
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_sq8_topk",
