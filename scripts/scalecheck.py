@@ -111,6 +111,8 @@ QUERIES = {
     # r7: two bounded top-k lists + union-all/hash-agg fusion — the
     # dense half (exact cosine scan) dominates, linear
     "tx_hybrid_rrf": 1.3,
+    # r7: the batched form — one postings scan + one embedding scan
+    "tx_hybrid_batch": 1.3,
     # r7: salted fact-dim join + decomposable (count/sum/max) aggs —
     # linear in events; the salt only moves physical placement
     "s15_skew_salted": 1.3,
