@@ -899,6 +899,20 @@ def _token_count(spark: SparkSession, sf_dir: str) -> int:
     return int(_SCALAR_MEMO[key])
 
 
+def _max_dl(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus max document length — the int64 overflow-guard input of
+    the BM25 scorers; computed by the same doclen-store aggregate as
+    _token_count (calling that first if the memo is cold)."""
+    key = ("max_dl", spark.sparkContext.applicationId, sf_dir,
+           _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        # force _token_count's aggregate to (re)run — both scalars come
+        # from the same pass, so a half-evicted memo heals here
+        _SCALAR_MEMO.pop(("token_count",) + key[1:], None)
+        _token_count(spark, sf_dir)
+    return _SCALAR_MEMO[key]
+
+
 def _sql_bm25() -> str:
     from ..operators.text import BM25_SCALE
 
@@ -972,10 +986,7 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=BM25_TOP_K,
         postings=_bm25_postings(spark, sf_dir),
         doclens=_bm25_doclens(spark, sf_dir),
-        max_dl=_SCALAR_MEMO[
-            ("max_dl", spark.sparkContext.applicationId, sf_dir,
-             _table_set_id(sf_dir))
-        ],
+        max_dl=_max_dl(spark, sf_dir),
     )
 
 
@@ -1060,10 +1071,7 @@ def tx_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs=_doc_count(spark, sf_dir),
         total_tokens=total_tokens,
         top_k=BM25_BATCH_K,
-        max_dl=_SCALAR_MEMO[
-            ("max_dl", spark.sparkContext.applicationId, sf_dir,
-             _table_set_id(sf_dir))
-        ],
+        max_dl=_max_dl(spark, sf_dir),
     )
 
 
@@ -1136,10 +1144,7 @@ def tx_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs=_doc_count(spark, sf_dir),
         total_tokens=total_tokens,
         top_k=HYBRID_DEPTH,
-        max_dl=_SCALAR_MEMO[
-            ("max_dl", spark.sparkContext.applicationId, sf_dir,
-             _table_set_id(sf_dir))
-        ],
+        max_dl=_max_dl(spark, sf_dir),
     ).select("query_id", "doc_id", "rank")
     dense = cosine_topk(
         load_tables(spark, sf_dir)["embeddings"],
@@ -1211,10 +1216,7 @@ def tx_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=HYBRID_DEPTH,
         postings=_bm25_postings(spark, sf_dir),
         doclens=_bm25_doclens(spark, sf_dir),
-        max_dl=_SCALAR_MEMO[
-            ("max_dl", spark.sparkContext.applicationId, sf_dir,
-             _table_set_id(sf_dir))
-        ],
+        max_dl=_max_dl(spark, sf_dir),
     ).select("doc_id", "rank")
     dense = cosine_topk(
         load_tables(spark, sf_dir)["embeddings"],
