@@ -335,3 +335,115 @@ def media_features_arrow(docs: DataFrame) -> DataFrame:
     tests/test_multimodal.py."""
     media = with_media(docs.repartition("doc_id"))
     return media.mapInArrow(_decode_arrow, schema=MEDIA_FEATURES_SCHEMA)
+
+
+#: Perceptual average-hash geometry: 48 bits (sign-safe int64 like
+#: SimHash), banded 4 x 12 for candidate generation.  The pigeonhole
+#: bound — two hashes within hamming distance 3 must agree on one of
+#: the four bands — makes band-equality a recall-1.0 candidate filter
+#: at the default threshold.
+PHASH_BITS = 48
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = 3
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def media_phash(docs: DataFrame) -> DataFrame:
+    """Perceptual average-hash per media payload — the image near-dup
+    signature (aHash: bit j = 1 iff block j's mean intensity exceeds
+    the global mean), computed over the decoded pixel stream.  Here
+    the "pixel stream" is the payload's code-point sequence (the
+    container-safe stand-in the whole mm_* family uses), which keeps
+    the hash an exact integer function of the string on BOTH engines:
+    every comparison is the cross-multiplied integer form
+    ``block_sum * n > total * block_len`` — no float means, no
+    libm.
+
+    Kernel shape: Arrow-batched mapInPandas with a numpy cumulative
+    sum per payload (one pass per doc, 48 block sums read off the
+    cumsum) — embarrassingly parallel, no shuffle.  A real deployment
+    swaps the code-point array for the decoded luma plane and keeps
+    everything downstream (banding, hamming verify, store) unchanged.
+    """
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for text in pdf["text"]:
+                cs = np.fromiter((ord(c) for c in text), dtype=np.int64)
+                n = int(cs.size)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                total = int(cs.sum())
+                cum = np.concatenate(([0], np.cumsum(cs)))
+                bounds = (np.arange(PHASH_BITS + 1, dtype=np.int64) * n) // PHASH_BITS
+                bsum = cum[bounds[1:]] - cum[bounds[:-1]]
+                blen = bounds[1:] - bounds[:-1]
+                bits = (bsum * n) > (total * blen)
+                h = 0
+                for j in np.nonzero(bits)[0]:
+                    h |= 1 << int(j)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """Image near-dup pairs: hamming distance <= ``max_hamming`` on
+    the 48-bit perceptual hash — the multimodal member of the dedup
+    family (exact text dedup finds byte-identical copies; this finds
+    lightly-edited media).
+
+    Same candidate discipline as SimHash: 12-bit block banding
+    (pigeonhole recall 1.0 at distance 3), so the self-join meets only
+    within equal (band, nib) buckets, then the exact
+    ``bit_count(a XOR b)`` verify.  Pass a cached/stored ``sig`` so
+    the kernel runs once, not once per join side.
+    """
+    s = sig if sig is not None else media_phash(docs)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = s.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(phash >> {b * PHASH_BAND_BITS}) & {mask}"
+                        ).alias("nib"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "phash", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -36,11 +36,13 @@ from . import scale_queries  # noqa: E402,F401
 # everything green in r6 with byte-unchanged builders.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked (4)
+    # never driver-checked (6)
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
     "pipe_rag_index",
+    "mm_phash",
+    "mm_phash_pairs",
     # r7-mutated builders (12)
     "tx_bm25_topk",
     "dd_containment",
@@ -90,8 +92,6 @@ _WINDOW_FIRST = [
     "tx_gopher_quality",
     "dd_dup_ngrams",
     "dd_cross_simhash",
-    "cur_cluster_sample",
-    "dd_fuzzy_dictionary",
 ]
 
 
@@ -108,11 +108,11 @@ def _rotate_window(first: list[str]) -> None:
 _rotate_window(_WINDOW_FIRST)
 
 # r7 NOTE: 50/50 slots.  With this window green, every registry entry
-# is driver-green >= 2x EXCEPT the last-r5 pools and the four r7
+# is driver-green >= 2x EXCEPT the last-r5 pools and the six r7
 # registrations (1st green this round).  r8 should rotate in the r7
-# quartet for their second green, ev_session_funnel_windows +
-# dd_semantic + tx_keyphrases (displaced from this window at 50),
-# then the last-r5 count-3 entries
+# six for their second green, ev_session_funnel_windows + dd_semantic
+# + tx_keyphrases + cur_cluster_sample + dd_fuzzy_dictionary
+# (displaced from this window at 50), then the last-r5 count-3 entries
 # (cur_* samplers, ev_* temporal family, sim_sq8/range,
 # tx_tfidf/repetition, s13) plus anything r8 mutates.
 

@@ -1819,6 +1819,134 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(load_tables(spark, sf_dir)["documents"])
 
 
+def _sql_phash_sig(src: str = "documents") -> str:
+    return _SQL_PHASH_SIG_T.format(src=src)
+
+
+_SQL_PHASH_SIG_T = """
+    d AS (SELECT doc_id, text, length(text) AS n FROM {src}),
+    codes AS (SELECT doc_id, n,
+              list_transform(range(1, n + 1), i -> unicode(text[i])) AS cs
+              FROM d),
+    tot AS (SELECT doc_id, n, cs, list_sum(cs) AS total FROM codes),
+    pbits AS (
+      SELECT doc_id, j,
+             CASE WHEN list_sum(cs[(j * n) // 48 + 1 : ((j + 1) * n) // 48]) * n
+                       > total * (((j + 1) * n) // 48 - (j * n) // 48)
+                  THEN 1 ELSE 0 END AS bit
+      FROM tot, (SELECT unnest(range(0, 48)) AS j) js
+    ),
+    psig AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN bit = 1
+                           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS phash
+             FROM pbits GROUP BY doc_id)
+""".strip()
+
+#: deterministic near-dup injection for the pair detector: the driver
+#: corpus has exact duplicates only at sf0.1, so (the cur_pii_redact
+#: pattern) the PAIRS query augments the corpus with content-addressed
+#: ~2% samples — byte-identical copies (guaranteed hamming-0 pairs at
+#: every scale) and same-length first-char edits (the lightly-edited
+#: case; hamming is whatever the hash says, identically on both
+#: engines).  Offsets keep injected ids disjoint from real ones.
+PHASH_COPY_OFFSET = 10_000_000
+PHASH_EDIT_OFFSET = 20_000_000
+PHASH_INJECT_PCT = 2.0
+
+
+def _phash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload perceptual-hash signatures — on-disk index store
+    entry (the media analog of the simhash store: the mapInPandas
+    kernel runs once per corpus version)."""
+    from ..operators.multimodal import PHASH_BITS, media_phash
+
+    return _persisted_index(
+        "media_phash", spark, sf_dir,
+        lambda: media_phash(load_tables(spark, sf_dir)["documents"]),
+        table="documents",
+        params=f"bits={PHASH_BITS}",
+    )
+
+
+@register("mm_phash", oracle=f"WITH {_sql_phash_sig()} SELECT doc_id, phash FROM psig")
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per media payload (r7) — aHash over the
+    decoded pixel stream (the mm_* family's deterministic code-point
+    stand-in), every block-mean comparison in cross-multiplied exact
+    integer form so the 48-bit signature is bit-identical on both
+    engines.  Store-served like the SimHash signatures."""
+    return _phash_sig(spark, sf_dir)
+
+
+def _sql_phash_pairs() -> str:
+    from ..operators.curation import pct_threshold
+
+    th = pct_threshold(PHASH_INJECT_PCT)
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PHASH_COPY_OFFSET}, text FROM documents
+      WHERE substr(md5('phc|' || CAST(doc_id AS VARCHAR)), 1, 4) < '{th}'
+      UNION ALL
+      SELECT doc_id + {PHASH_EDIT_OFFSET},
+             CASE WHEN substring(text, 1, 1) <> 'z'
+                  THEN 'z' || substring(text, 2)
+                  ELSE 'y' || substring(text, 2) END
+      FROM documents
+      WHERE substr(md5('phe|' || CAST(doc_id AS VARCHAR)), 1, 4) < '{th}'
+    ),
+    {_sql_phash_sig('aug')},
+    pbands AS (
+      SELECT doc_id, phash, b.b AS band,
+             (phash >> (b.b * 12)) & 4095 AS nib
+      FROM psig, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+      FROM pbands a
+      JOIN pbands b ON a.band = b.band AND a.nib = b.nib
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """
+
+
+@register("mm_phash_pairs", oracle=_sql_phash_pairs())
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs (r7): hamming <= 3 on the 48-bit
+    perceptual hash — the multimodal member of the dedup family
+    (operators.multimodal.phash_near_dup_pairs).  SimHash's block
+    banding gives pigeonhole recall 1.0 at the threshold; the exact
+    bit_count verify runs only within equal (band, nib) buckets.
+
+    The corpus signature relation is store-served; the injected
+    copy/edit sample (see PHASH_COPY_OFFSET) runs through the live
+    kernel and unions in — so the query proves detection (hamming-0
+    pairs guaranteed at every scale) while the bulk path stays the
+    stored-signature probe a production dedup run uses."""
+    from ..operators.curation import hash_sample
+    from ..operators.multimodal import media_phash, phash_near_dup_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    copies = hash_sample(docs, "doc_id", PHASH_INJECT_PCT, salt="phc").select(
+        (F.col("doc_id") + PHASH_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    edits = hash_sample(docs, "doc_id", PHASH_INJECT_PCT, salt="phe").select(
+        (F.col("doc_id") + PHASH_EDIT_OFFSET).alias("doc_id"),
+        F.when(
+            F.expr("substring(text, 1, 1) <> 'z'"),
+            F.concat(F.lit("z"), F.expr("substring(text, 2, length(text))")),
+        )
+        .otherwise(F.concat(F.lit("y"), F.expr("substring(text, 2, length(text))")))
+        .alias("text"),
+    )
+    sig = _phash_sig(spark, sf_dir).union(media_phash(copies.union(edits)))
+    return phash_near_dup_pairs(docs, sig=sig)
+
+
 @register(
     "mm_resize",
     oracle="""

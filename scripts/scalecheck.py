@@ -113,6 +113,9 @@ QUERIES = {
     "tx_hybrid_rrf": 1.3,
     # r7: the batched form — one postings scan + one embedding scan
     "tx_hybrid_batch": 1.3,
+    # r7: perceptual-hash banding — same bucket-bounded self-join
+    # shape as dd_simhash_pairs
+    "mm_phash_pairs": 1.3,
     # r7: salted fact-dim join + decomposable (count/sum/max) aggs —
     # linear in events; the salt only moves physical placement
     "s15_skew_salted": 1.3,

@@ -496,3 +496,31 @@ def test_rrf_fuse_integer_math_and_overlap_rank(spark):
     assert out[2] == (c1 + c2, 2, 1), "doc in both lists must fuse to the top"
     assert out[1] == (c1, 1, 2)
     assert out[3] == (c2, 1, 3)
+
+
+def test_rrf_fuse_grouped_equals_per_group_single(spark):
+    """Batched fusion must be pure per-group decomposition: fusing a
+    2-query batch with group_col gives exactly the union of fusing
+    each query's lists alone."""
+    from chinook_music_database_analysis_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 2, 1), (1, 3, 2)],
+        "query_id int, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2), (1, 1, 1), (1, 2, 2)],
+        "query_id int, doc_id long, rank int",
+    )
+    batched = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.n_lists, r.rank)
+        for r in rrf_fuse([a, b], top_k=3, group_col="query_id").collect()
+    }
+    for qid in (0, 1):
+        sa = a.filter(a.query_id == qid).select("doc_id", "rank")
+        sb = b.filter(b.query_id == qid).select("doc_id", "rank")
+        single = {
+            (qid, r.doc_id): (r.rrf_score, r.n_lists, r.rank)
+            for r in rrf_fuse([sa, sb], top_k=3).collect()
+        }
+        assert {k: v for k, v in batched.items() if k[0] == qid} == single

@@ -121,3 +121,40 @@ def test_media_features_arrow_matches_pandas_form(spark):
     a = sorted(map(tuple, media_features(docs).collect()))
     b = sorted(map(tuple, media_features_arrow(docs).collect()))
     assert a == b and len(a) == 3
+
+
+def test_media_phash_kernel_and_pair_detection(spark):
+    """The perceptual hash is the documented integer aHash (cross-
+    multiplied block-mean bits over code points, checked against a
+    pure-python reference), identical payloads collide at hamming 0
+    and are found by the banded pair join, and an unrelated payload
+    is not paired at the threshold."""
+    from chinook_music_database_analysis_spark.operators.multimodal import (
+        PHASH_BITS,
+        media_phash,
+        phash_near_dup_pairs,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different payload with other words entirely here now"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string"
+    )
+
+    def ref(text):
+        cs = [ord(c) for c in text]
+        n = len(cs)
+        total = sum(cs)
+        h = 0
+        for j in range(PHASH_BITS):
+            lo, hi = (j * n) // PHASH_BITS, ((j + 1) * n) // PHASH_BITS
+            if hi > lo and sum(cs[lo:hi]) * n > total * (hi - lo):
+                h |= 1 << j
+        return h
+
+    got = {r.doc_id: r.phash for r in media_phash(docs).collect()}
+    assert got == {1: ref(a), 2: ref(a), 3: ref(b)}
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in phash_near_dup_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0, "identical payloads must pair at hamming 0"
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -318,3 +318,10 @@ def test_chunking_plans_are_narrow(spark):
     means the narrow chunking stage regressed."""
     assert _plan(spark, "cur_chunk").count("Exchange") == 0
     assert _plan(spark, "pipe_rag_index").count("Exchange") <= 3
+
+
+def test_hybrid_batch_per_query_topk_is_window_group_limit(spark):
+    """tx_hybrid_batch's per-query fusion top-k must compile to
+    WindowGroupLimit (per-group heap), not a full sort of the fused
+    relation."""
+    assert "WindowGroupLimit" in _plan(spark, "tx_hybrid_batch")
