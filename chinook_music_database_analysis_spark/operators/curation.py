@@ -97,6 +97,96 @@ def train_val_test_split(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    cap: int,
+    salt: str = "domaincap",
+) -> DataFrame:
+    """Per-domain document quota (RefinedWeb-style source balancing).
+
+    Keeps at most ``cap`` rows per ``domain_col`` value, chosen by a
+    deterministic content-addressed priority — ``md5(salt|key)`` — so
+    which documents survive is a pure function of their keys: stable
+    under re-runs, appends, and repartitioning, exactly like
+    :func:`hash_sample`.  The ``key`` tie-break makes the full order
+    total, so the survivor set is unique even on md5-prefix collisions.
+
+    Scale shape (100 TB): rank-filter over a window ≤ cap is the plan
+    Catalyst rewrites to ``WindowGroupLimit`` — each input partition
+    keeps only its local top-``cap`` per domain BEFORE the exchange, so
+    the shuffle carries at most ``cap × domains × partitions`` rows, not
+    the corpus.  A mega-domain (the crawl's wikipedia.org) therefore
+    bounds its shuffle contribution at ``cap`` per upstream partition
+    instead of flooding one reducer.
+    """
+    pri = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(key).asc())
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= cap)
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    seg_k: int,
+    min_df: int,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document line dedup, REMEDIATION included: split
+    each document into consecutive non-overlapping ``seg_k``-token
+    segments (the corpus has no newlines, so fixed-width segments stand
+    in for C4's lines), drop every segment that appears in at least
+    ``min_df`` distinct documents, and REBUILD the cleaned text in
+    original segment order.  Returns (key, n_segments, n_dropped,
+    clean_text).
+
+    Scale shape (100 TB): one segment-keyed shuffle computes document
+    frequencies with map-side combine; the duplicated-segment
+    dictionary (only df >= min_df survivors — the same bounded-output
+    argument as the boilerplate bigram set) broadcasts back over the
+    exploded corpus, so the corpus itself is never shuffled for the
+    membership test; reconstruction is one doc-keyed shuffle.  If the
+    dictionary ever outgrew the broadcast budget the join degrades to a
+    segment-keyed shuffle join — still linear, never all-pairs.
+    ``collect_list`` over (pos, seg) structs + ``array_sort`` makes the
+    rebuild order-deterministic whatever the shuffle served.
+    """
+    toks = tokens_expr(text_col)
+    segs = F.expr(
+        f"transform(sequence(0, (size(toks)-1) div {seg_k}), "
+        f"i -> struct(i AS pos, array_join(slice(toks, i*{seg_k}+1, {seg_k}), ' ') AS s))"
+    )
+    seg = (
+        docs.select(key, toks.alias("toks"))
+        .select(key, F.explode(segs).alias("u"))
+        .select(key, F.col("u.pos").alias("pos"), F.col("u.s").alias("s"))
+    )
+    dup = (
+        seg.groupBy("s")
+        .agg(F.countDistinct(key).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("s", F.lit(True).alias("is_dup"))
+    )
+    flagged = seg.join(F.broadcast(dup), "s", "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    kept = F.when(~F.col("is_dup"), F.struct("pos", "s"))
+    return flagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["s"]),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 #: (pattern, replacement) redaction rules.  Patterns stick to the
 #: regex subset shared by Java (Spark codegen) and RE2 (DuckDB):
 #: character classes + bounded quantifiers, no lookaround.

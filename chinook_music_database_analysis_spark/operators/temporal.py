@@ -256,3 +256,46 @@ def event_lateness(
             F.greatest(F.lit(0), F.col("prior") - F.col("us")).alias("late_us"),
         )
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a
+    changelog: per ``key``, compress consecutive rows with the same
+    ``state_col`` into one versioned interval and stamp each with
+    ``valid_from`` / ``valid_to`` (NULL = open) / ``is_current`` /
+    ``version`` — the standard dimension-history build a warehouse runs
+    over a CDC feed before point-in-time joins.
+
+    Plan shape: change detection (``lag != state``) and interval
+    stamping (``lead`` + ``row_number``) both use the SAME window
+    partitioning (``key``) and sort ((``ts``, ``tiebreak``)), and the
+    intervening filter preserves both, so Catalyst plans exactly ONE
+    Exchange and ONE Sort for the whole build — at 100 TB the cost is a
+    single shuffle of the changelog, not one per window function.  The
+    ``tiebreak`` column makes the sort total, so version numbering is
+    deterministic under equal timestamps.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    changes = (
+        events.select(key, state_col, ts_col, tiebreak)
+        .withColumn("_prev_state", F.lag(state_col).over(w))
+        .filter(
+            F.col("_prev_state").isNull()
+            | (F.col("_prev_state") != F.col(state_col))
+        )
+        .drop("_prev_state")
+    )
+    return changes.select(
+        key,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )

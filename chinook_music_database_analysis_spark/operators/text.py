@@ -194,6 +194,70 @@ def gopher_quality(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+#: Fixed-weight linear quality classifier (CCNet-style cheap scorer):
+#: score_q = (W_UNIQUE*unique_q + W_STOP*stop_q + W_LEN*len_q) div 10,
+#: every signal 1e4 fixed point so the score and the tier cut are exact
+#: integer arithmetic on both engines.  The length signal saturates at
+#: QC_LEN_CAP tokens (credit for substance, no reward for bloat).
+QC_W_UNIQUE = 4
+QC_W_STOP = 3
+QC_W_LEN = 3
+QC_LEN_CAP = 250
+QC_LEN_SCALE = 40  # least(n_tokens, 250) * 40 tops out at 10_000
+QC_T_HIGH = 3_000  # curriculum tier cuts (≈ p75 / p25 on the corpus)
+QC_T_MID = 2_550
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Fixed-weight integer quality classifier + curriculum tier.
+
+    The shape of the fastText/CCNet-style quality scorer every
+    training-data pipeline runs before mixing: a linear combination of
+    cheap lexical signals (diversity, function-word density, saturated
+    length credit) mapped to an ordinal curriculum bucket
+    (high / mid / low) that downstream samplers key on.
+
+    All arithmetic is integer fixed point (1e4), so the tier boundary
+    is bit-deterministic across engines — a float score at a cut point
+    would flip tiers on libm rounding.  Narrow map over one scan, zero
+    shuffle: at 100 TB this fuses into the same codegen stage as the
+    other per-document filters (see pipe_filter_funnel).
+    """
+    d = docs.select("doc_id", tokens_expr().alias("toks"))
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size(F.array_distinct(F.col("toks"))).cast("bigint") * 10_000).alias("uq"),
+        (
+            _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"]).cast("bigint") * 10_000
+        ).alias("swq"),
+    )
+    sig = base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("uq div n_tokens").alias("unique_q"),
+        F.expr("swq div n_tokens").alias("stop_q"),
+        (F.least(F.col("n_tokens"), F.lit(QC_LEN_CAP)).cast("bigint") * QC_LEN_SCALE)
+        .alias("len_q"),
+    )
+    score = F.expr(
+        f"({QC_W_UNIQUE} * unique_q + {QC_W_STOP} * stop_q + {QC_W_LEN} * len_q)"
+        " div 10"
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "unique_q",
+        "stop_q",
+        "len_q",
+        score.alias("score_q"),
+        F.when(score >= QC_T_HIGH, F.lit("high"))
+        .when(score >= QC_T_MID, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-heuristic language ID: score = count of tokens hitting
     each language's function-word list; argmax with a fixed priority

@@ -36,7 +36,12 @@ from . import scale_queries  # noqa: E402,F401
 # everything green in r6 with byte-unchanged builders.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked (6)
+    # never driver-checked (11)
+    "cur_domain_cap",
+    "tx_quality_classifier",
+    "ev_scd2_user_state",
+    "ev_scd2_pit_lookup",
+    "cur_line_dedup",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -86,12 +91,8 @@ _WINDOW_FIRST = [
     "sim_lsh_topk",
     "sim_bruteforce_topk",
     "q01_dupes",
-    # last-r5 twice-green fill (10)
-    "tx_surprisal",
-    "cur_contamination_report",
-    "tx_gopher_quality",
-    "dd_dup_ngrams",
-    "dd_cross_simhash",
+    # (the former twice-green fill entries ceded their slots to the
+    # five r7 first-timers at the head)
 ]
 
 

@@ -18,7 +18,9 @@ from ..operators.curation import (
     benchmark_contamination,
     boilerplate_score,
     canonical_docs,
+    domain_cap,
     hash_sample,
+    line_dedup,
     pct_threshold,
     redact_pii,
     train_val_test_split,
@@ -109,6 +111,78 @@ def cur_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(docs, "doc_id", VAL_PCT, TEST_PCT).select(
         "doc_id", "split"
     )
+
+
+#: Per-source quota for cur_domain_cap (20 flat sources × 25 docs at
+#: sf0.01 → keeps 10 of each; on a Zipf-skewed crawl the cap is what
+#: stops one domain from dominating the mix).
+DOMAIN_CAP = 10
+
+
+@register(
+    "cur_domain_cap",
+    oracle=(
+        "SELECT doc_id, source, cap_rank FROM ("
+        "SELECT doc_id, source, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY md5('domaincap|' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) "
+        "AS cap_rank FROM documents) "
+        f"WHERE cap_rank <= {DOMAIN_CAP}"
+    ),
+)
+def cur_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-source quota: keep at most DOMAIN_CAP docs
+    per source, selected by content-addressed md5 priority
+    (operators.curation.domain_cap).  Rank-filter plans as
+    WindowGroupLimit — partial per-partition top-k before the exchange,
+    so a mega-domain can't flood one reducer at 100 TB."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return domain_cap(docs, "source", "doc_id", DOMAIN_CAP).select(
+        "doc_id", "source", "cap_rank"
+    )
+
+
+#: C4-style line-dedup knobs: non-overlapping 8-token segments stand in
+#: for lines (the synthetic corpus has no newlines); a segment in >= 2
+#: distinct docs is template text and is removed from every doc.
+LINE_SEG_K = 8
+LINE_MIN_DF = 2
+
+
+@register(
+    "cur_line_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), seg AS (
+      SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i,
+                         's': array_to_string(toks[i*{LINE_SEG_K}+1:i*{LINE_SEG_K}+{LINE_SEG_K}], ' ')}}
+                       for i in range(0, (len(toks)-1)//{LINE_SEG_K} + 1)]) AS u
+        FROM d)
+    ), dup AS (
+      SELECT s, TRUE AS dup0 FROM seg
+      GROUP BY s HAVING COUNT(DISTINCT doc_id) >= {LINE_MIN_DF}
+    ), fl AS (
+      SELECT seg.doc_id, seg.pos, seg.s, COALESCE(dup.dup0, FALSE) AS is_dup
+      FROM seg LEFT JOIN dup USING (s)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(is_dup AS INT)) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(s, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT is_dup), '') AS clean_text
+    FROM fl GROUP BY doc_id
+    """,
+)
+def cur_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup with remediation
+    (operators.curation.line_dedup): drop every 8-token segment shared
+    by >= 2 docs and rebuild each document's cleaned text in original
+    segment order.  One segment-keyed shuffle (df agg), broadcast
+    dictionary back over the corpus, one doc-keyed rebuild shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return line_dedup(docs, LINE_SEG_K, LINE_MIN_DF)
 
 
 # ---------------------------------------------------------------------------

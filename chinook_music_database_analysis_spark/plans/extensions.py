@@ -647,6 +647,51 @@ def tx_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(load_tables(spark, sf_dir)["documents"])
 
 
+def _sql_quality_classifier() -> str:
+    from ..operators.text import (
+        QC_LEN_CAP,
+        QC_LEN_SCALE,
+        QC_T_HIGH,
+        QC_T_MID,
+        QC_W_LEN,
+        QC_W_STOP,
+        QC_W_UNIQUE,
+    )
+
+    score = (
+        f"({QC_W_UNIQUE} * unique_q + {QC_W_STOP} * stop_q + {QC_W_LEN} * len_q) // 10"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // len(toks) AS unique_q,
+             (CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS BIGINT) * 10000)
+               // len(toks) AS stop_q,
+             CAST(least(len(toks), {QC_LEN_CAP}) AS BIGINT) * {QC_LEN_SCALE} AS len_q
+      FROM d
+    )
+    SELECT doc_id, n_tokens, unique_q, stop_q, len_q,
+           {score} AS score_q,
+           CASE WHEN {score} >= {QC_T_HIGH} THEN 'high'
+                WHEN {score} >= {QC_T_MID} THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM s
+    """
+
+
+@register("tx_quality_classifier", oracle=_sql_quality_classifier())
+def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight integer quality classifier with curriculum tiers
+    (operators.text.quality_classifier): the CCNet-style linear scorer
+    + high/mid/low bucketing a mixing pipeline samples against.  Pure
+    narrow map, exact fixed-point score on both engines."""
+    from ..operators.text import quality_classifier
+
+    return quality_classifier(load_tables(spark, sf_dir)["documents"])
+
+
 def _sql_clean_corpus() -> str:
     counts = ", ".join(
         "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(
@@ -2249,6 +2294,101 @@ def ev_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.value").alias("last_value"),
             "n_versions",
         )
+    )
+
+
+@register(
+    "ev_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version
+    FROM changes
+    """,
+)
+def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build from the event changelog
+    (operators.temporal.scd2_history): per user, consecutive same-state
+    runs compress to one versioned row with [valid_from, valid_to)
+    interval stamps and an ``is_current`` flag — the dimension-history
+    table point-in-time joins read.
+
+    Both window passes (change detection, interval stamping) share one
+    partitioning + sort, so the physical plan carries a SINGLE Exchange
+    and Sort for the whole build — the 100 TB cost is one shuffle of
+    the changelog (see the operator docstring and test_plans'
+    single-exchange assertion)."""
+    from ..operators.temporal import scd2_history
+
+    return scd2_history(load_tables(spark, sf_dir)["events"])
+
+
+@register(
+    "ev_scd2_pit_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> event_type
+    ), p AS (
+      SELECT event_id, user_id, ts,
+             ts - INTERVAL 1 MICROSECOND AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS event_ts,
+           h.state AS state_before, h.ts AS state_since
+    FROM p ASOF LEFT JOIN changes h
+      ON p.user_id = h.user_id AND h.ts <= p.pts
+    """,
+)
+def ev_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase event fetches the
+    user's SCD2 state in effect STRICTLY BEFORE the purchase (what
+    regime was the user in when they converted) — the canonical
+    fact-against-history join a warehouse runs after the SCD2 build.
+
+    Composition: scd2_history (one user_id shuffle) feeds asof_join's
+    union-tag + last(ignorenulls) window (one more user_id shuffle,
+    NO join node) — total cost two bounded exchanges, independent of
+    how many facts map to each dimension interval.  Strictly-before
+    semantics come from shifting the probe timestamp by one
+    microsecond, the changelog's native resolution; the oracle is
+    DuckDB's native ASOF LEFT JOIN against the same change points."""
+    from ..operators.temporal import asof_join, scd2_history
+
+    ev = load_tables(spark, sf_dir)["events"]
+    hist = scd2_history(ev).select(
+        "user_id", F.col("valid_from").alias("ts"), "state"
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 MICROSECOND")).alias("ts"),
+    )
+    out = asof_join(probes, hist, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_ts",
+        F.col("r_state").alias("state_before"),
+        F.col("r_ts").alias("state_since"),
     )
 
 

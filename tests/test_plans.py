@@ -325,3 +325,30 @@ def test_hybrid_batch_per_query_topk_is_window_group_limit(spark):
     WindowGroupLimit (per-group heap), not a full sort of the fused
     relation."""
     assert "WindowGroupLimit" in _plan(spark, "tx_hybrid_batch")
+
+
+def test_domain_cap_plans_partial_window_group_limit(spark):
+    """cur_domain_cap's rank filter must plan WindowGroupLimit with a
+    Partial pass below the exchange — each upstream partition keeps at
+    most cap rows per domain BEFORE the shuffle, so a mega-domain's
+    shuffle contribution is bounded at any corpus size."""
+    plan = _plan(spark, "cur_domain_cap")
+    assert plan.count("WindowGroupLimit") >= 2 and ", Partial" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_scd2_build_is_single_shuffle(spark):
+    """ev_scd2_user_state runs TWO window passes (change detection,
+    interval stamping) over the same (partitionBy, orderBy); the filter
+    between them preserves both, so the physical plan must carry
+    exactly ONE Exchange and ONE Sort for the whole history build."""
+    plan = _plan(spark, "ev_scd2_user_state")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort [") == 1
+    assert plan.count("Window [") == 2
+
+
+def test_quality_classifier_plan_has_no_exchange(spark):
+    """tx_quality_classifier is a pure narrow map: zero shuffles, one
+    codegen stage over the scan."""
+    assert "Exchange" not in _plan(spark, "tx_quality_classifier")
