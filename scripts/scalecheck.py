@@ -119,7 +119,29 @@ QUERIES = {
     # r7: salted fact-dim join + decomposable (count/sum/max) aggs —
     # linear in events; the salt only moves physical placement
     "s15_skew_salted": 1.3,
+    # r7 batch 2 — all linear by construction:
+    # pure narrow map (fixed-point scorer)
+    "tx_quality_classifier": 1.3,
+    # WindowGroupLimit rank filter: shuffle rows bounded at
+    # cap x domains x partitions, scan linear
+    "cur_domain_cap": 1.3,
+    # segment-df hash agg + broadcast dictionary + doc-keyed rebuild
+    "cur_line_dedup": 1.3,
+    # single user_id-keyed shuffle for both window passes
+    "ev_scd2_user_state": 1.3,
+    # scd2 build + as-of union window — two bounded shuffles
+    "ev_scd2_pit_lookup": 1.3,
 }
+#: Store-backed queries (persisted-index relations): run once UNTIMED
+#: at each scale before the timed run, so both sides measure the same
+#: steady state (store-served).  Without this the base side is served
+#: by a store warmed in earlier sessions while the fresh 10x corpus
+#: cold-computes, and the ratio compares a cache hit against a build —
+#: meaningless as a scaling exponent.  The BUILD cost's scaling is
+#: already covered by the non-store families sharing the same plan
+#: shapes (pair enumeration ~ lineitem scan, BSP supersteps ~ graph).
+WARM_FIRST = {"s14_brand_pagerank"}
+
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
 OVERHEAD_SEC = 0.25
@@ -227,7 +249,9 @@ def generate(out_dir: str, factor: int, seed: int = 7) -> None:
                     rng.integers(0, 1500 * factor, size=n_ev), pa.int64()
                 ),
                 "event_type": pa.array(
-                    rng.choice(["click", "view", "error"], size=n_ev).tolist()
+                    rng.choice(
+                        ["click", "view", "error", "purchase"], size=n_ev
+                    ).tolist()
                 ),
                 "value": pa.array(
                     np.round(rng.uniform(0, 100, size=n_ev), 2), pa.float64()
@@ -263,6 +287,12 @@ def generate(out_dir: str, factor: int, seed: int = 7) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names: probe just these (skips the "
+        "recall/containment audits); for iterating on one family",
+    )
     args = ap.parse_args()
 
     out_dir = os.path.join(REPO, ".scratch", f"scale{args.factor}")
@@ -280,9 +310,15 @@ def main() -> int:
     spark = get_spark("scalecheck")
     spark.sparkContext.setLogLevel("ERROR")
 
+    only = {n for n in args.only.split(",") if n}
     failures = []
     print(f"{'query':26s} {'base_s':>8} {'scaled_s':>9} {'ratio':>7} {'bound':>7}")
     for name, bound in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name in WARM_FIRST:
+            REG[name](spark, BASE).count()
+            REG[name](spark, out_dir).count()
         t0 = time.perf_counter()
         REG[name](spark, BASE).count()
         base = time.perf_counter() - t0
@@ -300,6 +336,13 @@ def main() -> int:
             f"{name:26s} {base:8.2f} {scaled:9.2f} {ratio:7.1f} "
             f"{limit:7.1f} {'ok' if ok else 'FAIL'}"
         )
+    if only:
+        if failures:
+            print("SCALE REGRESSIONS:", failures, file=sys.stderr)
+            return 1
+        print("# probed families within scaling bounds", file=sys.stderr)
+        return 0
+
     # --- IVF recall: k-means centroids must not lose to the stride
     # baseline on the clustered corpus (the corpus k-means exists for;
     # centers drawn from 10 Gaussian clusters above).  Ground truth =

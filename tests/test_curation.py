@@ -524,3 +524,73 @@ def test_rrf_fuse_grouped_equals_per_group_single(spark):
             for r in rrf_fuse([sa, sb], top_k=3).collect()
         }
         assert {k: v for k, v in batched.items() if k[0] == qid} == single
+
+
+def test_domain_cap_bounds_and_repartition_stability(docs):
+    from chinook_music_database_analysis_spark.operators.curation import domain_cap
+
+    capped = domain_cap(docs, "source", "doc_id", 5)
+    per_src = capped.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 5 for r in per_src)
+    ids1 = {r.doc_id for r in capped.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in domain_cap(docs.repartition(7), "source", "doc_id", 5)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2 and ids1  # survivor set is content-addressed
+
+
+def test_line_dedup_matches_bruteforce(docs):
+    import re
+    from collections import Counter
+
+    from chinook_music_database_analysis_spark.operators.curation import line_dedup
+
+    doc_segs = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = re.split(r"\s+", r.text.strip())
+        doc_segs[r.doc_id] = [
+            " ".join(toks[i * 8 : i * 8 + 8])
+            for i in range((len(toks) - 1) // 8 + 1)
+        ]
+    df_count = Counter()
+    for segs in doc_segs.values():
+        for s in set(segs):
+            df_count[s] += 1
+    dup = {s for s, c in df_count.items() if c >= 2}
+    want = {}
+    for d, segs in doc_segs.items():
+        kept = [s for s in segs if s not in dup]
+        want[d] = (len(segs), len(segs) - len(kept), " ".join(kept))
+    got = {
+        r.doc_id: (r.n_segments, r.n_dropped, r.clean_text)
+        for r in line_dedup(docs, 8, 2).collect()
+    }
+    assert got == want
+
+
+def test_quality_classifier_score_is_exact_and_tiers_consistent(docs):
+    from chinook_music_database_analysis_spark.operators.text import (
+        QC_T_HIGH,
+        QC_T_MID,
+        QC_W_LEN,
+        QC_W_STOP,
+        QC_W_UNIQUE,
+        quality_classifier,
+    )
+
+    rows = quality_classifier(docs).collect()
+    assert rows
+    tiers = set()
+    for r in rows:
+        assert 0 <= r.unique_q <= 10_000 and 0 <= r.len_q <= 10_000
+        want = (QC_W_UNIQUE * r.unique_q + QC_W_STOP * r.stop_q + QC_W_LEN * r.len_q) // 10
+        assert r.score_q == want
+        want_tier = (
+            "high" if want >= QC_T_HIGH else "mid" if want >= QC_T_MID else "low"
+        )
+        assert r.tier == want_tier
+        tiers.add(r.tier)
+    assert len(tiers) >= 2  # thresholds are non-degenerate on the corpus

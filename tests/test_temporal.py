@@ -166,3 +166,34 @@ def test_range_join_matches_bruteforce_on_random_data(spark):
             if rk == lk and lu < ru <= lu + w
         }
         assert got == want, seed
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark):
+    """SCD2 invariants the oracle's hash can't state directly: versions
+    are dense from 1, intervals are contiguous (valid_to == next
+    valid_from), consecutive states actually differ (compression
+    worked), exactly one open current row per user, and the history
+    starts at the user's first event."""
+    from chinook_music_database_analysis_spark.operators.temporal import scd2_history
+    from chinook_music_database_analysis_spark.sources import load_tables
+
+    from conftest import SF_TEST_DIR
+
+    ev = load_tables(spark, SF_TEST_DIR)["events"]
+    first_ts = {
+        r.user_id: r.m
+        for r in ev.groupBy("user_id").agg(F.min("ts").alias("m")).collect()
+    }
+    by_user = {}
+    for r in scd2_history(ev).collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user and set(by_user) == set(first_ts)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].valid_from == first_ts[uid]
+        assert [r.is_current for r in rows].count(True) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.state != b.state, uid
