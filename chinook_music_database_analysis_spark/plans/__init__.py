@@ -42,6 +42,7 @@ _WINDOW_FIRST = [
     "ev_scd2_user_state",
     "ev_scd2_pit_lookup",
     "cur_line_dedup",
+    "ev_heavy_keys",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -90,7 +91,6 @@ _WINDOW_FIRST = [
     "ev_dedup_first",
     "sim_lsh_topk",
     "sim_bruteforce_topk",
-    "q01_dupes",
     # (the former twice-green fill entries ceded their slots to the
     # five r7 first-timers at the head)
 ]

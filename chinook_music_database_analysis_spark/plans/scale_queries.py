@@ -37,6 +37,7 @@ from ..operators.curation import (
     temperature_thresholds,
 )
 from ..operators.layout import morton_code, morton_sql
+from ..operators.sketch import HH_SUPPORT_K
 from ..sources import load_tables
 from .extensions import _SCALAR_MEMO, _cached, _table_set_id
 from .registry import register
@@ -643,3 +644,41 @@ def s15_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(money_sum("value")).alias("total_value"),
         F.max("n_users").alias("n_users"),
     )
+
+
+@register(
+    "ev_heavy_keys",
+    oracle=f"""
+    WITH e AS (
+      SELECT CASE WHEN user_id % {SKEW_HOT_MOD} < {SKEW_HOT_LIM}
+                  THEN 0 ELSE user_id END AS skew_key
+      FROM events
+    ), c AS (
+      SELECT skew_key, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY skew_key
+    ), t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT skew_key, cnt,
+           CAST((cnt * 10000) // total AS BIGINT) AS share_q
+    FROM c, t WHERE cnt * {HH_SUPPORT_K} > total
+    """,
+)
+def ev_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection for the salted-join planner
+    (operators/sketch.heavy_keys): Misra-Gries candidate sketch per
+    partition (zero shuffle, bounded counters) + exact verify pass
+    where every non-candidate row collapses into one NULL bucket — the
+    corpus is never shuffled BY the skewed key, yet the reported keys
+    and counts are exact (support 1/32 is coarser than the sketch's
+    1/(capacity+1) recall guarantee, so no qualifying key can be
+    missed).  Runs on the same synthetic Zipf collapse as
+    s15_skew_salted: this query finds the hot key; s15 is what the
+    planner does about it."""
+    from ..operators.sketch import heavy_keys
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.when(
+            F.col("user_id") % SKEW_HOT_MOD < SKEW_HOT_LIM, F.lit(0).cast("long")
+        )
+        .otherwise(F.col("user_id"))
+        .alias("skew_key")
+    )
+    return heavy_keys(ev, "skew_key", support_k=HH_SUPPORT_K)

@@ -131,6 +131,9 @@ QUERIES = {
     "ev_scd2_user_state": 1.3,
     # scd2 build + as-of union window — two bounded shuffles
     "ev_scd2_pit_lookup": 1.3,
+    # Misra-Gries sketch pass (no shuffle) + candidate-pruned exact
+    # count (shuffle bounded at capacity x partitions) — linear scans
+    "ev_heavy_keys": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

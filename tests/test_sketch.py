@@ -1,0 +1,74 @@
+"""Misra-Gries heavy-key sketch: exactness despite the approximate
+intermediate, the superset recall guarantee, and the guard that keeps
+the two coupled.  Oracle parity for the registered ev_heavy_keys is in
+test_oracle_parity; here the sketch runs on an adversarial synthetic
+stream with far more distinct keys than counters, so the
+eviction/merge path actually executes (the driver corpus's ~46 keys
+never fill 63 counters)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from chinook_music_database_analysis_spark.operators.sketch import (
+    heavy_keys,
+    misra_gries_candidates,
+)
+
+
+def _stream():
+    """Deterministic Zipf-ish stream: key 0 = 40%, key 1 = 10%, then a
+    500-key uniform tail — 4000 rows, 502 distinct keys."""
+    rows = [0] * 1600 + [1] * 400
+    for i in range(2000):
+        rows.append(2 + (i % 500))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def stream_df(spark):
+    return spark.createDataFrame([(k,) for k in _stream()], "k long")
+
+
+def test_heavy_keys_matches_exact_groupby_under_repartition(stream_df):
+    rows = _stream()
+    total = len(rows)
+    exact = {
+        k: c for k, c in Counter(rows).items() if c * 16 > total
+    }
+    want = {(k, c, c * 10_000 // total) for k, c in exact.items()}
+    assert want  # the fixture really has heavy keys
+    for parts in (1, 7, 32):
+        got = {
+            (r.k, r.cnt, r.share_q)
+            for r in heavy_keys(
+                stream_df.repartition(parts), "k", support_k=16, capacity=20
+            ).collect()
+        }
+        assert got == want, parts  # exact under any physical layout
+
+
+def test_candidate_superset_guarantee(stream_df):
+    """Union of per-partition MG(20) summaries must contain every key
+    with global count > N/21 — with 502 distinct keys per partition the
+    compress/evict path runs constantly and must not break recall."""
+    rows = _stream()
+    floor = len(rows) / 21
+    must_have = {k for k, c in Counter(rows).items() if c > floor}
+    for parts in (1, 7, 32):
+        cands = {
+            r.k
+            for r in misra_gries_candidates(
+                stream_df.repartition(parts).select("k"), "k", capacity=20
+            ).collect()
+        }
+        assert must_have <= cands, parts
+        # and the sketch stays bounded: <= capacity rows per partition
+        assert len(cands) <= 20 * parts
+
+
+def test_support_finer_than_guarantee_raises(stream_df):
+    with pytest.raises(ValueError):
+        heavy_keys(stream_df, "k", support_k=22, capacity=20)
