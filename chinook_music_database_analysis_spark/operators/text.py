@@ -208,7 +208,7 @@ QC_T_HIGH = 3_000  # curriculum tier cuts (≈ p75 / p25 on the corpus)
 QC_T_MID = 2_550
 
 
-def quality_classifier(docs: DataFrame) -> DataFrame:
+def quality_classifier(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Fixed-weight integer quality classifier + curriculum tier.
 
     The shape of the fastText/CCNet-style quality scorer every
@@ -222,10 +222,15 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     would flip tiers on libm rounding.  Narrow map over one scan, zero
     shuffle: at 100 TB this fuses into the same codegen stage as the
     other per-document filters (see pipe_filter_funnel).
+
+    ``carry`` threads upstream columns through unchanged (same contract
+    as :func:`gopher_quality`), so consumers like the corpus-health
+    rollup score and aggregate in the SAME scan instead of re-joining.
     """
-    d = docs.select("doc_id", tokens_expr().alias("toks"))
+    d = docs.select("doc_id", tokens_expr().alias("toks"), *carry)
     base = d.select(
         "doc_id",
+        *carry,
         F.size("toks").alias("n_tokens"),
         (F.size(F.array_distinct(F.col("toks"))).cast("bigint") * 10_000).alias("uq"),
         (
@@ -234,6 +239,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     )
     sig = base.select(
         "doc_id",
+        *carry,
         "n_tokens",
         F.expr("uq div n_tokens").alias("unique_q"),
         F.expr("swq div n_tokens").alias("stop_q"),
@@ -246,6 +252,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     )
     return sig.select(
         "doc_id",
+        *carry,
         "n_tokens",
         "unique_q",
         "stop_q",

@@ -43,6 +43,8 @@ _WINDOW_FIRST = [
     "ev_scd2_pit_lookup",
     "cur_line_dedup",
     "ev_heavy_keys",
+    "cur_curriculum_sample",
+    "cur_corpus_health",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -89,8 +91,6 @@ _WINDOW_FIRST = [
     "ev_sliding_1h_30m",
     "ev_sessionized",
     "ev_dedup_first",
-    "sim_lsh_topk",
-    "sim_bruteforce_topk",
     # (the former twice-green fill entries ceded their slots to the
     # five r7 first-timers at the head)
 ]

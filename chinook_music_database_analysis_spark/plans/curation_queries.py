@@ -185,6 +185,89 @@ def cur_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, LINE_SEG_K, LINE_MIN_DF)
 
 
+def _sql_corpus_health() -> str:
+    from ..operators.text import (
+        QC_LEN_CAP,
+        QC_LEN_SCALE,
+        QC_W_LEN,
+        QC_W_STOP,
+        QC_W_UNIQUE,
+    )
+    from .extensions import _SW_EN
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, lang, content_hash, len(toks) AS n_tokens,
+             (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // len(toks) AS unique_q,
+             (CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS BIGINT) * 10000)
+               // len(toks) AS stop_q,
+             CAST(least(len(toks), {QC_LEN_CAP}) AS BIGINT) * {QC_LEN_SCALE} AS len_q
+      FROM d
+    ), q AS (
+      SELECT *, ({QC_W_UNIQUE} * unique_q + {QC_W_STOP} * stop_q
+                 + {QC_W_LEN} * len_q) // 10 AS score_q
+      FROM s
+    ), f AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY content_hash) > 1 AS is_dup FROM q
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(is_dup AS INT)) AS BIGINT) AS n_dup_docs,
+           CAST((SUM(CAST(is_dup AS INT)) * 10000) // COUNT(*) AS BIGINT) AS dup_pct_q,
+           CAST(SUM(score_q) // COUNT(*) AS BIGINT) AS avg_score_q,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM f GROUP BY source
+    """
+
+
+@register("cur_corpus_health", oracle=_sql_corpus_health())
+def cur_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: doc and token volume, exact
+    content-hash dup rate, mean quality score (both 1e4 fixed point),
+    and language spread — the single-pane rollup a data-ops team
+    watches per ingestion source.
+
+    One scan computes hash + quality signals fused (quality_classifier
+    ``carry`` threads source/lang/hash through the scorer's codegen
+    stage); then one content_hash-keyed window flags dups and one
+    source-keyed aggregate rolls up — two bounded linear shuffles, no
+    joins, no collect.  All ratios integer-quantized, so the dashboard
+    is bit-identical however the corpus is partitioned."""
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_classifier
+
+    docs = load_tables(spark, sf_dir)["documents"].withColumn(
+        "content_hash",
+        F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+    )
+    qc = quality_classifier(docs, carry=("source", "lang", "content_hash"))
+    flagged = qc.withColumn(
+        "is_dup", F.count(F.lit(1)).over(Window.partitionBy("content_hash")) > 1
+    )
+    g = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dup_docs"),
+        F.sum("score_q").alias("score_sum"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        F.expr("(n_dup_docs * 10000) div n_docs").alias("dup_pct_q"),
+        F.expr("score_sum div n_docs").alias("avg_score_q"),
+        "total_tokens",
+        "n_langs",
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -692,6 +692,50 @@ def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(load_tables(spark, sf_dir)["documents"])
 
 
+#: Curriculum keep-rates per tier: all high-quality docs, half of mid,
+#: a tenth of low — the quality-weighted corpus mix a pretraining run
+#: feeds the tokenizer.
+CURR_MID_PCT = 50.0
+CURR_LOW_PCT = 10.0
+
+
+def _sql_curriculum() -> str:
+    from ..operators.curation import pct_threshold
+
+    h = "substr(md5('curr|' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    return f"""
+    WITH qc AS ({_sql_quality_classifier()})
+    SELECT doc_id, tier FROM qc
+    WHERE CASE WHEN tier = 'high' THEN TRUE
+               WHEN tier = 'mid' THEN {h} < '{pct_threshold(CURR_MID_PCT)}'
+               ELSE {h} < '{pct_threshold(CURR_LOW_PCT)}' END
+    """
+
+
+@register("cur_curriculum_sample", oracle=_sql_curriculum())
+def cur_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling: classify every document
+    (tx_quality_classifier's scorer), then keep 100% of 'high', ~50%
+    of 'mid', ~10% of 'low' by content-addressed md5 draw — the
+    classifier-weighted corpus mix.  Membership is a pure function of
+    doc_id (stable under appends/re-runs, like cur_sample), and the
+    whole pipeline is ONE zero-shuffle codegen stage: classifier
+    signals, tier, and the keep decision all fuse into the scan."""
+    from ..operators.curation import _hash_bucket, pct_threshold
+    from ..operators.text import quality_classifier
+
+    qc = quality_classifier(load_tables(spark, sf_dir)["documents"]).select(
+        "doc_id", "tier"
+    )
+    b = _hash_bucket(F.col("doc_id"), "curr")
+    keep = (
+        F.when(F.col("tier") == "high", F.lit(True))
+        .when(F.col("tier") == "mid", b < F.lit(pct_threshold(CURR_MID_PCT)))
+        .otherwise(b < F.lit(pct_threshold(CURR_LOW_PCT)))
+    )
+    return qc.filter(keep)
+
+
 def _sql_clean_corpus() -> str:
     counts = ", ".join(
         "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(

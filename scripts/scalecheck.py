@@ -134,6 +134,10 @@ QUERIES = {
     # Misra-Gries sketch pass (no shuffle) + candidate-pruned exact
     # count (shuffle bounded at capacity x partitions) — linear scans
     "ev_heavy_keys": 1.3,
+    # classifier + tiered keep fused into one zero-shuffle codegen stage
+    "cur_curriculum_sample": 1.3,
+    # fused signal scan + hash window + source agg — linear shuffles
+    "cur_corpus_health": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

@@ -352,3 +352,18 @@ def test_quality_classifier_plan_has_no_exchange(spark):
     """tx_quality_classifier is a pure narrow map: zero shuffles, one
     codegen stage over the scan."""
     assert "Exchange" not in _plan(spark, "tx_quality_classifier")
+
+
+def test_curriculum_sample_is_zero_shuffle(spark):
+    """Classifier + tiered keep-decision must fuse into one codegen
+    stage over the scan — no Exchange anywhere."""
+    assert "Exchange" not in _plan(spark, "cur_curriculum_sample")
+
+
+def test_corpus_health_two_bounded_shuffles_no_joins(spark):
+    """Health rollup: hash-window + source agg = at most three
+    Exchanges (dup window, partial/final agg), and NO join nodes —
+    signals are computed fused in the scan, not joined back."""
+    plan = _plan(spark, "cur_corpus_health")
+    assert plan.count("Exchange") <= 3
+    assert "Join" not in plan
