@@ -264,6 +264,7 @@ def scd2_history(
     state_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak: str = "event_id",
+    keep_tiebreak: bool = False,
 ) -> DataFrame:
     """Build a type-2 slowly-changing-dimension history from a
     changelog: per ``key``, compress consecutive rows with the same
@@ -280,6 +281,11 @@ def scd2_history(
     single shuffle of the changelog, not one per window function.  The
     ``tiebreak`` column makes the sort total, so version numbering is
     deterministic under equal timestamps.
+
+    ``keep_tiebreak=True`` appends the change row's ``tiebreak`` value
+    as ``src_<tiebreak>`` — the incremental maintainer
+    (streaming/scd2.py) needs it to replay history rows as pseudo
+    change events with their ORIGINAL sort position.
     """
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
     changes = (
@@ -291,6 +297,7 @@ def scd2_history(
         )
         .drop("_prev_state")
     )
+    extra = (F.col(tiebreak).alias(f"src_{tiebreak}"),) if keep_tiebreak else ()
     return changes.select(
         key,
         F.col(state_col).alias("state"),
@@ -298,4 +305,5 @@ def scd2_history(
         F.lead(ts_col).over(w).alias("valid_to"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
         F.row_number().over(w).alias("version"),
+        *extra,
     )

@@ -613,3 +613,94 @@ def test_streaming_postings_log_matches_batch_index(spark, tmp_path):
     compact_postings_log(spark, log, compacted)
     cp = spark.read.parquet(compacted)
     assert rows(cp, ["doc_id", "term", "tf"]) == rows(want_p, ["doc_id", "term", "tf"])
+
+
+def _hist_key(r):
+    return (r.user_id, r.version)
+
+
+def _hist_tuple(r):
+    return (
+        r.user_id, r.state, r.valid_from, r.valid_to, r.is_current,
+        r.version, r.src_event_id,
+    )
+
+
+def test_incremental_scd2_matches_batch_rebuild(spark, tmp_path):
+    """streaming/scd2.py: folding the changelog in through N in-order
+    micro-batches must yield EXACTLY the history the batch operator
+    builds over the full stream — rows, intervals, versions, current
+    flags, and change-event ids all identical — and replaying an
+    already-applied batch must converge (idempotent merge)."""
+    from chinook_music_database_analysis_spark.operators.temporal import scd2_history
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.streaming.scd2 import (
+        apply_scd2_batch,
+        compact_history_log,
+        read_history,
+    )
+
+    ev = load_tables(spark, SF_TEST_DIR)["events"].select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # three in-order slices by event-time tertiles
+    t1, t2 = (
+        ev.selectExpr("percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)")
+        .first()
+    )
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros("ts")
+    slices = [
+        ev.filter(us <= t1),
+        ev.filter((us > t1) & (us <= t2)),
+        ev.filter(us > t2),
+    ]
+    log = str(tmp_path / "scd2_log")
+    for i, b in enumerate(slices):
+        apply_scd2_batch(b, i, log)
+
+    want = {
+        _hist_key(r): _hist_tuple(r)
+        for r in scd2_history(ev, keep_tiebreak=True).collect()
+    }
+    got = {_hist_key(r): _hist_tuple(r) for r in read_history(spark, log).collect()}
+    assert got == want and want
+
+    # replay the last batch (failure-recovery path) -> identical state
+    apply_scd2_batch(slices[2], 2, log)
+    again = {_hist_key(r): _hist_tuple(r) for r in read_history(spark, log).collect()}
+    assert again == want
+
+    # compaction preserves the relation
+    out = str(tmp_path / "scd2_store")
+    compact_history_log(spark, log, out)
+    comp = {
+        _hist_key(r): _hist_tuple(r)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert comp == want
+
+
+def test_scd2_streaming_sink_end_to_end(spark, tmp_path):
+    """The writeStream wrapper (checkpoint + availableNow + idempotent
+    batch dirs) drains the file source and lands the same history as
+    the batch rebuild."""
+    from chinook_music_database_analysis_spark.operators.temporal import scd2_history
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.streaming.scd2 import (
+        read_history,
+        start_scd2_sink,
+    )
+
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_scd2_sink(read_events_stream(spark, SF_TEST_DIR), log, ckpt)
+    q.awaitTermination(120)
+    ev = load_tables(spark, SF_TEST_DIR)["events"]
+    want = {
+        _hist_key(r): _hist_tuple(r)
+        for r in scd2_history(ev, keep_tiebreak=True).collect()
+    }
+    got = {_hist_key(r): _hist_tuple(r) for r in read_history(spark, log).collect()}
+    assert got == want and want
