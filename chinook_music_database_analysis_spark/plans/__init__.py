@@ -45,6 +45,7 @@ _WINDOW_FIRST = [
     "ev_heavy_keys",
     "cur_curriculum_sample",
     "cur_corpus_health",
+    "cur_diverse_sample",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -87,7 +88,6 @@ _WINDOW_FIRST = [
     "mm_media_features",
     "mm_resize",
     "mm_frame_sample",
-    "ev_tumbling_1h",
     "ev_sliding_1h_30m",
     "ev_sessionized",
     "ev_dedup_first",

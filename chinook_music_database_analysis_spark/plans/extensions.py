@@ -3004,6 +3004,67 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-semantic-cell quota for cur_diverse_sample.
+DIVERSE_PER_CELL = 8
+
+
+def _register_diverse_sample() -> None:
+    oracle = f"""
+    WITH {_sql_kmeans_cents()}, c AS (
+      SELECT cell_id, ce FROM kc{KMEANS_ITERS}
+    ), a AS (
+      SELECT e.vec_id, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      QUALIFY rn = 1
+    ), qc AS ({_sql_quality_classifier()})
+    SELECT qc.doc_id, a.cell_id, qc.score_q,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY a.cell_id
+             ORDER BY qc.score_q DESC, qc.doc_id) AS INTEGER) AS cell_rank
+    FROM a JOIN qc ON a.vec_id = qc.doc_id
+    QUALIFY cell_rank <= {DIVERSE_PER_CELL}
+    """
+
+    @register("cur_diverse_sample", oracle=oracle)
+    def cur_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Diversity-aware quality sampling (coverage sampling): keep
+        the top-k documents BY QUALITY SCORE within each semantic
+        k-means cell — quality alone over-picks from dense topic
+        clusters; stratifying by the IVF cell forces coverage of the
+        embedding space (the SemDeDup-era recipe for pretraining-mix
+        diversity).
+
+        Cost at 100 TB: the N x sqrt(N) cell assignment is the SAME
+        stored inverted file every other IVF consumer reads (zero
+        marginal), quality signals fuse into the documents scan, the
+        id equi-join is one linear shuffle, and the per-cell quota is
+        a rank filter <= k — WindowGroupLimit, bounded shuffle."""
+        from pyspark.sql import Window
+
+        from ..operators.text import quality_classifier
+
+        assign = _ivf_assign(spark, sf_dir).select("vec_id", "cell_id")
+        qc = quality_classifier(load_tables(spark, sf_dir)["documents"]).select(
+            "doc_id", "score_q"
+        )
+        joined = assign.join(qc, assign["vec_id"] == qc["doc_id"]).select(
+            "doc_id", "cell_id", "score_q"
+        )
+        w = Window.partitionBy("cell_id").orderBy(
+            F.col("score_q").desc(), F.col("doc_id")
+        )
+        return (
+            joined.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= DIVERSE_PER_CELL)
+        )
+
+
+_register_diverse_sample()
+
+
 @register(
     "tx_surprisal",
     oracle="""

@@ -138,6 +138,9 @@ QUERIES = {
     "cur_curriculum_sample": 1.3,
     # fused signal scan + hash window + source agg — linear shuffles
     "cur_corpus_health": 1.3,
+    # stored IVF assignment (N*sqrt(N) build like the IVF family) +
+    # linear id join + per-cell WindowGroupLimit quota
+    "cur_diverse_sample": 1.7,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
