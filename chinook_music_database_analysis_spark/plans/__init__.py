@@ -46,6 +46,7 @@ _WINDOW_FIRST = [
     "cur_curriculum_sample",
     "cur_corpus_health",
     "cur_diverse_sample",
+    "mm_phash_clusters",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -88,7 +89,6 @@ _WINDOW_FIRST = [
     "mm_media_features",
     "mm_resize",
     "mm_frame_sample",
-    "ev_sliding_1h_30m",
     "ev_sessionized",
     "ev_dedup_first",
     # (the former twice-green fill entries ceded their slots to the

@@ -2036,6 +2036,46 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(docs, sig=sig)
 
 
+def _sql_phash_clusters() -> str:
+    body = _sql_phash_pairs().strip()
+    assert body.startswith("WITH ")
+    # keep the CTE chain (aug/psig/pbands/cand), drop the final SELECT
+    ctes = body[len("WITH "):].rsplit("SELECT doc_a", 1)[0].rstrip()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pp AS (
+      SELECT doc_a, doc_b FROM cand WHERE hamming <= 3
+    ),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pp
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pp
+    ),
+    walk(doc_id, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, w.lbl FROM walk w JOIN e ON e.dst = w.doc_id
+    )
+    SELECT doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc_id
+    """
+
+
+@register("mm_phash_clusters", oracle=_sql_phash_clusters())
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: connected components over the
+    perceptual-hash pair graph (same pointer-jumping min-label
+    propagation as dd_dup_clusters) — copies and light edits of one
+    image collapse into a single cluster keyed by its minimum doc_id,
+    the unit a canonical-selection / dedup-removal pass operates on.
+    Completes the multimodal dedup chain: phash -> pairs -> clusters.
+    Oracle is the recursive-CTE transitive closure over the SAME
+    banded candidate SQL as mm_phash_pairs."""
+    from ..operators.dedup import duplicate_clusters
+
+    pairs = mm_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs)
+
+
 @register(
     "mm_resize",
     oracle="""

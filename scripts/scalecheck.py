@@ -141,6 +141,9 @@ QUERIES = {
     # stored IVF assignment (N*sqrt(N) build like the IVF family) +
     # linear id join + per-cell WindowGroupLimit quota
     "cur_diverse_sample": 1.7,
+    # phash-banded pair graph + pointer-jumping components — same
+    # bucket-bounded shape as dd_dup_clusters
+    "mm_phash_clusters": 1.5,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

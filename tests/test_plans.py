@@ -367,3 +367,12 @@ def test_corpus_health_two_bounded_shuffles_no_joins(spark):
     plan = _plan(spark, "cur_corpus_health")
     assert plan.count("Exchange") <= 3
     assert "Join" not in plan
+
+
+def test_scd2_pit_lookup_no_join_two_exchanges(spark):
+    """Point-in-time lookup = scd2 build + as-of union window: exactly
+    two user_id exchanges and ZERO join nodes — match fan-out can never
+    blow up a non-existent join."""
+    plan = _plan(spark, "ev_scd2_pit_lookup")
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
