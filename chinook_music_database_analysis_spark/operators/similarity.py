@@ -116,11 +116,22 @@ def _cos(dot_a: str, dot_b: str, norm_a: str, norm_b: str) -> F.Column:
     )
 
 
-def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
     """Exact top-k cosine neighbors for the query set ``vec_id < n_queries``.
 
     Ranking uses the ROUNDed cosine plus a vec_id tie-break so the
     selected set is deterministic and engine-independent.
+
+    ``corpus`` scores against a different (typically metadata-filtered)
+    relation than the one queries are drawn from — the PRE-FILTER
+    strategy of filtered vector search: prune candidates before
+    scoring, so recall over the allowed set is exact by construction
+    (a post-filter over an unfiltered top-k can starve).
     """
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -131,7 +142,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     # parallelizes even when the source is a single file; norms are
     # computed once per corpus vector, not once per (query, vector).
     pairs = (
-        emb.repartition("vec_id")
+        (corpus if corpus is not None else emb).repartition("vec_id")
         .withColumn("n_norm", _norm("embedding"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))

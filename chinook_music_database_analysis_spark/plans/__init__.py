@@ -22,21 +22,25 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 7 window: (1) the never-driver-checked r7 registration
-# (tx_hybrid_rrf); (2) every builder MUTATED this round — the BM25
-# store path (tx_bm25_topk), the containment router (dd_containment),
-# and every query whose persisted-store builder gained a params
-# fingerprint or whose store format changed (containment_scale,
-# minhash_estimate, boilerplate, pagerank, layout rebuild, the
-# pq/ivf ladder, dup_clusters); (3) the ten r6 first-timers for their
-# second green; (4) the stalest twice-green entries (last green r2:
-# the s01-s11 scale suite + s10_add_column; last green r3: the mm_*
-# multimodal family, the streaming-analog ev_* windows, the LSH/brute
-# sim pair, q01_dupes); (5) last-r5 twice-green fill.  Evicted:
-# everything green in r6 with byte-unchanged builders.
+# Round 7 window: (1) the seventeen never-driver-checked r7
+# registrations (the scd2/sketch/curation/multimodal/retrieval
+# additions of this round); (2) every builder MUTATED this round — the
+# BM25 store path (tx_bm25_topk), the containment router
+# (dd_containment), and every query whose persisted-store builder
+# gained a params fingerprint or whose store format changed
+# (containment_scale, minhash_estimate, boilerplate, pagerank, layout
+# rebuild, the pq/ivf ladder, dup_clusters); (3) the r6 first-timers
+# for their second green; (4) the stalest twice-green entries (last
+# green r2: the s01-s11 scale suite + s10_add_column; last green r3:
+# the mm_* multimodal family + ev_dedup_first).  Evicted: everything
+# green in r6 with byte-unchanged builders, plus multiply-green r3
+# entries (q01_dupes, sim_lsh/bruteforce, ev_tumbling/sliding/
+# sessionized, tx_surprisal, cur_contamination_report,
+# tx_gopher_quality, dd_dup_ngrams, dd_cross_simhash) that ceded
+# slots to the r7 first-timers.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked (11)
+    # never driver-checked r7 additions (17)
     "cur_domain_cap",
     "tx_quality_classifier",
     "ev_scd2_user_state",
@@ -47,6 +51,7 @@ _WINDOW_FIRST = [
     "cur_corpus_health",
     "cur_diverse_sample",
     "mm_phash_clusters",
+    "sim_filtered_topk",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -89,10 +94,7 @@ _WINDOW_FIRST = [
     "mm_media_features",
     "mm_resize",
     "mm_frame_sample",
-    "ev_sessionized",
     "ev_dedup_first",
-    # (the former twice-green fill entries ceded their slots to the
-    # five r7 first-timers at the head)
 ]
 
 
@@ -108,13 +110,11 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r7 NOTE: 50/50 slots.  With this window green, every registry entry
-# is driver-green >= 2x EXCEPT the last-r5 pools and the six r7
-# registrations (1st green this round).  r8 should rotate in the r7
-# six for their second green, ev_session_funnel_windows + dd_semantic
-# + tx_keyphrases + cur_cluster_sample + dd_fuzzy_dictionary
-# (displaced from this window at 50), then the last-r5 count-3 entries
-# (cur_* samplers, ev_* temporal family, sim_sq8/range,
-# tx_tfidf/repetition, s13) plus anything r8 mutates.
+# r7 NOTE: 50/50 slots.  r8 should lead with the seventeen r7
+# first-timers for their second green (they can only earn one green
+# this round), then the displaced multiply-green r3/r5 entries
+# (q01_dupes, sim_lsh/bruteforce, ev_tumbling/sliding/sessionized,
+# tx_surprisal, cur_contamination_report, tx_gopher_quality,
+# dd_dup_ngrams, dd_cross_simhash) and anything r8 mutates.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1236,6 +1236,47 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_tables(spark, sf_dir)["embeddings"])
 
 
+@register(
+    "sim_filtered_topk",
+    oracle=f"""
+    WITH allowed AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = 'en'
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+      FROM allowed e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, pre-filter strategy: exact cosine top-5
+    among ONLY the embeddings whose document satisfies the metadata
+    predicate (lang = 'en') — the allowed set prunes BEFORE scoring via
+    a doc_id semi-join, so recall over the filtered corpus is exact by
+    construction; a post-filter over an unfiltered top-k can return
+    fewer than k (or zero) survivors.  At 100 TB the predicate pushes
+    into the documents scan, the semi-join is one linear shuffle (or a
+    broadcast when the allowed side is small), and scoring cost is
+    |queries| x |allowed|, not |queries| x |corpus|."""
+    from ..operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    allowed_ids = (
+        t["documents"].filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = t["embeddings"].join(allowed_ids, "vec_id", "left_semi")
+    return cosine_topk(t["embeddings"], corpus=corpus)
+
+
 def _sql_kmeans_cents() -> str:
     """DuckDB mirror of operators.similarity.kmeans_centroids: the
     fixed KMEANS_ITERS Lloyd iterations unrolled as CTE stages (same

@@ -144,6 +144,8 @@ QUERIES = {
     # phash-banded pair graph + pointer-jumping components — same
     # bucket-bounded shape as dd_dup_clusters
     "mm_phash_clusters": 1.5,
+    # pre-filter semi-join + |q| x |allowed| exact scoring — linear
+    "sim_filtered_topk": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
