@@ -376,3 +376,14 @@ def test_scd2_pit_lookup_no_join_two_exchanges(spark):
     plan = _plan(spark, "ev_scd2_pit_lookup")
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
+
+
+def test_heavy_keys_corpus_joins_broadcast_not_shuffled(spark):
+    """ev_heavy_keys: the sketch must be an Arrow mapInPandas stage,
+    the candidate membership test a BROADCAST join (the corpus is never
+    sort-merge-shuffled by the skewed key), and the count shuffle
+    carries only the collapsed (candidates + NULL-bucket) groups."""
+    plan = _plan(spark, "ev_heavy_keys")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
