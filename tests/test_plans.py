@@ -108,6 +108,9 @@ BNLJ_ALLOWED = {
     "dq_order_expectations",
     "q13b_not_in_null_aware",
     "sim_bruteforce_topk",
+    # same deliberate |q|-broadcast scoring fan-out as bruteforce,
+    # over the pre-filtered allowed set
+    "sim_filtered_topk",
     "sim_ivf_topk",
     "sim_ivf_stride_topk",
     "dd_semantic",
