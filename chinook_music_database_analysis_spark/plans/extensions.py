@@ -2110,11 +2110,24 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unit a canonical-selection / dedup-removal pass operates on.
     Completes the multimodal dedup chain: phash -> pairs -> clusters.
     Oracle is the recursive-CTE transitive closure over the SAME
-    banded candidate SQL as mm_phash_pairs."""
+    banded candidate SQL as mm_phash_pairs.
+
+    The (doc_id, cluster_id) result is store-served like dup_clusters:
+    the pointer-jumping rounds are a multi-job iterative build that
+    should run once per corpus version, not once per session."""
     from ..operators.dedup import duplicate_clusters
 
-    pairs = mm_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return duplicate_clusters(pairs)
+    return _persisted_index(
+        "phash_clusters", spark, sf_dir,
+        lambda: duplicate_clusters(
+            mm_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+        table="documents",
+        params=(
+            f"pct={PHASH_INJECT_PCT},co={PHASH_COPY_OFFSET},"
+            f"eo={PHASH_EDIT_OFFSET},h=3"
+        ),
+    )
 
 
 @register(
