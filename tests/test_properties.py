@@ -862,3 +862,55 @@ def test_hot_shingle_guard_and_containment_router(spark):
     exact = QUERIES["dd_containment"](spark, SF_TEST_DIR)
     plan2 = exact._jdf.queryExecution().analyzed().toString()
     assert "LeftSemi" not in plan2, "natural corpus must keep the exact form"
+
+
+def test_scd2_matches_python_bruteforce_on_random_streams(spark):
+    """scd2_history vs a pure-Python run-length fold over seeded random
+    event streams — including duplicate timestamps per user, where the
+    event_id tie-break must decide both compression and versioning."""
+    import random
+
+    from chinook_music_database_analysis_spark.operators.temporal import scd2_history
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for _ in range(400):
+            # coarse ts grid (0..49) forces (user, ts) collisions
+            rows.append(
+                (rng.randrange(8), rng.choice("abc"), rng.randrange(50), eid)
+            )
+            eid += 1
+        df = spark.createDataFrame(
+            [(u, s, float(t), e) for u, s, t, e in rows],
+            "user_id long, event_type string, tsec double, event_id long",
+        ).selectExpr(
+            "user_id", "event_type",
+            "timestamp_micros(CAST(tsec * 1000000 AS BIGINT)) AS ts",
+            "event_id",
+        )
+        got = {
+            (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(df).collect()
+        }
+        # brute force: sort by (ts, event_id), compress runs per user
+        want = {}
+        byu = {}
+        for u, s, t, e in rows:
+            byu.setdefault(u, []).append((t, e, s))
+        from datetime import datetime, timezone
+
+        def mk(t):
+            return datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None)
+
+        for u, evs in byu.items():
+            evs.sort()
+            runs = []
+            for t, e, s in evs:
+                if not runs or runs[-1][0] != s:
+                    runs.append((s, t))
+            for i, (s, t) in enumerate(runs):
+                nxt = mk(runs[i + 1][1]) if i + 1 < len(runs) else None
+                want[(u, i + 1)] = (s, mk(t), nxt, nxt is None)
+        assert got == want, seed
