@@ -59,43 +59,107 @@ HIST_COLS = (
 )
 
 
+def _latest_rows(spark: SparkSession, path: str) -> DataFrame:
+    """Latest-wins rows per user from the batch log, all columns
+    (HIST_COLS + the fold watermarks last_ts / last_eid)."""
+    log = spark.read.parquet(path)
+    w = Window.partitionBy("user_id")
+    return log.withColumn("_maxb", F.max("batch_id").over(w)).filter(
+        F.col("batch_id") == F.col("_maxb")
+    )
+
+
 def read_history(spark: SparkSession, path: str) -> DataFrame:
     """Current history from the batch log: latest-wins per user (each
     batch rewrites an affected user's ENTIRE history, so their newest
     ``batch_id`` dir is authoritative; untouched users resolve to
     whichever older dir last wrote them)."""
-    log = spark.read.parquet(path)
-    w = Window.partitionBy("user_id")
-    return (
-        log.withColumn("_maxb", F.max("batch_id").over(w))
-        .filter(F.col("batch_id") == F.col("_maxb"))
-        .select(*HIST_COLS)
-    )
+    return _latest_rows(spark, path).select(*HIST_COLS)
+
+
+class LateEventError(ValueError):
+    """A batch contained genuinely-late NEW events (ts behind a user's
+    fold watermark with an event_id beyond it): folding them here would
+    silently mis-compress, because continuation evidence between their
+    position and the present was already discarded.  Route such events
+    to a backfill that recomputes the affected users from raw events."""
 
 
 def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     """Fold one in-order micro-batch of events into the history log:
     affected users' existing rows replay as pseudo change events,
     union the batch, re-compress with the BATCH operator, and write
-    the recomputed histories under this batch's idempotent dir."""
+    the recomputed histories under this batch's idempotent dir.
+
+    Late-data guard: each user's open row carries fold watermarks
+    (``last_ts``, ``last_eid`` = max event time / id folded so far).  A
+    batch event at-or-behind ``last_ts`` with ``event_id <= last_eid``
+    is a REPLAY — re-folding it is provably a no-op (change points
+    dedupe, continuations dissolve), so recovery stays idempotent.  An
+    event BEHIND ``last_ts`` with a NEW event_id is genuinely late:
+    its correct fold may need continuation evidence the compression
+    already discarded, so the batch is refused (:class:`LateEventError`)
+    rather than silently corrupted — send it to the backfill path.
+    This relies on source event_ids being assigned in arrival order
+    (the changelog contract that also makes the tie-break total)."""
     spark = batch.sparkSession
     batch = batch.select("user_id", "event_type", "ts", "event_id")
     try:
-        prior = read_history(spark, path)
+        latest = _latest_rows(spark, path)
     except Exception:  # first batch: no log yet
-        prior = None
-    if prior is not None:
+        latest = None
+    if latest is not None:
+        marks = latest.filter(F.col("is_current")).select(
+            "user_id", "last_ts", "last_eid"
+        )
+        n_late = (
+            batch.join(F.broadcast(marks), "user_id")
+            .filter(
+                (F.col("ts") < F.col("last_ts"))
+                & (F.col("event_id") > F.col("last_eid"))
+            )
+            .count()
+        )
+        if n_late:
+            raise LateEventError(
+                f"batch {batch_id}: {n_late} event(s) behind their user's "
+                "fold watermark with new event_ids — backfill required"
+            )
         affected = batch.select("user_id").distinct()
-        pseudo = prior.join(F.broadcast(affected), "user_id", "left_semi").select(
+        prior = latest.join(F.broadcast(affected), "user_id", "left_semi")
+        pseudo = prior.select(
             "user_id",
             F.col("state").alias("event_type"),
             F.col("valid_from").alias("ts"),
             F.col("src_event_id").alias("event_id"),
         )
         merged = pseudo.unionByName(batch)
+        prior_marks = prior.filter(F.col("is_current")).select(
+            "user_id", "last_ts", "last_eid"
+        )
+        batch_marks = batch.groupBy("user_id").agg(
+            F.max("ts").alias("b_ts"), F.max("event_id").alias("b_eid")
+        )
+        new_marks = (
+            batch_marks.join(prior_marks, "user_id", "left")
+            .select(
+                "user_id",
+                F.greatest(F.col("b_ts"), F.coalesce("last_ts", "b_ts")).alias(
+                    "last_ts"
+                ),
+                F.greatest(F.col("b_eid"), F.coalesce("last_eid", "b_eid")).alias(
+                    "last_eid"
+                ),
+            )
+        )
     else:
         merged = batch
-    new_hist = scd2_history(merged, keep_tiebreak=True)
+        new_marks = batch.groupBy("user_id").agg(
+            F.max("ts").alias("last_ts"), F.max("event_id").alias("last_eid")
+        )
+    new_hist = scd2_history(merged, keep_tiebreak=True).join(
+        F.broadcast(new_marks), "user_id"
+    )
     write_batch(new_hist, batch_id, path)
 
 

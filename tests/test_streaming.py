@@ -704,3 +704,34 @@ def test_scd2_streaming_sink_end_to_end(spark, tmp_path):
     }
     got = {_hist_key(r): _hist_tuple(r) for r in read_history(spark, log).collect()}
     assert got == want and want
+
+
+def test_scd2_refuses_genuinely_late_events_but_allows_replay(spark, tmp_path):
+    """The fold watermark distinguishes REPLAY (old event_ids — re-fold
+    is a no-op, recovery stays idempotent) from genuinely LATE new
+    events (ts behind the watermark, new event_id — correct folding may
+    need discarded continuation evidence), refusing only the latter."""
+    import pytest as _pytest
+
+    from chinook_music_database_analysis_spark.streaming.scd2 import (
+        LateEventError,
+        apply_scd2_batch,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, tsec long, event_id long"
+        ).selectExpr(
+            "user_id", "event_type",
+            "timestamp_micros(tsec * 1000000) AS ts", "event_id",
+        )
+
+    log = str(tmp_path / "log")
+    apply_scd2_batch(ev([(1, "a", 10, 0), (1, "a", 20, 1), (1, "b", 30, 2)]), 0, log)
+    # replay of already-folded events (old ids, old ts): fine
+    apply_scd2_batch(ev([(1, "a", 20, 1), (1, "b", 30, 2)]), 1, log)
+    # genuinely late NEW event (ts 25 < watermark 30, event_id 5 new)
+    with _pytest.raises(LateEventError):
+        apply_scd2_batch(ev([(1, "c", 25, 5)]), 2, log)
+    # in-order continuation with a new id: accepted
+    apply_scd2_batch(ev([(1, "b", 40, 6)]), 3, log)
