@@ -182,3 +182,34 @@ def compact_history_log(spark: SparkSession, path: str, out: str) -> None:
     """Fold the latest-wins log into a single clean store (maintenance
     cadence): one dir, one row-set, identical to read_history."""
     read_history(spark, path).write.mode("overwrite").parquet(out)
+
+
+def backfill_scd2(
+    events: DataFrame, late: DataFrame, batch_id: int, path: str
+) -> None:
+    """The repair path :class:`LateEventError` routes to: recompute the
+    AFFECTED users' histories from the raw changelog plus the late
+    events, and rewrite their log rows under a fresh idempotent batch
+    dir (latest-wins read picks them up; untouched users keep their
+    older dirs).
+
+    This is the one place the maintainer re-reads raw events — late
+    data genuinely requires the continuation evidence compression
+    discarded, so the repair cost is a pruned scan of the affected
+    users' events (user-bucketed storage turns that into a partition-
+    pruned read at scale), never the whole corpus."""
+    cols = ("user_id", "event_type", "ts", "event_id")
+    late = late.select(*cols)
+    affected = late.select("user_id").distinct()
+    merged = (
+        events.select(*cols)
+        .join(F.broadcast(affected), "user_id", "left_semi")
+        .unionByName(late)
+    )
+    marks = merged.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.max("event_id").alias("last_eid")
+    )
+    new_hist = scd2_history(merged, keep_tiebreak=True).join(
+        F.broadcast(marks), "user_id"
+    )
+    write_batch(new_hist, batch_id, path)

@@ -735,3 +735,49 @@ def test_scd2_refuses_genuinely_late_events_but_allows_replay(spark, tmp_path):
         apply_scd2_batch(ev([(1, "c", 25, 5)]), 2, log)
     # in-order continuation with a new id: accepted
     apply_scd2_batch(ev([(1, "b", 40, 6)]), 3, log)
+
+
+def test_scd2_backfill_repairs_late_events(spark, tmp_path):
+    """LateEventError -> backfill_scd2: after the repair, the log reads
+    identically to a batch rebuild over the true event stream INCLUDING
+    the late event, and other users' histories are untouched."""
+    import pytest as _pytest
+
+    from chinook_music_database_analysis_spark.operators.temporal import scd2_history
+    from chinook_music_database_analysis_spark.streaming.scd2 import (
+        LateEventError,
+        apply_scd2_batch,
+        backfill_scd2,
+        read_history,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, tsec long, event_id long"
+        ).selectExpr(
+            "user_id", "event_type",
+            "timestamp_micros(tsec * 1000000) AS ts", "event_id",
+        )
+
+    on_time = [
+        (1, "a", 10, 0), (1, "a", 20, 1), (1, "b", 30, 2),
+        (2, "a", 10, 3), (2, "c", 40, 4),
+    ]
+    late_rows = [(1, "c", 25, 9)]  # splits user 1's compressed a-run
+    log = str(tmp_path / "log")
+    apply_scd2_batch(ev(on_time), 0, log)
+    with _pytest.raises(LateEventError):
+        apply_scd2_batch(ev(late_rows), 1, log)
+    backfill_scd2(ev(on_time), ev(late_rows), 1, log)
+
+    want = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(ev(on_time + late_rows)).collect()
+    }
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in read_history(spark, log).collect()
+    }
+    assert got == want
+    # the repaired user-1 history actually contains the late 'c' regime
+    assert any(u == 1 and v[0] == "c" for (u, _), v in got.items())
