@@ -155,7 +155,7 @@ QUERIES = {
 #: meaningless as a scaling exponent.  The BUILD cost's scaling is
 #: already covered by the non-store families sharing the same plan
 #: shapes (pair enumeration ~ lineitem scan, BSP supersteps ~ graph).
-WARM_FIRST = {"s14_brand_pagerank"}
+WARM_FIRST = {"s14_brand_pagerank", "cur_boilerplate", "mm_phash_clusters"}
 
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
