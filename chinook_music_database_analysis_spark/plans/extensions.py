@@ -2530,6 +2530,64 @@ def ev_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_scd2_incremental",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version
+    FROM changes
+    """,
+)
+def ev_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL SCD2 maintainer (streaming/scd2.py), driver-
+    verified: the changelog folds in through three event-time-ordered
+    micro-batches (each merging only affected users' replayed change
+    skeletons with the new slice), and the latest-wins log read must
+    hash-match the ONE-SHOT batch-rebuild oracle — the equivalence that
+    makes the streaming maintainer trustworthy is itself under the
+    correctness gate, not just unit tests.
+
+    The log lands under a deterministic per-(session, corpus) temp dir
+    with idempotent batch_id overwrites, so repeated calls converge
+    instead of accumulating."""
+    import hashlib
+    import tempfile
+
+    from ..streaming.scd2 import apply_scd2_batch, read_history
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    t1, t2 = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)"
+    ).first()
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    log = f"{tempfile.gettempdir()}/scd2_inc_{key}"
+    us = F.unix_micros("ts")
+    for i, sl in enumerate(
+        (ev.filter(us <= t1), ev.filter((us > t1) & (us <= t2)), ev.filter(us > t2))
+    ):
+        apply_scd2_batch(sl, i, log)
+    return read_history(spark, log).select(
+        "user_id", "state", "valid_from", "valid_to", "is_current", "version"
+    )
+
+
 def _register_watermark_audit() -> None:
     delays = (0, 300, 900, 3600)  # candidate watermark delays, seconds
     # The generator emits events already ordered by event time, so the
