@@ -146,6 +146,9 @@ QUERIES = {
     "mm_phash_clusters": 1.5,
     # pre-filter semi-join + |q| x |allowed| exact scoring — linear
     "sim_filtered_topk": 1.3,
+    # three-batch incremental fold: per-batch cost ~ affected users'
+    # skeletons + slice — linear in events
+    "ev_scd2_incremental": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
