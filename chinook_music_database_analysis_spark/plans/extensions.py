@@ -2598,6 +2598,50 @@ def ev_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Snapshot instant for ev_scd2_snapshot (mid-range of the generator's
+#: January window at every sf).
+SCD2_SNAPSHOT_AT = "2024-01-15 00:00:00"
+
+
+@register(
+    "ev_scd2_snapshot",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM (SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_state IS NULL OR prev_state <> event_type)
+    )
+    SELECT user_id, state, valid_from
+    FROM changes
+    WHERE valid_from <= TIMESTAMP '{SCD2_SNAPSHOT_AT}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SCD2_SNAPSHOT_AT}')
+    """,
+)
+def ev_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension snapshot AS OF an instant: each user's single SCD2 row
+    whose [valid_from, valid_to) interval covers T — the time-travel
+    read every report-against-history runs (and what a reproducibility
+    audit replays).  One interval filter over the scd2_history build:
+    the intervals partition each user's timeline (property-tested), so
+    exactly one row per user active at T survives, with no join and no
+    extra shuffle beyond the history build's single Exchange."""
+    from ..operators.temporal import scd2_history
+
+    hist = scd2_history(load_tables(spark, sf_dir)["events"])
+    at = F.lit(SCD2_SNAPSHOT_AT).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).select("user_id", "state", "valid_from")
+
+
 def _register_watermark_audit() -> None:
     delays = (0, 300, 900, 3600)  # candidate watermark delays, seconds
     # The generator emits events already ordered by event time, so the

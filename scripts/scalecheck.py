@@ -149,6 +149,8 @@ QUERIES = {
     # three-batch incremental fold: per-batch cost ~ affected users'
     # skeletons + slice — linear in events
     "ev_scd2_incremental": 1.3,
+    # interval filter over the single-shuffle history build — linear
+    "ev_scd2_snapshot": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
