@@ -2598,6 +2598,65 @@ def ev_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_state_durations",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM (SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_state IS NULL OR prev_state <> event_type)
+    )
+    SELECT state,
+           CAST(COUNT(*) FILTER (valid_to IS NOT NULL) AS BIGINT)
+             AS n_closed,
+           CAST(COUNT(*) FILTER (valid_to IS NULL) AS BIGINT) AS n_open,
+           CAST(SUM(date_diff('microsecond', valid_from, valid_to))
+                  FILTER (valid_to IS NOT NULL) AS BIGINT) AS total_us,
+           CAST(SUM(date_diff('microsecond', valid_from, valid_to))
+                  FILTER (valid_to IS NOT NULL) AS BIGINT)
+             // CAST(COUNT(*) FILTER (valid_to IS NOT NULL) AS BIGINT)
+             AS avg_us
+    FROM changes GROUP BY state
+    """,
+)
+def ev_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime-duration analytics over the SCD2 history: per state, how
+    many closed/open intervals and the exact integer-microsecond total
+    and mean dwell time — the "how long do users stay in each state"
+    report a lifecycle analysis starts from.  One small agg over the
+    single-shuffle history build; duration arithmetic in unix_micros so
+    both engines accumulate identical integers."""
+    from ..operators.temporal import scd2_history
+
+    hist = scd2_history(load_tables(spark, sf_dir)["events"])
+    dur = F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    closed = F.col("valid_to").isNotNull()
+    return (
+        hist.groupBy("state")
+        .agg(
+            F.sum(closed.cast("int")).cast("bigint").alias("n_closed"),
+            F.sum(F.col("valid_to").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_open"),
+            F.sum(F.when(closed, dur)).alias("total_us"),
+        )
+        .select(
+            "state",
+            "n_closed",
+            "n_open",
+            "total_us",
+            F.expr("total_us div n_closed").alias("avg_us"),
+        )
+    )
+
+
 #: Snapshot instant for ev_scd2_snapshot (mid-range of the generator's
 #: January window at every sf).
 SCD2_SNAPSHOT_AT = "2024-01-15 00:00:00"

@@ -151,6 +151,8 @@ QUERIES = {
     "ev_scd2_incremental": 1.3,
     # interval filter over the single-shuffle history build — linear
     "ev_scd2_snapshot": 1.3,
+    # small agg over the history build — linear
+    "ev_state_durations": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
