@@ -2574,7 +2574,14 @@ def ev_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{spark.sparkContext.applicationId}|{sf_dir}|{_table_set_id(sf_dir)}".encode()
     ).hexdigest()[:12]
     log = f"{tempfile.gettempdir()}/scd2_inc_{key}"
-    memo_key = ("scd2_inc_folded", log)
+    # keyed like every _SCALAR_MEMO entry: (kind, appId, sf_dir, set_id)
+    # — reset_memo() filters on k[2], so the shape must match.
+    memo_key = (
+        "scd2_inc_folded",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _table_set_id(sf_dir),
+    )
     if memo_key not in _SCALAR_MEMO:
         ev = load_tables(spark, sf_dir)["events"].select(
             "user_id", "event_type", "ts", "event_id"
