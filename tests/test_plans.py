@@ -390,3 +390,13 @@ def test_heavy_keys_corpus_joins_broadcast_not_shuffled(spark):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_consumers_inherit_single_shuffle(spark):
+    """Snapshot and dwell-time report ride the scd2 build's single
+    user_id shuffle: snapshot adds NOTHING (interval filter is narrow),
+    durations adds only its partial/final agg exchange; neither joins."""
+    snap = _plan(spark, "ev_scd2_snapshot")
+    assert snap.count("Exchange") == 1 and "Join" not in snap
+    dur = _plan(spark, "ev_state_durations")
+    assert dur.count("Exchange") <= 2 and "Join" not in dur
