@@ -607,6 +607,7 @@ def ivf_topk(
     n_probe: int = IVF_N_PROBE,
     centroids: DataFrame | None = None,
     assigned: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     cell-probing alternative to sign-projection LSH.
@@ -650,6 +651,15 @@ def ivf_topk(
     # same centroid relation the probe stage scores
     if assigned is None:
         assigned = ivf_assignments(emb, cents)
+    # Filtered search (pre-filter WITHIN the index): restrict the
+    # inverted file to the allowed (vec_id) set BEFORE the candidate
+    # join, so only allowed members of probed cells are ever scored.
+    # Known filtered-ANN recall caveat: under a selective filter a
+    # query's probed cells may hold few allowed members — production
+    # raises n_probe with filter selectivity; the exact-scan
+    # alternative is cosine_topk(corpus=...).
+    if allowed is not None:
+        assigned = assigned.join(allowed.select("vec_id"), "vec_id", "left_semi")
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("c_sim").desc(), F.col("cell_id")
     )

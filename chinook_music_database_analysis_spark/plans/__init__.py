@@ -22,7 +22,7 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 7 window: (1) the twenty never-driver-checked r7
+# Round 7 window: (1) the twenty-one never-driver-checked r7
 # registrations (the scd2/sketch/curation/multimodal/retrieval
 # additions of this round); (2) every builder MUTATED this round — the
 # BM25 store path (tx_bm25_topk), the containment router
@@ -40,7 +40,7 @@ from . import scale_queries  # noqa: E402,F401
 # slots to the r7 first-timers.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r7 additions (20)
+    # never driver-checked r7 additions (21)
     "cur_domain_cap",
     "tx_quality_classifier",
     "ev_scd2_user_state",
@@ -55,6 +55,7 @@ _WINDOW_FIRST = [
     "ev_scd2_incremental",
     "ev_scd2_snapshot",
     "ev_state_durations",
+    "sim_filtered_ivf_topk",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -94,7 +95,6 @@ _WINDOW_FIRST = [
     "s10_add_column",
     "s11_geo_behavior",
     # last green r3 (10)
-    "ev_dedup_first",
 ]
 
 
@@ -110,7 +110,7 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r7 NOTE: 50/50 slots.  r8 should lead with the twenty r7
+# r7 NOTE: 50/50 slots.  r8 should lead with the twenty-one r7
 # first-timers for their second green (they can only earn one green
 # this round), then the displaced multiply-green r3/r5 entries
 # (q01_dupes, sim_lsh/bruteforce, ev_tumbling/sliding/sessionized,

@@ -1380,6 +1380,69 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_filtered_ivf_topk",
+    oracle=f"""
+    WITH {_sql_kmeans_cents()}, c AS (
+      SELECT cell_id, ce FROM kc{KMEANS_ITERS}
+    ), a0 AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      QUALIFY rn = 1
+    ), a AS (
+      SELECT a0.* FROM a0 JOIN documents d
+        ON a0.vec_id = d.doc_id AND d.lang = 'en'
+    ), q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qe, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      WHERE e.vec_id < 10
+      QUALIFY rn <= {IVF_N_PROBE}
+    ), p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+      FROM a e JOIN q ON e.cell_id = q.cell_id
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """,
+)
+def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search through the IVF INDEX (vs sim_filtered_topk's
+    exact pre-filter scan): the metadata-allowed (vec_id) set
+    semi-join-restricts the stored inverted file BEFORE the candidate
+    join, so only allowed members of each query's probed cells are ever
+    scored — the production filtered-ANN shape where the filter rides
+    the index instead of forcing a full scan.
+
+    Recall caveat encoded honestly in the oracle (it mirrors the same
+    algorithm): under a selective filter the probed cells may hold few
+    allowed members, so production raises n_probe with selectivity —
+    the exact-scan fallback is sim_filtered_topk.  Cost: the stored
+    assignment (zero marginal), one semi-join linear in the inverted
+    file, candidate scoring bounded by allowed-in-probed-cells."""
+    from ..operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    allowed = (
+        t["documents"].filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return ivf_topk(
+        t["embeddings"],
+        centroids=_ivf_cents(spark, sf_dir),
+        assigned=_ivf_assign(spark, sf_dir),
+        allowed=allowed,
+    )
+
+
 def _sql_cluster_sample() -> str:
     from ..operators.similarity import CLUSTER_SAMPLE_M, KMEANS_ITERS
 

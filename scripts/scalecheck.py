@@ -153,6 +153,9 @@ QUERIES = {
     "ev_scd2_snapshot": 1.3,
     # small agg over the history build — linear
     "ev_state_durations": 1.3,
+    # stored inverted file + allowed semi-join + probed-cell scoring —
+    # IVF-family shape
+    "sim_filtered_ivf_topk": 1.7,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
