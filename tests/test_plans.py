@@ -112,6 +112,8 @@ BNLJ_ALLOWED = {
     # over the pre-filtered allowed set
     "sim_filtered_topk",
     "sim_ivf_topk",
+    # same broadcast-centroid probe, over the allowed-restricted file
+    "sim_filtered_ivf_topk",
     "sim_ivf_stride_topk",
     "dd_semantic",
     "tx_surprisal",
