@@ -594,3 +594,21 @@ def test_quality_classifier_score_is_exact_and_tiers_consistent(docs):
         assert r.tier == want_tier
         tiers.add(r.tier)
     assert len(tiers) >= 2  # thresholds are non-degenerate on the corpus
+
+
+def test_line_dedup_is_partition_order_independent(docs):
+    """The rebuild sorts (pos, seg) structs AFTER collect_list, so
+    clean_text must be byte-identical however the shuffle serves the
+    segments — an unsorted collect would be flaky, not wrong-once."""
+    from chinook_music_database_analysis_spark.operators.curation import line_dedup
+
+    base = {
+        r.doc_id: (r.n_segments, r.n_dropped, r.clean_text)
+        for r in line_dedup(docs, 8, 2).collect()
+    }
+    for parts in (1, 7, 32):
+        got = {
+            r.doc_id: (r.n_segments, r.n_dropped, r.clean_text)
+            for r in line_dedup(docs.repartition(parts), 8, 2).collect()
+        }
+        assert got == base, parts
