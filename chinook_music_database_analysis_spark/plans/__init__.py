@@ -22,7 +22,7 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 7 window: (1) the twenty-one never-driver-checked r7
+# Round 7 window: (1) the twenty-two never-driver-checked r7
 # registrations (the scd2/sketch/curation/multimodal/retrieval
 # additions of this round); (2) every builder MUTATED this round — the
 # BM25 store path (tx_bm25_topk), the containment router
@@ -40,7 +40,7 @@ from . import scale_queries  # noqa: E402,F401
 # slots to the r7 first-timers.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r7 additions (21)
+    # never driver-checked r7 additions (22)
     "cur_domain_cap",
     "tx_quality_classifier",
     "ev_scd2_user_state",
@@ -56,6 +56,7 @@ _WINDOW_FIRST = [
     "ev_scd2_snapshot",
     "ev_state_durations",
     "sim_filtered_ivf_topk",
+    "tx_lang_confusion",
     "tx_hybrid_rrf",
     "tx_hybrid_batch",
     "tx_bm25_batch",
@@ -83,7 +84,7 @@ _WINDOW_FIRST = [
     "pipe_filter_funnel",
     "sim_knn_graph",
     "s15_skew_salted",
-    # stalest twice-green, last green r2 (10)
+    # stalest twice-green, last green r2 (9)
     "s01_brand_promo",
     "s02_intl_types",
     "s03_old_vs_new",
@@ -93,7 +94,6 @@ _WINDOW_FIRST = [
     "s06_risk_profile",
     "s07_clv_segments",
     "s10_add_column",
-    "s11_geo_behavior",
     # last green r3 (10)
 ]
 
@@ -110,7 +110,7 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r7 NOTE: 50/50 slots.  r8 should lead with the twenty-one r7
+# r7 NOTE: 50/50 slots.  r8 should lead with the twenty-two r7
 # first-timers for their second green (they can only earn one green
 # this round), then the displaced multiply-green r3/r5 entries
 # (q01_dupes, sim_lsh/bruteforce, ev_tumbling/sliding/sessionized,

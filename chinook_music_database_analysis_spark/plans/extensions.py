@@ -585,6 +585,48 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load_tables(spark, sf_dir)["documents"])
 
 
+def _sql_lang_confusion() -> str:
+    return f"""
+    WITH pred AS ({_sql_langid()})
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((COUNT(*) * 10000) // SUM(COUNT(*)) OVER (PARTITION BY lang)
+                AS BIGINT) AS row_pct_q
+    FROM pred GROUP BY lang, pred_lang
+    """
+
+
+@register("tx_lang_confusion", oracle=_sql_lang_confusion())
+def tx_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: the confusion matrix of declared vs
+    predicted language, with each cell's share of its declared-language
+    row (1e4 fixed point) — the standard audit for any classifier
+    feeding a filter (where is the heuristic systematically wrong, and
+    how much of each language would a pred-based filter misroute).
+    One scan + one tiny (|langs|^2-row) aggregate; the row share is a
+    window over that tiny relation, not the corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.text import lang_id
+
+    pred = lang_id(load_tables(spark, sf_dir)["documents"])
+    g = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("n_docs * 10000").cast("bigint").alias("_num"),
+        F.sum("n_docs").over(w).alias("_den"),
+    ).select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("_num div _den").alias("row_pct_q"),
+    )
+
+
 @register(
     "tx_fingerprint",
     oracle=f"""

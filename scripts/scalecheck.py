@@ -156,6 +156,8 @@ QUERIES = {
     # stored inverted file + allowed semi-join + probed-cell scoring —
     # IVF-family shape
     "sim_filtered_ivf_topk": 1.7,
+    # one scan + |langs|^2-row aggregate — linear
+    "tx_lang_confusion": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
