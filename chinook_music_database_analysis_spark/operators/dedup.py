@@ -466,15 +466,19 @@ def dup_ngram_stats(docs: DataFrame, shingles: DataFrame | None = None) -> DataF
     side is one row per distinct shingle; universal shingles skew the
     join partition the same way universal terms do in tfidf_top_terms
     — AQE's skew split handles it, the df side being freely
-    replicable.  At 100 TB, project ``xxhash64(s)`` before the
-    df-count/join to cut shuffle bytes ~5x (the string shingle itself
-    is never needed downstream); kept as the raw string here so the
-    DuckDB oracle compares the exact same keys.
+    replicable.  The df-count and join run on ``xxhash64(s)`` instead
+    of the string shingle (r8): the string is never needed downstream
+    — only the doc_id and the count survive — so hashing cuts the two
+    shuffles' bytes ~5x at 100 TB.  A 64-bit collision would merge two
+    shingles' counts; at any plausible distinct-shingle count the
+    probability is ~n^2/2^65 (~1e-8 at a million shingles), and the
+    exact-string DuckDB oracle would catch it loudly.
     """
     sh = shingles if shingles is not None else doc_shingles(docs)
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    hashed = sh.select("doc_id", F.xxhash64("s").alias("h"))
+    df_counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs_with"))
     return (
-        sh.join(df_counts, "s")
+        hashed.join(df_counts, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
