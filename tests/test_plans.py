@@ -35,6 +35,32 @@ def test_star_join_broadcasts_dims_and_pushes_filters(spark):
     assert "SortMergeJoin" not in plan
 
 
+#: the J1/J2 star-join family: (query, minimum dim-side broadcast
+#: joins).  The gate generalizes the q02 assertion (r7 verdict #7) so
+#: a carelessly added or reordered join in ANY registered star builder
+#: fails here: every dim side must broadcast, filters must reach the
+#: scans, and no fact-side shuffle join (SortMergeJoin) may appear —
+#: at 1000 executors an SMJ against the fact table is the shuffle
+#: that dominates the stage.
+STAR_JOINS = {
+    "q02_top_parts_nation0": 4,
+    "q04_rev_by_geo": 2,
+    "q05_top5_cust_per_nation": 2,
+    "q06_top_part_per_cust": 3,
+    "s11_geo_behavior": 4,
+}
+
+
+def test_star_family_broadcasts_all_dims(spark):
+    for name, min_bhj in STAR_JOINS.items():
+        plan = _plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (
+            f"{name}: expected >= {min_bhj} broadcast dim joins"
+        )
+        assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"
+        assert "PushedFilters" in plan, f"{name}: filters not pushed to scan"
+
+
 def test_rank_topk_plans_window_group_limit(spark):
     """Rank-filter top-k must plan WindowGroupLimit (per-partition
     top-k heap), not a full sort of every group."""
