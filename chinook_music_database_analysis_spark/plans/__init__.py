@@ -22,25 +22,25 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 7 window: (1) the twenty-two never-driver-checked r7
-# registrations (the scd2/sketch/curation/multimodal/retrieval
-# additions of this round); (2) every builder MUTATED this round — the
-# BM25 store path (tx_bm25_topk), the containment router
-# (dd_containment), and every query whose persisted-store builder
-# gained a params fingerprint or whose store format changed
-# (containment_scale, minhash_estimate, boilerplate, pagerank, layout
-# rebuild, the pq/ivf ladder, dup_clusters); (3) the r6 first-timers
-# for their second green; (4) the stalest twice-green entries (last
-# green r2: the s01-s11 scale suite + s10_add_column; last green r3:
-# the mm_* multimodal family + ev_dedup_first).  Evicted: everything
-# green in r6 with byte-unchanged builders, plus multiply-green r3
-# entries (q01_dupes, sim_lsh/bruteforce, ev_tumbling/sliding/
-# sessionized, tx_surprisal, cur_contamination_report,
-# tx_gopher_quality, dd_dup_ngrams, dd_cross_simhash) that ceded
-# slots to the r7 first-timers.
+# Round 8 window: (1) the twenty-two r7 first-timers for their second
+# green (builders byte-unchanged except the four noted below — all
+# r8-mutated entries stay in-window by construction); (2) every
+# builder MUTATED in r8 — the capped knn graph (sim_knn_graph), the
+# hashed-shuffle dup-ngram stats (dd_dup_ngrams), the loud-refusal
+# containment router (dd_containment), and the IVF family touched by
+# the n_probe 3->4 raise (sim_ivf_topk, sim_ivf_stride_topk,
+# sim_pq_topk, sim_ivfpq_topk; sim_filtered_ivf_topk is already in
+# the first-timer block, as are the store-served scd2 fold
+# ev_scd2_incremental and the hint-dropped cur_line_dedup); (3) the
+# multiply-green r3/r5 entries displaced by the r7 window (q01_dupes,
+# sim_lsh/bruteforce, the ev_ streaming windows, tx_surprisal,
+# cur_contamination_report, tx_gopher_quality, dd_cross_simhash);
+# (4) stalest remainders last green r3/r5 (the mm_* multimodal
+# plumbing family, ev_dedup_first, the simhash pair, the q01/q03/q07
+# parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r7 additions (22)
+    # r7 first-timers, second green (22)
     "cur_domain_cap",
     "tx_quality_classifier",
     "ev_scd2_user_state",
@@ -63,38 +63,37 @@ _WINDOW_FIRST = [
     "pipe_rag_index",
     "mm_phash",
     "mm_phash_pairs",
-    # r7-mutated builders (12)
-    "tx_bm25_topk",
+    # r8-mutated builders not already above (7)
+    "sim_knn_graph",
+    "dd_dup_ngrams",
     "dd_containment",
-    "dd_containment_scale",
-    "dd_minhash_estimate",
-    "cur_boilerplate",
-    "s14_brand_pagerank",
-    "pipe_layout_rebuild",
     "sim_ivf_topk",
     "sim_ivf_stride_topk",
     "sim_pq_topk",
     "sim_ivfpq_topk",
-    "dd_dup_clusters",
-    # r6 first-timers, second green (7)
-    "cur_chunk",
-    "dq_documents_expectations",
-    "ev_cdc_latest_state",
-    "ev_watermark_audit",
-    "pipe_filter_funnel",
-    "sim_knn_graph",
-    "s15_skew_salted",
-    # stalest twice-green, last green r2 (9)
-    "s01_brand_promo",
-    "s02_intl_types",
-    "s03_old_vs_new",
-    "s04_affinity_brands",
-    "s04_affinity_types",
-    "s05_regional_churn",
-    "s06_risk_profile",
-    "s07_clv_segments",
-    "s10_add_column",
-    # last green r3 (10)
+    # displaced multiply-green r3/r5 entries (10)
+    "q01_dupes",
+    "sim_lsh_topk",
+    "sim_bruteforce_topk",
+    "ev_tumbling_1h",
+    "ev_sliding_1h_30m",
+    "ev_sessionized",
+    "tx_surprisal",
+    "cur_contamination_report",
+    "tx_gopher_quality",
+    "dd_cross_simhash",
+    # stalest remainders, last green r3/r5 (11)
+    "mm_media_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "ev_dedup_first",
+    "dd_simhash",
+    "dd_simhash_pairs",
+    "q01_nulls",
+    "q03_demographics",
+    "q03b_segment_geo",
+    "q07_purchase_trends",
+    "ev_json_extract",
 ]
 
 
@@ -110,11 +109,13 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r7 NOTE: 50/50 slots.  r8 should lead with the twenty-two r7
-# first-timers for their second green (they can only earn one green
-# this round), then the displaced multiply-green r3/r5 entries
-# (q01_dupes, sim_lsh/bruteforce, ev_tumbling/sliding/sessionized,
-# tx_surprisal, cur_contamination_report, tx_gopher_quality,
-# dd_dup_ngrams, dd_cross_simhash) and anything r8 mutates.
+# r8 NOTE: 50/50 slots.  r9 should lead with anything r9 mutates,
+# then the entries evicted by the r8 window whose last green is
+# oldest: the r7-mutated store family (tx_bm25_topk,
+# dd_containment_scale, dd_minhash_estimate, cur_boilerplate,
+# s14_brand_pagerank, pipe_layout_rebuild, dd_dup_clusters), the r6
+# first-timers (cur_chunk, dq_documents_expectations,
+# ev_cdc_latest_state, ev_watermark_audit, pipe_filter_funnel,
+# s15_skew_salted), and the s01-s10 scale suite (last green r7).
 
 __all__ = ["QUERIES", "ORACLES", "register"]
