@@ -682,3 +682,133 @@ def ev_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("skew_key")
     )
     return heavy_keys(ev, "skew_key", support_k=HH_SUPPORT_K)
+
+
+# ---------------------------------------------------------------------------
+# Portable md5-HLL: the estimate ITSELF under the exact hash gate
+# ---------------------------------------------------------------------------
+
+def _hll_oracle(src_cte: str, group: str, key: str) -> str:
+    """DuckDB oracle replicating operators/sketch.hll_distinct register
+    by register: same md5-prefix hash, same trailing-zero rho, same
+    exact-int64 2^(53-M) harmonic sum, same single final double
+    division — so the ESTIMATE is under the exact value-hash gate, not
+    a tolerance boolean (contrast ev_hll_week_rollup, whose DataSketches
+    bytes are engine-specific)."""
+    from ..operators.sketch import (
+        HLL_ALPHA_NUM,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        HLL_W_BITS,
+        _hll_lc_table,
+    )
+
+    lc = ",".join(str(v) for v in _hll_lc_table())
+    return f"""
+    WITH src AS ({src_cte}),
+    hashed AS (
+      SELECT {group},
+             CAST('0x' || substr(md5('hll|' || CAST({key} AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM src
+    ), rw AS (
+      SELECT {group}, h % {HLL_M} AS j, h // {HLL_M} AS w FROM hashed
+    ), regs AS (
+      SELECT {group}, j,
+             MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                      ELSE length(bin(w & -w)) END) AS m_j
+      FROM rw GROUP BY 1, 2
+    ), s AS (
+      SELECT {group},
+             CAST(SUM(1::BIGINT << (53 - m_j))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+             CAST({HLL_M} - COUNT(*) AS INTEGER) AS v
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT {group},
+             CASE WHEN {HLL_ALPHA_NUM!r} / CAST(s AS DOUBLE)
+                       <= {HLL_LC_THRESHOLD!r} AND v > 0
+                  THEN CAST(([{lc}])[v] AS BIGINT)
+                  ELSE CAST(ROUND({HLL_ALPHA_NUM!r} / CAST(s AS DOUBLE))
+                            AS BIGINT)
+             END AS hll_est
+      FROM s
+    ), ex AS (
+      SELECT {group}, CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_exact
+      FROM src GROUP BY 1
+    )
+    SELECT ex.{group}, n_exact, hll_est,
+           CAST(ABS(hll_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+    FROM ex JOIN est USING ({group})
+    """
+
+
+def _hll_audit(sketch: DataFrame, exact: DataFrame, group: str) -> DataFrame:
+    """Join the sketch estimate with the exact distinct count and
+    report the basis-point error — the audit layout both HLL queries
+    share.  The exact side exists only to measure the sketch; a
+    production reader at 100 TB keeps the estimate and drops the
+    COUNT(DISTINCT) (whose shuffle carries one row per distinct key —
+    the cost the sketch exists to avoid)."""
+    return exact.join(sketch, group).select(
+        group,
+        "n_exact",
+        "hll_est",
+        F.expr("CAST(abs(hll_est - n_exact) * 10000 DIV n_exact AS BIGINT)").alias(
+            "err_bp"
+        ),
+    )
+
+
+@register(
+    "ev_hll_users",
+    oracle=_hll_oracle(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id"
+    ),
+)
+def ev_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the PORTABLE md5-HLL sketch
+    (operators/sketch.hll_distinct), with the exact count and measured
+    basis-point error alongside.  The sketch's shuffle state is a
+    fixed <= 256 rows per event type (map-side max-combined) however
+    many distinct users stream by; the estimate itself hash-matches
+    the oracle because every step until the final division is exact
+    integer arithmetic on both engines."""
+    from ..operators.sketch import hll_distinct
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
+    sketch = hll_distinct(ev, "user_id", "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return _hll_audit(sketch, exact, "event_type")
+
+
+@register(
+    "tx_hll_vocab",
+    oracle=_hll_oracle(
+        """SELECT source, t.tok FROM (
+             SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+             FROM documents
+           ), unnest(toks) AS t(tok)""",
+        "source",
+        "tok",
+    ),
+)
+def tx_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size (distinct whitespace tokens) per source via the
+    portable md5-HLL — the corpus-statistics shape where the sketch
+    matters most: the distinct TOKEN set is itself corpus-sized, so
+    COUNT(DISTINCT)'s shuffle is a second corpus write, while the
+    sketch's is <= sources x 256 rows.  Exact count and basis-point
+    error ride along as the audit."""
+    from ..operators.sketch import hll_distinct
+    from ..operators.text import tokens_expr
+
+    toks = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("source", F.explode(tokens_expr()).alias("tok"))
+    )
+    sketch = hll_distinct(toks, "tok", "source")
+    exact = toks.groupBy("source").agg(F.countDistinct("tok").alias("n_exact"))
+    return _hll_audit(sketch, exact, "source")

@@ -161,6 +161,11 @@ QUERIES = {
     "sim_filtered_ivf_topk": 1.7,
     # one scan + |langs|^2-row aggregate — linear
     "tx_lang_confusion": 1.3,
+    # r8: md5-HLL — narrow hash map + (group x 256)-bounded register
+    # shuffle; the exact-count audit column dominates the time (one
+    # distinct shuffle), still linear
+    "ev_hll_users": 1.3,
+    "tx_hll_vocab": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
