@@ -165,3 +165,45 @@ def filter_funnel(docs: DataFrame, bench_pct: float = 5.0) -> DataFrame:
             )
         ).alias("f")
     ).select("f.stage", "f.stage_name", "f.n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff (dataset-versioning audit)
+# ---------------------------------------------------------------------------
+
+def corpus_diff(v1: DataFrame, v2: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: classify every document as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    corpus versions and report per-(source, change_type) counts — the
+    audit a dataset-versioning deployment runs before promoting a new
+    training snapshot ("what did this refresh actually do?").
+
+    Plan: each side reduces to its (key, source, content md5) spine in
+    a narrow projection — the TEXT never crosses the wire — then ONE
+    co-partitioned full-outer join on the key classifies every doc,
+    and a tiny (sources x 4)-row aggregate summarizes.  Linear, one
+    shuffle pair on the join key; at 100 TB with both snapshots
+    bucketed by ``key`` the join is exchange-free (the
+    sinks.write_bucketed layout this engine already ships).
+    """
+    a = v1.select(
+        F.col(key),
+        F.col("source").alias("src_a"),
+        F.md5(F.col("text")).alias("h_a"),
+    )
+    b = v2.select(
+        F.col(key),
+        F.col("source").alias("src_b"),
+        F.md5(F.col("text")).alias("h_b"),
+    )
+    classified = a.join(b, key, "full_outer").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return classified.groupBy("source", "change_type").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -22,8 +22,9 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 8 window: (0) the two never-checked r8 registrations (the
-# portable md5-HLL audits); (1) the twenty-two r7 first-timers for their second
+# Round 8 window: (0) the never-checked r8 registrations (the
+# portable md5-HLL audits + the corpus-version diff); (1) the
+# twenty-two r7 first-timers for their second
 # green (builders byte-unchanged except the four noted below — all
 # r8-mutated entries stay in-window by construction); (2) every
 # builder MUTATED in r8 — the capped knn graph (sim_knn_graph), the
@@ -41,9 +42,10 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (2)
+    # never driver-checked r8 additions (3)
     "ev_hll_users",
     "tx_hll_vocab",
+    "pipe_corpus_diff",
     # r7 first-timers, second green (22)
     "cur_domain_cap",
     "tx_quality_classifier",
@@ -86,7 +88,7 @@ _WINDOW_FIRST = [
     "cur_contamination_report",
     "tx_gopher_quality",
     "dd_cross_simhash",
-    # stalest remainders, last green r3/r5 (9)
+    # stalest remainders, last green r3/r5 (8)
     "mm_media_features",
     "mm_resize",
     "mm_frame_sample",
@@ -95,7 +97,6 @@ _WINDOW_FIRST = [
     "dd_simhash_pairs",
     "q01_nulls",
     "q03_demographics",
-    "q03b_segment_geo",
 ]
 
 

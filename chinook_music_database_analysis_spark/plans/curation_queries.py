@@ -1496,3 +1496,95 @@ def cur_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import chunk_documents
 
     return chunk_documents(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff (r8)
+# ---------------------------------------------------------------------------
+
+#: v2 derivation coins (md5 residues on doc_id): ~5% of docs deleted,
+#: ~10% of survivors edited, ~5% re-ingested as new docs.  Shared
+#: literals between the Spark builder and the oracle.
+DIFF_DEL_MOD = 20
+DIFF_EDIT_MOD = 10
+DIFF_ADD_RESIDUE = 7
+
+
+def _diff_coin_sql(tag: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{tag}|' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT)"
+    )
+
+
+def _diff_oracle() -> str:
+    return f"""
+    WITH v2base AS (
+      SELECT doc_id, source,
+             CASE WHEN {_diff_coin_sql('edit')} % {DIFF_EDIT_MOD} = 0
+                  THEN text || ' r2-edit' ELSE text END AS text
+      FROM documents
+      WHERE {_diff_coin_sql('del')} % {DIFF_DEL_MOD} <> 0
+    ), v2 AS (
+      SELECT * FROM v2base
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id, source, text || ' r2-new' AS text
+      FROM documents
+      WHERE {_diff_coin_sql('add')} % {DIFF_DEL_MOD} = {DIFF_ADD_RESIDUE}
+    ), a AS (
+      SELECT doc_id, source AS src_a, md5(text) AS h_a FROM documents
+    ), b AS (
+      SELECT doc_id, source AS src_b, md5(text) AS h_b FROM v2
+    ), c AS (
+      SELECT COALESCE(src_a, src_b) AS source,
+             CASE WHEN h_a IS NULL THEN 'added'
+                  WHEN h_b IS NULL THEN 'removed'
+                  WHEN h_a <> h_b THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM a FULL OUTER JOIN b USING (doc_id)
+    )
+    SELECT source, change_type, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY 1, 2
+    """
+
+
+def _diff_coin(tag: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{tag}|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+@register("pipe_corpus_diff", oracle=_diff_oracle())
+def pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot promotion audit (operators.pipeline.corpus_diff):
+    classify every document as added/removed/changed/unchanged between
+    corpus v1 and a deterministically derived v2 (content-addressed
+    md5 coins delete ~5%, edit ~10% of survivors, and re-ingest ~5%
+    under fresh negative ids — both engines derive the identical v2,
+    so the diff itself is under the exact gate).  One narrow
+    (key, source, content-hash) projection per side — text never
+    shuffles — one full-outer join on doc_id, then a
+    (sources x 4)-row rollup."""
+    from ..operators.pipeline import corpus_diff
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text")
+    v2base = docs.filter(_diff_coin("del") % DIFF_DEL_MOD != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            _diff_coin("edit") % DIFF_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" r2-edit")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(_diff_coin("add") % DIFF_DEL_MOD == DIFF_ADD_RESIDUE).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" r2-new")).alias("text"),
+    )
+    return corpus_diff(docs, v2base.unionByName(added))

@@ -166,6 +166,9 @@ QUERIES = {
     # distinct shuffle), still linear
     "ev_hll_users": 1.3,
     "tx_hll_vocab": 1.3,
+    # r8: narrow (key, source, md5) spines + one full-outer join on
+    # doc_id + tiny rollup — linear, text never shuffles
+    "pipe_corpus_diff": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
