@@ -1376,3 +1376,71 @@ def load_pq_index(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
     """(books, recon) in the shape :func:`pq_topk` accepts via its
     ``books=``/``recon=`` parameters."""
     return spark.table(f"{prefix}_books"), spark.table(f"{prefix}_recon")
+
+
+def contrastive_negatives(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor (vec_id < ``n_queries``), ``k`` corpus vectors that
+    share NO LSH bucket with the anchor in ANY table (the "provably
+    not-near under the banding" complement of the near-dup candidate
+    set), chosen by a content-addressed md5 coin — the
+    (anchor, negative) pair mining step of a contrastive/embedding
+    training pipeline, where sampling a near-duplicate as a "negative"
+    poisons the loss.
+
+    Exclusion is the exact complement of the candidate sets the dedup
+    and top-k paths build from the same signature store: a vector is
+    eligible iff it collides with the anchor in zero tables, so every
+    excluded pair is precisely one the LSH considers possibly-near.
+    Selection is ``md5('neg|' || anchor || '|' || vec_id)`` rank —
+    data-independent, append-stable, identical on both engines.
+
+    Scale shape: anchors' bucket signatures (``n_queries x N_TABLES``
+    rows) broadcast against the stored corpus signature relation to
+    form the mate (exclusion) set — bounded by the anchors' bucket
+    occupancies.  The eligible relation is anchors x corpus (the same
+    deliberate broadcast fan-out as brute-force scoring, |q| rows
+    broadcast); the per-anchor rank filter engages the Partial
+    WindowGroupLimit, so the shuffle carries at most
+    k x anchors x input-partitions rows — never the fan-out itself.
+    """
+    from pyspark.sql import Window
+
+    if buckets is None:
+        buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
+    q_sig = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    mates = (
+        buckets.join(F.broadcast(q_sig), ["tbl", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    anchors = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id")
+    )
+    cand = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(mates), ["query_id", "vec_id"], "left_anti")
+    )
+    coin = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit("neg"),
+            F.col("query_id").cast("string"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(coin, F.col("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("vec_id").alias("neg_id"), "rnk")
+    )

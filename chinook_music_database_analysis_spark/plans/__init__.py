@@ -23,7 +23,8 @@ from . import scale_queries  # noqa: E402,F401
 # order changes.
 #
 # Round 8 window: (0) the never-checked r8 registrations (the
-# portable md5-HLL audits + the corpus-version diff); (1) the
+# portable md5-HLL audits, the corpus-version diff, the contrastive
+# negative miner); (1) the
 # twenty-two r7 first-timers for their second
 # green (builders byte-unchanged except the four noted below — all
 # r8-mutated entries stay in-window by construction); (2) every
@@ -42,10 +43,11 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (3)
+    # never driver-checked r8 additions (4)
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",
+    "pipe_contrastive_negatives",
     # r7 first-timers, second green (22)
     "cur_domain_cap",
     "tx_quality_classifier",
@@ -88,7 +90,7 @@ _WINDOW_FIRST = [
     "cur_contamination_report",
     "tx_gopher_quality",
     "dd_cross_simhash",
-    # stalest remainders, last green r3/r5 (8)
+    # stalest remainders, last green r3/r5 (7)
     "mm_media_features",
     "mm_resize",
     "mm_frame_sample",
@@ -96,7 +98,6 @@ _WINDOW_FIRST = [
     "dd_simhash",
     "dd_simhash_pairs",
     "q01_nulls",
-    "q03_demographics",
 ]
 
 

@@ -3526,3 +3526,57 @@ def dd_fuzzy_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import fuzzy_name_pairs
 
     return fuzzy_name_pairs(load_tables(spark, sf_dir)["part"], "p_name", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (r8)
+# ---------------------------------------------------------------------------
+
+def _register_contrastive_negatives() -> None:
+    @register(
+        "pipe_contrastive_negatives",
+        oracle=f"""
+        WITH {_SQL_LSH_BUCKETS},
+        mates AS (
+          SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+          FROM bkts a
+          JOIN bkts b ON b.tbl = a.tbl AND b.bucket = a.bucket
+          WHERE a.vec_id < 10
+        ), cand AS (
+          SELECT q.query_id, e.vec_id
+          FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+          CROSS JOIN (SELECT vec_id FROM embeddings) e
+          WHERE e.vec_id <> q.query_id
+            AND NOT EXISTS (
+              SELECT 1 FROM mates m
+              WHERE m.query_id = q.query_id AND m.vec_id = e.vec_id)
+        )
+        SELECT query_id, vec_id AS neg_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY md5('neg' || '|' || CAST(query_id AS VARCHAR)
+                              || '|' || CAST(vec_id AS VARCHAR)), vec_id)
+                 AS INTEGER) AS rnk
+        FROM cand QUALIFY rnk <= 5
+        """,
+    )
+    def pipe_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic negative mining for contrastive training
+        (operators.similarity.contrastive_negatives): per anchor, 5
+        corpus vectors sharing NO LSH bucket with it in any table —
+        the exact complement of the near-dup candidate sets built
+        from the same persisted signature store, so no sampled
+        "negative" is a vector the banding considers possibly-near.
+        md5-coin selection is append-stable and engine-identical; the
+        per-anchor rank filter plans a Partial WindowGroupLimit, so
+        the shuffle carries k x anchors x partitions rows, never the
+        anchors x corpus fan-out."""
+        from ..operators.similarity import contrastive_negatives
+
+        return contrastive_negatives(
+            load_tables(spark, sf_dir)["embeddings"],
+            buckets=_emb_buckets(spark, sf_dir),
+        )
+
+
+_register_contrastive_negatives()

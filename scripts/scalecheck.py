@@ -169,6 +169,9 @@ QUERIES = {
     # r8: narrow (key, source, md5) spines + one full-outer join on
     # doc_id + tiny rollup — linear, text never shuffles
     "pipe_corpus_diff": 1.3,
+    # r8: |q|-broadcast fan-out pruned by Partial WindowGroupLimit
+    # before the per-anchor shuffle — same cost class as bruteforce
+    "pipe_contrastive_negatives": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

@@ -815,14 +815,15 @@ def test_containment_recall_measured_against_exact_truth(spark):
 
 
 def test_hot_shingle_guard_and_containment_router(spark):
-    """r7 hot-shingle guard: (a) containment_pairs_exact with
-    guard_factor raises HotShingleCorpusError on a corpus whose
+    """Hot-shingle guard (r8 semantics): (a) containment_pairs_exact
+    with guard_factor raises HotShingleCorpusError on a corpus whose
     inverted-join blowup exceeds the bound, (b) the natural test
     corpus passes the same guard, and (c) the registered
-    dd_containment builder AUTO-ROUTES to the df-capped candidate
-    path (visible as the candidate LeftSemi restriction in the plan)
-    on the hot corpus while keeping the exact inverted-file form on
-    the natural one."""
+    dd_containment builder REFUSES LOUDLY on the hot corpus
+    (ValueError naming dd_containment_scale — its exact-recall oracle
+    must not silently serve the lower-recall capped path), while
+    dd_containment_scale still runs there and dd_containment keeps
+    the exact inverted-file form on the natural corpus."""
     import pytest
 
     from chinook_music_database_analysis_spark.operators.dedup import (
@@ -851,10 +852,10 @@ def test_hot_shingle_guard_and_containment_router(spark):
     TABLE_OVERRIDES[handle] = {"documents": hot}
     try:
         ext.reset_memo(handle)
-        routed = QUERIES["dd_containment"](spark, handle)
-        plan = routed._jdf.queryExecution().analyzed().toString()
-        assert "LeftSemi" in plan, "hot corpus must take the capped path"
-        assert routed.count() >= 0
+        with pytest.raises(ValueError, match="dd_containment_scale"):
+            QUERIES["dd_containment"](spark, handle)
+        # the documented escape hatch still works on the hot corpus
+        assert QUERIES["dd_containment_scale"](spark, handle).count() >= 0
     finally:
         del TABLE_OVERRIDES[handle]
         ext.reset_memo(handle)
