@@ -240,3 +240,71 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
             .alias("hll_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles from a value histogram (bounded-domain percentiles)
+# ---------------------------------------------------------------------------
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    group: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-``group`` interpolated quantiles of integer column
+    ``col`` computed from its VALUE HISTOGRAM — the scalable shape for
+    bounded-domain measures (token counts, chunk sizes, byte lengths):
+    Spark's ``percentile`` buffers every group value in executor
+    memory, which at 100 TB is the corpus re-materialized; here the
+    first aggregation collapses the corpus to <= groups x |domain|
+    histogram rows (map-side combined), the cumulative window runs
+    over that bounded relation, and one conditional aggregate reads
+    off each quantile's bracketing ranks.  Nothing downstream of the
+    first hash-agg scales with row count.
+
+    Semantics are SQL-standard continuous quantiles (DuckDB
+    ``quantile_cont`` / Spark ``percentile``): rank h = (n-1)*p, value
+    = v_lo + (v_hi - v_lo) * frac — reproduced explicitly from the
+    histogram so the plan never needs the per-group sorted buffer.
+    Results ROUND to 4 dp (the lerp is two IEEE ops; engines may
+    differ in op order at the last ulp).
+
+    Returns (group, n_rows, min_<col>, max_<col>, p<..> per requested
+    quantile).
+    """
+    hist = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group).orderBy(col)
+    wall = Window.partitionBy(group)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("total", F.sum("cnt").over(wall))
+    )
+    aggs = [
+        F.sum("cnt").alias("n_rows"),
+        F.min(col).alias(f"min_{col}"),
+        F.max(col).alias(f"max_{col}"),
+    ]
+    outs = [group, "n_rows", f"min_{col}", f"max_{col}"]
+    for p in ps:
+        tag = f"p{int(round(p * 100))}"
+        # 0-based target rank h and its bracketing integer ranks.  A
+        # histogram row covers ranks [cum-cnt, cum-1]; the value at
+        # rank r is therefore MIN(col) over rows with cum >= r+1.
+        h = (F.col("total") - 1) * F.lit(p)
+        lo, hi = F.floor(h), F.least(F.floor(h) + 1, F.col("total") - 1)
+        aggs.append(
+            F.min(F.when(F.col("cum") >= lo + 1, F.col(col))).alias(f"_lo_{tag}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= hi + 1, F.col(col))).alias(f"_hi_{tag}")
+        )
+        aggs.append(F.max(h - F.floor(h)).alias(f"_fr_{tag}"))
+        outs.append(
+            F.round(
+                F.col(f"_lo_{tag}")
+                + (F.col(f"_hi_{tag}") - F.col(f"_lo_{tag}")) * F.col(f"_fr_{tag}"),
+                4,
+            ).alias(tag)
+        )
+    return cum.groupBy(group).agg(*aggs).select(*outs)

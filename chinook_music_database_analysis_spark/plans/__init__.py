@@ -24,7 +24,7 @@ from . import scale_queries  # noqa: E402,F401
 #
 # Round 8 window: (0) the never-checked r8 registrations (the
 # portable md5-HLL audits, the corpus-version diff, the contrastive
-# negative miner); (1) the
+# negative miner, the histogram-quantile length report); (1) the
 # twenty-two r7 first-timers for their second
 # green (builders byte-unchanged except the four noted below — all
 # r8-mutated entries stay in-window by construction); (2) every
@@ -43,11 +43,12 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (4)
+    # never driver-checked r8 additions (5)
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",
     "pipe_contrastive_negatives",
+    "tx_length_quantiles",
     # r7 first-timers, second green (22)
     "cur_domain_cap",
     "tx_quality_classifier",
@@ -90,14 +91,13 @@ _WINDOW_FIRST = [
     "cur_contamination_report",
     "tx_gopher_quality",
     "dd_cross_simhash",
-    # stalest remainders, last green r3/r5 (7)
+    # stalest remainders, last green r3/r5 (6)
     "mm_media_features",
     "mm_resize",
     "mm_frame_sample",
     "ev_dedup_first",
     "dd_simhash",
     "dd_simhash_pairs",
-    "q01_nulls",
 ]
 
 

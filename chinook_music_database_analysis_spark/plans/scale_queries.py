@@ -812,3 +812,41 @@ def tx_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = hll_distinct(toks, "tok", "source")
     exact = toks.groupBy("source").agg(F.countDistinct("tok").alias("n_exact"))
     return _hll_audit(sketch, exact, "source")
+
+
+@register(
+    "tx_length_quantiles",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(n_tokens) AS min_n_tokens,
+           MAX(n_tokens) AS max_n_tokens,
+           ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99
+    FROM t GROUP BY source
+    """,
+)
+def tx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution (min/max/p50/p90/p99) via
+    the HISTOGRAM quantile operator (operators.sketch.
+    histogram_quantiles): the corpus collapses to a
+    <= sources x |length domain| histogram in the first map-side-
+    combined aggregation, and the SQL-standard interpolated quantiles
+    are read off its cumulative ranks — no per-group value buffer, so
+    the plan is the same at 100 TB (Spark's own `percentile`
+    materializes every group value in executor memory; the oracle's
+    quantile_cont is the semantics this reproduces)."""
+    from ..operators.sketch import histogram_quantiles
+    from ..operators.text import tokens_expr
+
+    t = load_tables(spark, sf_dir)["documents"].select(
+        "source", F.size(tokens_expr()).cast("bigint").alias("n_tokens")
+    )
+    return histogram_quantiles(t, "n_tokens", "source")

@@ -172,6 +172,9 @@ QUERIES = {
     # r8: |q|-broadcast fan-out pruned by Partial WindowGroupLimit
     # before the per-anchor shuffle — same cost class as bruteforce
     "pipe_contrastive_negatives": 1.3,
+    # r8: corpus collapses to a bounded histogram in the first
+    # map-side-combined agg; everything downstream is domain-sized
+    "tx_length_quantiles": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
