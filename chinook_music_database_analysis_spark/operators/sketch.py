@@ -194,6 +194,15 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
     estimation algorithm" (AofA 2007); mergeability per Agarwal et
     al., PODS 2012 (max is the register merge).
     """
+    return hll_estimate(hll_registers(df, key, group), group)
+
+
+def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
+    """The (group, j, m_j) register relation of :func:`hll_distinct` —
+    exposed separately because registers are the MERGEABLE sketch
+    state: element-wise ``max`` of two register sets is the sketch of
+    the union of their streams, which is what lets pre-aggregated
+    per-partition/per-day sketches roll up without raw data."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll|"), F.col(key).cast("string"))), 1, 15),
         16,
@@ -204,7 +213,7 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
         F.pmod(h, F.lit(HLL_M)).alias("j"),
         h.alias("_h"),
     ).select(group, "j", F.expr(f"_h DIV {HLL_M}").alias("w"))
-    regs = (
+    return (
         rows.select(
             group,
             "j",
@@ -215,6 +224,12 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
         .groupBy(group, "j")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def hll_estimate(regs: DataFrame, group: str) -> DataFrame:
+    """Finish a (group, j, m_j) register relation into (group,
+    hll_est) — exact int64 harmonic sum, one double division,
+    table-served LinearCounting (see :func:`hll_distinct`)."""
     lc = ",".join(str(v) for v in _hll_lc_table())
     return (
         regs.groupBy(group)
@@ -238,6 +253,53 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
             )
             .otherwise(F.round(F.col("raw")).cast("bigint"))
             .alias("hll_est"),
+        )
+    )
+
+
+def hll_overlap(
+    df: DataFrame, key: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Distinct-key overlap between two groups via HLL REGISTER
+    ALGEBRA: |A ∩ B| estimated as est(A) + est(B) - est(A ∪ B), where
+    the union sketch is the element-wise ``max`` merge of A's and B's
+    register sets — no third pass over the data, the defining
+    mergeable-summary move (a COUNT(DISTINCT) intersection would
+    re-shuffle both groups' raw keys; the merge touches 2 x 256
+    register rows).  Returns one row
+    (est_a, est_b, est_union, est_inter) with est_inter floored at 0
+    (inclusion-exclusion over estimates can go negative on tiny
+    overlaps)."""
+    regs = hll_registers(
+        df.filter(F.col(group).isin(a, b)).select(group, key), key, group
+    )
+    ra = regs.filter(F.col(group) == a).select("j", F.col("m_j").alias("m_a"))
+    rb = regs.filter(F.col(group) == b).select("j", F.col("m_j").alias("m_b"))
+    ru = ra.join(rb, "j", "full_outer").select(
+        F.lit("u").alias("_g"),
+        "j",
+        F.greatest(F.coalesce("m_a", F.lit(0)), F.coalesce("m_b", F.lit(0))).alias(
+            "m_j"
+        ),
+    )
+    ea = hll_estimate(
+        regs.filter(F.col(group) == a).withColumn("_g", F.lit("a")), "_g"
+    ).select(F.col("hll_est").alias("est_a"))
+    eb = hll_estimate(
+        regs.filter(F.col(group) == b).withColumn("_g", F.lit("b")), "_g"
+    ).select(F.col("hll_est").alias("est_b"))
+    eu = hll_estimate(ru, "_g").select(F.col("hll_est").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_inter"),
         )
     )
 

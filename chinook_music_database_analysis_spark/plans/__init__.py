@@ -43,12 +43,13 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (5)
+    # never driver-checked r8 additions (6)
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",
     "pipe_contrastive_negatives",
     "tx_length_quantiles",
+    "ev_hll_overlap",
     # r7 first-timers, second green (22)
     "cur_domain_cap",
     "tx_quality_classifier",
@@ -91,12 +92,11 @@ _WINDOW_FIRST = [
     "cur_contamination_report",
     "tx_gopher_quality",
     "dd_cross_simhash",
-    # stalest remainders, last green r3/r5 (6)
+    # stalest remainders, last green r3/r5 (5)
     "mm_media_features",
     "mm_resize",
     "mm_frame_sample",
     "ev_dedup_first",
-    "dd_simhash",
     "dd_simhash_pairs",
 ]
 

@@ -850,3 +850,102 @@ def tx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.size(tokens_expr()).cast("bigint").alias("n_tokens")
     )
     return histogram_quantiles(t, "n_tokens", "source")
+
+
+#: the two cohorts whose distinct-user overlap ev_hll_overlap reports.
+HLL_OVL_A = "view"
+HLL_OVL_B = "purchase"
+
+
+def _hll_est_sql(regs_cte: str) -> str:
+    """Scalar-subquery SQL finishing a (j, m_j) register CTE into the
+    estimate — same exact-int64 sum / table-served LinearCounting as
+    operators/sketch.hll_estimate."""
+    from ..operators.sketch import (
+        HLL_ALPHA_NUM,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        _hll_lc_table,
+    )
+
+    lc = ",".join(str(v) for v in _hll_lc_table())
+    return f"""(
+      SELECT CASE WHEN {HLL_ALPHA_NUM!r} / CAST(s AS DOUBLE)
+                       <= {HLL_LC_THRESHOLD!r} AND v > 0
+                  THEN CAST(([{lc}])[v] AS BIGINT)
+                  ELSE CAST(ROUND({HLL_ALPHA_NUM!r} / CAST(s AS DOUBLE))
+                            AS BIGINT) END
+      FROM (SELECT CAST(SUM(1::BIGINT << (53 - m_j))
+                        + ({HLL_M} - COUNT(*)) * (1::BIGINT << 53)
+                        AS BIGINT) AS s,
+                   CAST({HLL_M} - COUNT(*) AS INTEGER) AS v
+            FROM {regs_cte})
+    )"""
+
+
+def _hll_overlap_oracle() -> str:
+    from ..operators.sketch import HLL_M, HLL_W_BITS
+
+    return f"""
+    WITH src AS (
+      SELECT event_type AS g, user_id AS k FROM events
+      WHERE event_type IN ('{HLL_OVL_A}', '{HLL_OVL_B}')
+    ), hashed AS (
+      SELECT g, CAST('0x' || substr(md5('hll|' || CAST(k AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+      FROM src
+    ), rw AS (
+      SELECT g, h % {HLL_M} AS j, h // {HLL_M} AS w FROM hashed
+    ), regs AS (
+      SELECT g, j, MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                            ELSE length(bin(w & -w)) END) AS m_j
+      FROM rw GROUP BY 1, 2
+    ), ra AS (SELECT j, m_j FROM regs WHERE g = '{HLL_OVL_A}'),
+    rb AS (SELECT j, m_j FROM regs WHERE g = '{HLL_OVL_B}'),
+    ru AS (
+      SELECT COALESCE(ra.j, rb.j) AS j,
+             GREATEST(COALESCE(ra.m_j, 0), COALESCE(rb.m_j, 0)) AS m_j
+      FROM ra FULL JOIN rb ON rb.j = ra.j
+    ), ests AS (
+      SELECT {_hll_est_sql('ra')} AS est_a,
+             {_hll_est_sql('rb')} AS est_b,
+             {_hll_est_sql('ru')} AS est_union
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+        SELECT user_id FROM events WHERE event_type = '{HLL_OVL_A}'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = '{HLL_OVL_B}'
+      )
+    )
+    SELECT est_a, est_b, est_union,
+           GREATEST(CAST(0 AS BIGINT), est_a + est_b - est_union) AS est_inter,
+           n_exact_inter
+    FROM ests, exact
+    """
+
+
+@register("ev_hll_overlap", oracle=_hll_overlap_oracle())
+def ev_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-overlap estimation via HLL register algebra
+    (operators/sketch.hll_overlap): distinct users doing BOTH
+    '{a}' and '{b}' estimated as est(A) + est(B) - est(A ∪ B), with
+    the union sketch formed by the element-wise max MERGE of the two
+    register sets — the mergeable-summary move that answers
+    intersection/union cardinality questions from 2 x 256 stored
+    register rows instead of re-shuffling both cohorts' raw keys.
+    The exact INTERSECT count rides along as the audit.""".format(
+        a=HLL_OVL_A, b=HLL_OVL_B
+    )
+    from ..operators.sketch import hll_overlap
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
+    est = hll_overlap(ev, "user_id", "event_type", HLL_OVL_A, HLL_OVL_B)
+    ex = (
+        ev.filter(F.col("event_type") == HLL_OVL_A)
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == HLL_OVL_B).select("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_inter"))
+    )
+    return est.crossJoin(ex)

@@ -172,6 +172,9 @@ QUERIES = {
     # r8: |q|-broadcast fan-out pruned by Partial WindowGroupLimit
     # before the per-anchor shuffle — same cost class as bruteforce
     "pipe_contrastive_negatives": 1.3,
+    # r8: register algebra — two filtered sketch passes + a 256-row
+    # register merge; exact INTERSECT audit dominates, linear
+    "ev_hll_overlap": 1.3,
     # r8: corpus collapses to a bounded histogram in the first
     # map-side-combined agg; everything downstream is domain-sized
     "tx_length_quantiles": 1.3,

@@ -120,3 +120,36 @@ def test_hll_register_state_is_bounded(spark):
     assert regs.count() <= n_groups * HLL_M
     # and the operator output is one row per group
     assert hll_distinct(ev, "user_id", "event_type").count() == n_groups
+
+
+def test_hll_register_merge_is_union_sketch(spark):
+    """Mergeability: the element-wise max of two groups' register sets
+    must equal the registers built over the concatenated stream — the
+    property that lets stored sketches roll up without raw data — and
+    the overlap estimates must satisfy the set-algebra sanity bounds."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        hll_overlap,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    two = ev.filter(F.col("event_type").isin("view", "purchase"))
+    regs = hll_registers(two, "user_id", "event_type")
+    merged = {
+        r.j: r.m
+        for r in regs.groupBy("j").agg(F.max("m_j").alias("m")).collect()
+    }
+    direct = {
+        r.j: r.m_j
+        for r in hll_registers(
+            two.select(F.lit("u").alias("g"), "user_id"), "user_id", "g"
+        ).collect()
+    }
+    assert merged == direct
+    row = hll_overlap(ev, "user_id", "event_type", "view", "purchase").first()
+    assert row.est_union >= max(row.est_a, row.est_b)
+    assert 0 <= row.est_inter <= min(row.est_a, row.est_b)
