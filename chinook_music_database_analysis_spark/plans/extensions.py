@@ -3580,3 +3580,4 @@ def _register_contrastive_negatives() -> None:
 
 
 _register_contrastive_negatives()
+
