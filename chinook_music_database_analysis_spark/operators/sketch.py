@@ -289,9 +289,12 @@ def hll_overlap(
         regs.filter(F.col(group) == b).withColumn("_g", F.lit("b")), "_g"
     ).select(F.col("hll_est").alias("est_b"))
     eu = hll_estimate(ru, "_g").select(F.col("hll_est").alias("est_union"))
+    # 1-row x 1-row composition: broadcast the right sides so the plan
+    # is the scalar-anchor BroadcastNestedLoopJoin, never a
+    # CartesianProduct (the global plan gate forbids the latter).
     return (
-        ea.crossJoin(eb)
-        .crossJoin(eu)
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
         .select(
             "est_a",
             "est_b",

@@ -948,4 +948,4 @@ def ev_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_inter"))
     )
-    return est.crossJoin(ex)
+    return est.crossJoin(F.broadcast(ex))

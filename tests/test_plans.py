@@ -134,6 +134,11 @@ BNLJ_ALLOWED = {
     "dq_order_expectations",
     "q13b_not_in_null_aware",
     "sim_bruteforce_topk",
+    # r8: |q|-row anchor broadcast for the negative-mining fan-out
+    # (same cost class as bruteforce), pruned by WindowGroupLimit
+    "pipe_contrastive_negatives",
+    # r8: 1-row estimate relations composed by scalar-anchor broadcast
+    "ev_hll_overlap",
     # same deliberate |q|-broadcast scoring fan-out as bruteforce,
     # over the pre-filtered allowed set
     "sim_filtered_topk",
