@@ -781,3 +781,51 @@ def test_scd2_backfill_repairs_late_events(spark, tmp_path):
     assert got == want
     # the repaired user-1 history actually contains the late 'c' regime
     assert any(u == 1 and v[0] == "c" for (u, _), v in got.items())
+
+
+def test_scd2_corrupt_log_propagates_and_consult_is_user_bounded(spark, tmp_path):
+    """r8 hardening regressions: (a) an EXISTING but unreadable history
+    log raises instead of being silently treated as 'no log yet' (the
+    bare-except form folded the batch without prior history and
+    truncated affected users); (b) the per-batch log consult is
+    restricted to the batch's users BEFORE the latest-wins window, so
+    its plan carries a LeftSemi against the (small) affected set —
+    never a whole-log broadcast of every user's marks."""
+    import pytest as _pytest
+
+    from chinook_music_database_analysis_spark.streaming.scd2 import (
+        _latest_rows,
+        apply_scd2_batch,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, tsec long, event_id long"
+        ).selectExpr(
+            "user_id", "event_type",
+            "timestamp_micros(tsec * 1000000) AS ts", "event_id",
+        )
+
+    # (a) corrupt log: the dir exists but holds junk bytes — the read
+    # failure must propagate, never silently start a fresh history.
+    bad = tmp_path / "badlog"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with _pytest.raises(Exception) as exc:
+        apply_scd2_batch(ev([(1, "a", 10, 0)]), 0, str(bad))
+    assert "no log yet" not in str(exc.value)
+
+    # (b) the bounded consult: build a real log, then check the
+    # users-restricted read plans a LeftSemi before the window.
+    log = str(tmp_path / "log")
+    apply_scd2_batch(ev([(1, "a", 10, 0), (2, "a", 10, 1)]), 0, log)
+    users = spark.createDataFrame([(1,)], "user_id long")
+    plan = (
+        _latest_rows(spark, log, users=users)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    # and the batch apply keeps working against the bounded consult
+    apply_scd2_batch(ev([(1, "b", 20, 2)]), 1, log)
