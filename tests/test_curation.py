@@ -612,3 +612,48 @@ def test_line_dedup_is_partition_order_independent(docs):
             for r in line_dedup(docs.repartition(parts), 8, 2).collect()
         }
         assert got == base, parts
+
+
+def test_corpus_diff_on_bucketed_snapshots_joins_without_exchange(spark):
+    """Substantiates corpus_diff's scale claim: with both snapshots
+    stored bucketed by the diff key, the full-outer classification
+    join plans with NO Exchange below it (storage-partitioned join) —
+    the only shuffle left in the query is the tiny final
+    (source, change_type) rollup — and the classification counts match
+    the plain-parquet run."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.pipeline import corpus_diff
+    from chinook_music_database_analysis_spark.sources.sinks import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    v2 = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edit"))
+        ).otherwise(F.col("text")),
+    )
+    expected = {
+        (r.source, r.change_type): r.n_docs for r in corpus_diff(docs, v2).collect()
+    }
+    write_bucketed(docs, "cd_v1", "doc_id", n_buckets=8)
+    write_bucketed(v2, "cd_v2", "doc_id", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = corpus_diff(spark.table("cd_v1"), spark.table("cd_v2"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin FullOuter" in plan, plan
+        # Plans print top-down, so everything AFTER the join node in the
+        # string is its input subtree: it must be exchange-free (the
+        # bucketed layout satisfies the join's distribution).  The one
+        # rollup exchange sits above the join and is allowed.
+        below = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in below, below
+        assert {(r.source, r.change_type): r.n_docs for r in out.collect()} == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS cd_v1")
+        spark.sql("DROP TABLE IF EXISTS cd_v2")
