@@ -645,7 +645,7 @@ def test_corpus_diff_on_bucketed_snapshots_joins_without_exchange(spark):
     try:
         out = corpus_diff(spark.table("cd_v1"), spark.table("cd_v2"))
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin FullOuter" in plan, plan
+        assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
         # Plans print top-down, so everything AFTER the join node in the
         # string is its input subtree: it must be exchange-free (the
         # bucketed layout satisfies the join's distribution).  The one
