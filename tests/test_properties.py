@@ -915,3 +915,105 @@ def test_scd2_matches_python_bruteforce_on_random_streams(spark):
                 nxt = mk(runs[i + 1][1]) if i + 1 < len(runs) else None
                 want[(u, i + 1)] = (s, mk(t), nxt, nxt is None)
         assert got == want, seed
+
+
+def test_histogram_quantiles_match_spark_percentile_on_random_groups(spark):
+    """The histogram quantile read-off must equal Spark's own exact
+    `percentile` (same (n-1)*p lerp) on adversarial group shapes —
+    single-value groups, all-ties, two-point, and heavy-tie random
+    data — to 4 dp, across several seeds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    rows = [("single", 7)] + [("ties", 3)] * 9 + [("two", 1), ("two", 100)]
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        rows += [(f"r{seed}", rng.choice([1, 2, 3, 50, 1000])) for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, n bigint")
+    got = {
+        r.g: (r.p50, r.p90, r.p99)
+        for r in histogram_quantiles(df, "n", "g").collect()
+    }
+    want = {
+        r.g: (round(r.a[0], 4), round(r.a[1], 4), round(r.a[2], 4))
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("a"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_knn_graph_cap_is_transparent_on_small_buckets(spark):
+    """When every LSH bucket's occupancy is at most window+1, the
+    occupancy-capped knn graph must equal the UNCAPPED bucket
+    self-join graph exactly (the cap only bites on hot buckets).  The
+    reference is the pre-r8 full self-join rebuilt inline."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        KNN_WINDOW,
+        _cos,
+        knn_graph,
+        lsh_buckets,
+        lsh_n_bits,
+        with_norms,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 60)
+        .cache()
+    )
+    bk = lsh_buckets(emb, lsh_n_bits(emb.count())).cache()
+    occ = bk.groupBy("tbl", "bucket").count().agg(F.max("count")).first()[0]
+    assert occ <= KNN_WINDOW + 1, (
+        f"fixture bucket occupancy {occ} exceeds the window — shrink the slice"
+    )
+    capped = {
+        (r.src_id, r.nbr_id, r.rnk)
+        for r in knn_graph(emb, buckets=bk).collect()
+    }
+    # uncapped reference: the full bucket self-join the r8 cap replaced
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src_id"), F.col("b.vec_id").alias("nbr_id"))
+        .distinct()
+    )
+    wn = with_norms(emb)
+    scored = (
+        cand.join(
+            wn.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "src_id",
+        )
+        .join(
+            wn.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "nbr_id",
+        )
+        .select(
+            "src_id", "nbr_id", _cos("emb_a", "emb_b", "norm_a", "norm_b").alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    uncapped = {
+        (r.src_id, r.nbr_id, r.rnk)
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert capped == uncapped and capped
