@@ -233,3 +233,57 @@ SPARK_SQL["s13_zorder_locality"] = f"""
     FROM lineitem
     GROUP BY 1
 """
+
+
+def _hll_spark_sql() -> str:
+    """r8: the portable md5-HLL audit as Spark SQL text — the sketch
+    family's representative on the dual surface.  Same exact-int64
+    register math and shared LinearCounting table as the DataFrame
+    builder (operators/sketch.hll_distinct) and the DuckDB oracle."""
+    from ..operators.sketch import (
+        HLL_ALPHA_NUM,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        HLL_W_BITS,
+        _hll_lc_table,
+    )
+
+    lc = ",".join(str(v) for v in _hll_lc_table())
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(conv(substr(md5(concat('hll|', CAST(user_id AS STRING))),
+                        1, 15), 16, 10) AS BIGINT) AS h
+      FROM events
+    ), rw AS (
+      SELECT event_type, pmod(h, {HLL_M}) AS j, h DIV {HLL_M} AS w FROM hashed
+    ), regs AS (
+      SELECT event_type, j,
+             MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                      ELSE length(bin(w & -w)) END) AS m_j
+      FROM rw GROUP BY event_type, j
+    ), s AS (
+      SELECT event_type,
+             SUM(shiftleft(1L, 53 - m_j))
+               + ({HLL_M} - COUNT(*)) * CAST({1 << 53} AS BIGINT) AS s,
+             CAST({HLL_M} - COUNT(*) AS INT) AS v
+      FROM regs GROUP BY event_type
+    ), est AS (
+      SELECT event_type,
+             CASE WHEN {HLL_ALPHA_NUM!r} / CAST(s AS DOUBLE)
+                       <= {HLL_LC_THRESHOLD!r} AND v > 0
+                  THEN CAST(element_at(array({lc}), v) AS BIGINT)
+                  ELSE CAST(ROUND({HLL_ALPHA_NUM!r} / CAST(s AS DOUBLE))
+                            AS BIGINT) END AS hll_est
+      FROM s
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type, n_exact, hll_est,
+           CAST(abs(hll_est - n_exact) * 10000 DIV n_exact AS BIGINT) AS err_bp
+    FROM ex JOIN est USING (event_type)
+    """
+
+
+SPARK_SQL["ev_hll_users"] = _hll_spark_sql()
