@@ -11,7 +11,8 @@ of truth (composability + explicit plan shaping); the texts here cover
 each operator family once so the SQL entry path is continuously
 exercised: star join + window rank, per-group dense_rank, LAG,
 scalar-subquery anchor, COUNT DISTINCT + HAVING, semi-join via IN,
-view scan, self-join pairs.
+view scan, self-join pairs, Morton bit ops (r3), and the portable
+md5-HLL sketch (r8).
 """
 
 from __future__ import annotations
