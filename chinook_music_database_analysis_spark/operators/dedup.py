@@ -296,9 +296,15 @@ def simhash_near_dup_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
         )
+        # filter BEFORE the distinct: hamming is a pure function of
+        # the pair, so the result is identical, but the dedup exchange
+        # now carries only the within-radius survivors instead of
+        # every banded collision (r8; the map-side partial aggregate
+        # shrinks further for the same reason).
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return cand
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:

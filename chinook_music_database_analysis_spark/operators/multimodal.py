@@ -444,6 +444,10 @@ def phash_near_dup_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.phash ^ b.phash)").cast("int").alias("hamming"),
         )
-        .distinct()
+        # filter before the distinct (r8, same move as the simhash
+        # pair path): hamming is a pure function of the pair, so the
+        # dedup exchange carries only within-radius survivors instead
+        # of every banded collision.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
