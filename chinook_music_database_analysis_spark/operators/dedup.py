@@ -253,8 +253,11 @@ def simhash_cross_matches(
             "ref_id",
             F.expr("bit_count(simhash ^ ref_hash)").cast("int").alias("hamming"),
         )
-        .distinct()
+        # filter before the distinct (r8): the radius is a pure
+        # function of the pair, so the dedup exchange carries only
+        # within-radius survivors.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return cand.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ref_dups"),
