@@ -373,3 +373,106 @@ def histogram_quantiles(
             ).alias(tag)
         )
     return cum.groupBy(group).agg(*aggs).select(*outs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (md5-derived, cross-engine exact, integer-only)
+# ---------------------------------------------------------------------------
+
+#: depth (independent hash rows) of the count-min sketch.  Error
+#: probability of exceeding the width bound decays as 2^-depth
+#: (Cormode & Muthukrishnan 2005, eps = e/width at confidence
+#: 1 - e^-depth).
+CMS_D = 4
+
+#: width (counters per hash row).  Fixed sketch state is depth x width
+#: = 4096 int64 counters however many keys stream by; expected
+#: overestimate on a probe is ~N/width per colliding row, and the min
+#: over depth rows takes the least-collided one.
+CMS_W = 1024
+
+
+def _cms_bucket(key_col, d: int):
+    """Hash row ``d``'s bucket for ``key_col``: first 15 md5 hex chars
+    of ``'cms<d>|' || key`` as a 60-bit integer, mod CMS_W.  The
+    per-row salt prefix makes the depth rows independent hash
+    functions; everything is exact integer arithmetic so the DuckDB
+    oracle replicates each counter bit-for-bit (the md5/conv idiom of
+    :func:`hll_registers`)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{d}|"), key_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+def cms_registers(df: DataFrame, key: str) -> DataFrame:
+    """The ``(d, bucket, cnt)`` counter relation of a count-min sketch
+    over ``df[key]`` — the mergeable frequency-sketch state
+    (element-wise ``sum`` of two register sets is the sketch of the
+    concatenated streams, per Agarwal et al., PODS 2012).
+
+    Plan: each input row expands to ``CMS_D`` (d, bucket) pairs via a
+    single generator, and the hash aggregate that follows map-side
+    combines each task down to <= depth x width = 4096 rows before the
+    exchange — the shuffle carries a FIXED number of distinct keys
+    however skewed or large the stream (contrast a groupBy(key).count()
+    whose shuffle is keyed by the very column being measured).  This is
+    the frequency-estimation sibling of :func:`hll_registers`: HLL
+    answers "how many distinct", the CMS answers "how often is this
+    one", both from bounded mergeable state.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col(key), d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.d", "p.bucket")
+    return pairs.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(regs: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """Point-estimate each ``probes[key]`` against a
+    :func:`cms_registers` relation: recompute the probe's depth
+    buckets, join the (bounded, broadcast) register relation, and take
+    the MIN counter over the depth rows — the count-min estimate,
+    which can only OVERestimate (every counter the key touches holds
+    its true count plus nonnegative collision mass).  Probe keys the
+    stream never saw read whatever collision mass sits in their
+    buckets (coalesced to 0 only when a bucket row is absent
+    entirely).
+
+    The register side is broadcast — it is <= 4096 rows by
+    construction, so the probe lookup is shuffle-free regardless of
+    corpus size.  Extra probe columns ride through unchanged.
+    """
+    pb = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col(key), d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("*", "p.d", "p.bucket").drop("p")
+    other = [c for c in probes.columns if c != key]
+    return (
+        pb.join(F.broadcast(regs), ["d", "bucket"], "left")
+        .groupBy(key, *other)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_est"))
+    )

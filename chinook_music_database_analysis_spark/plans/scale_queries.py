@@ -852,6 +852,87 @@ def tx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(t, "n_tokens", "source")
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency audit
+# ---------------------------------------------------------------------------
+
+#: tx_cms_tokens probes the exact top-N tokens against the sketch.
+CMS_TOP_N = 20
+
+
+def _cms_oracle() -> str:
+    """DuckDB oracle replicating operators/sketch.cms_registers counter
+    by counter: same per-depth md5 salt, same 60-bit hex prefix, same
+    mod-width bucket, exact integer counts, min over depth rows — the
+    whole estimator is integer arithmetic, so the ESTIMATE sits under
+    the exact value-hash gate like the md5-HLL audits."""
+    from ..operators.sketch import CMS_D, CMS_W
+
+    return f"""
+    WITH toks AS (
+      SELECT t.tok FROM (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+      ), unnest(toks) AS t(tok)
+    ), dd AS (SELECT unnest(range({CMS_D})) AS d),
+    regs AS (
+      SELECT d,
+             CAST('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || '|' || tok),
+                                 1, 15) AS BIGINT) % {CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, dd GROUP BY 1, 2
+    ), ex AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks
+      GROUP BY tok ORDER BY n_exact DESC, tok ASC LIMIT {CMS_TOP_N}
+    ), pb AS (
+      SELECT ex.tok, ex.n_exact, dd.d,
+             CAST('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR)
+                                     || '|' || ex.tok), 1, 15)
+                  AS BIGINT) % {CMS_W} AS bucket
+      FROM ex, dd
+    )
+    SELECT pb.tok, MIN(pb.n_exact) AS n_exact,
+           MIN(COALESCE(regs.cnt, 0)) AS cms_est,
+           MIN(COALESCE(regs.cnt, 0)) - MIN(pb.n_exact) AS overest
+    FROM pb LEFT JOIN regs USING (d, bucket)
+    GROUP BY pb.tok
+    """
+
+
+@register("tx_cms_tokens", oracle=_cms_oracle())
+def tx_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency estimates for the corpus's exact top-20 tokens
+    via the PORTABLE md5 count-min sketch (operators/sketch.
+    cms_registers) — the frequency-estimation sibling of the md5-HLL
+    audits.  The sketch's shuffle carries a FIXED <= 4 x 1024 counter
+    rows (map-side combined) however many distinct tokens stream by,
+    and probe lookups broadcast that bounded relation — at 100 TB the
+    sketch pass is the only corpus-wide read and its exchange is
+    kilobytes.  The exact top-N side exists only as the audit (its
+    token-keyed shuffle is the cost the sketch avoids); ``overest``
+    is the measured collision mass, nonnegative by construction
+    (count-min never underestimates)."""
+    from ..operators.sketch import cms_lookup, cms_registers
+    from ..operators.text import tokens_expr
+
+    toks = load_tables(spark, sf_dir)["documents"].select(
+        F.explode(tokens_expr()).alias("tok")
+    )
+    regs = cms_registers(toks, "tok")
+    topk = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(CMS_TOP_N)
+    )
+    est = cms_lookup(regs, topk, "tok")
+    return est.select(
+        "tok",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).cast("bigint").alias("overest"),
+    )
+
+
 #: the two cohorts whose distinct-user overlap ev_hll_overlap reports.
 HLL_OVL_A = "view"
 HLL_OVL_B = "purchase"

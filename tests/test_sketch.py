@@ -153,3 +153,88 @@ def test_hll_register_merge_is_union_sketch(spark):
     row = hll_overlap(ev, "user_id", "event_type", "view", "purchase").first()
     assert row.est_union >= max(row.est_a, row.est_b)
     assert 0 <= row.est_inter <= min(row.est_a, row.est_b)
+
+
+def test_cms_never_underestimates_and_state_is_bounded(spark):
+    """Count-min estimates must be >= the true count for EVERY key
+    (the sketch's defining one-sided guarantee), and the register
+    relation can never exceed depth x width rows however many
+    distinct keys stream by."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_lookup,
+        cms_registers,
+    )
+
+    toks = (
+        spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    regs = cms_registers(toks, "tok")
+    assert regs.count() <= CMS_D * CMS_W
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_lookup(regs, exact, "tok")
+    bad = est.filter(F.col("cms_est") < F.col("n_exact")).count()
+    assert bad == 0
+
+
+def test_cms_register_sum_merge_is_concat_sketch(spark):
+    """Mergeability: element-wise SUM of the register sets built over
+    two disjoint halves must equal the registers over the whole
+    stream — the property that lets per-partition/per-day sketches
+    roll up without raw data (contrast HLL, whose merge is max)."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        cms_registers,
+    )
+
+    docs = spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 == 1)
+    merged = {
+        (r.d, r.bucket): r.cnt
+        for r in (
+            cms_registers(a, "tok")
+            .unionByName(cms_registers(b, "tok"))
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+    }
+    direct = {
+        (r.d, r.bucket): r.cnt for r in cms_registers(toks, "tok").collect()
+    }
+    assert merged == direct
+
+
+def test_cms_unseen_key_reads_only_collision_mass(spark):
+    """A probe key the stream never contained must read collision mass
+    only — bounded above by the worst single counter — and a sketch
+    over an EMPTY stream answers 0 for everything."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        cms_lookup,
+        cms_registers,
+    )
+
+    toks = (
+        spark.read.parquet(f"{SF_TEST_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    regs = cms_registers(toks, "tok")
+    max_counter = regs.agg(F.max("cnt")).first()[0]
+    probe = spark.createDataFrame(
+        [("zzz-never-a-token-7f3a",)], "tok string"
+    )
+    est = cms_lookup(regs, probe, "tok").first().cms_est
+    assert 0 <= est <= max_counter
+    empty = cms_registers(toks.limit(0), "tok")
+    assert cms_lookup(empty, probe, "tok").first().cms_est == 0
