@@ -386,3 +386,39 @@ def test_store_params_mismatch_invalidates(spark, tmp_path, monkeypatch):
         assert builds == ["a", "b"], "changed params must invalidate the store"
     finally:
         ext.reset_memo(SF_TEST_DIR)
+
+
+def test_mrl_recall_floor_and_shortlist_bound(spark):
+    """Matryoshka retrieval must (a) hold recall@5 >= 0.8 against the
+    exact scan at the registered parameters, and (b) keep its coarse
+    shortlist at exactly MRL_SHORTLIST rows per query — the bound that
+    makes the full-vector rerank |q| x shortlist however large the
+    corpus is."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        MRL_SHORTLIST,
+        cosine_topk,
+        mrl_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    exact: dict[int, set[int]] = {}
+    for r in cosine_topk(emb).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set[int]] = {}
+    for r in mrl_topk(emb).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    per_q = [
+        len(approx.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(per_q) / len(per_q) >= 0.8
+    # rerank cost bound: every query's shortlist is capped, and with
+    # n_corpus > shortlist it is exactly MRL_SHORTLIST candidates
+    n = emb.count()
+    wide = mrl_topk(emb, k=MRL_SHORTLIST)
+    sizes = wide.groupBy("query_id").count().collect()
+    cap = min(MRL_SHORTLIST, n - 1)
+    assert all(r["count"] <= cap for r in sizes)
+    if n - 1 > MRL_SHORTLIST:
+        assert all(r["count"] == MRL_SHORTLIST for r in sizes)
