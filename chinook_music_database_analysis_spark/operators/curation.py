@@ -33,7 +33,7 @@ oracles (md5 is md5 everywhere).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import shingles_from_tokens, tokens_expr
@@ -677,5 +677,76 @@ def chunk_documents(
             "chunk_idx",
             F.size("ctoks").alias("n_chunk_tokens"),
             F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle -> exact fixed-size batch assignment
+# ---------------------------------------------------------------------------
+
+#: leading hex chars of the shuffle key that form the ordering bucket:
+#: 3 chars = 4096 buckets, each holding ~N/4096 rows — the unit the
+#: global row-number is composed over.
+EPOCH_BUCKET_CHARS = 3
+
+
+def epoch_batches(
+    docs: DataFrame, epoch: int, batch_size: int, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic epoch shuffle with EXACT fixed-size batch
+    assignment: every row gets a global position in the md5-permuted
+    order ``md5('epoch<e>|' || key)`` and ``batch_id = position DIV
+    batch_size`` — a different permutation each epoch, stable under
+    re-runs, appends-then-reshuffles, and any physical partitioning
+    (the training-loader contract ``df.sample``/``rand()`` cannot
+    give).
+
+    The global row number is computed WITHOUT a global sort pipeline:
+    the first ``EPOCH_BUCKET_CHARS`` hex chars of the shuffle key form
+    4096 ORDERING BUCKETS (a prefix of the sort key, so bucket order
+    is key order), and the position composes as
+
+        offset(bucket) + rank within bucket
+
+    — one corpus shuffle keyed by the ~uniform bucket (4096 balanced
+    window groups, never a single-partition window), plus a 4096-row
+    count/cumsum relation broadcast back.  At 100 TB that is the same
+    cost class as any hash aggregation over the corpus; contrast
+    ``ROW_NUMBER() OVER (ORDER BY sk)`` whose naive plan funnels every
+    row through one task, or RDD ``zipWithIndex`` whose index is only
+    deterministic if the partitioning is.
+
+    Returns one row per input row: every input column, plus (sk,
+    batch_id).  The final (possibly short) batch is the highest id;
+    all others hold exactly ``batch_size`` rows.  Input columns ride
+    the bucket shuffle — project ``docs`` down to what the loader
+    manifest needs BEFORE calling (carrying raw text through would
+    double the corpus shuffle bytes for nothing).
+    """
+    sk = F.md5(F.concat(F.lit(f"epoch{epoch}|"), F.col(key).cast("string")))
+    d = docs.withColumn("sk", sk).withColumn(
+        "bucket", F.substring("sk", 1, EPOCH_BUCKET_CHARS)
+    )
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # cumulative offsets over the bounded 4096-row bucket relation;
+    # the unpartitioned window is safe ONLY because its input can
+    # never exceed 16^EPOCH_BUCKET_CHARS rows.
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("n").over(woff) - F.col("n")).alias("off")
+    )
+    wrank = Window.partitionBy("bucket").orderBy("sk", key)
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "pos", F.col("off") + F.row_number().over(wrank) - F.lit(1)
+        )
+        .select(
+            *docs.columns,
+            "sk",
+            F.expr(f"CAST(pos DIV {batch_size} AS BIGINT)").alias("batch_id"),
         )
     )

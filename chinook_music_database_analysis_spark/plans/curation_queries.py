@@ -1588,3 +1588,59 @@ def pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" r2-new")).alias("text"),
     )
     return corpus_diff(docs, v2base.unionByName(added))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle -> exact batch manifest
+# ---------------------------------------------------------------------------
+
+#: cur_epoch_batches parameters: permutation salt and loader batch size.
+EPOCH_N = 1
+EPOCH_BATCH = 64
+
+
+@register(
+    "cur_epoch_batches",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5('epoch{EPOCH_N}|' || CAST(doc_id AS VARCHAR)) AS sk,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS pos FROM d
+    )
+    SELECT CAST(pos // {EPOCH_BATCH} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_tokens) AS n_tokens,
+           MIN(sk) AS first_key, MAX(sk) AS last_key
+    FROM p GROUP BY 1
+    """,
+)
+def cur_epoch_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 training-loader batch manifest via the DETERMINISTIC
+    epoch shuffle (operators/curation.epoch_batches): every doc gets a
+    global position in the md5-permuted order and an exact fixed-size
+    ``batch_id = pos DIV batch_size``; the manifest reports per-batch doc
+    and token counts plus the key range.  The oracle's
+    ``ROW_NUMBER() OVER (ORDER BY sk)`` is the semantics; the Spark
+    plan REFUSES that single-task sort and composes the position as
+    bucket-offset + within-bucket rank — one shuffle keyed by the
+    4096-way uniform key prefix, a broadcast 4096-row offset relation,
+    and the same corpus-order-independent answer at any scale.  A new
+    epoch is a salt change (different permutation, zero state); an
+    append reshuffles only by construction of md5, not by re-sorting
+    history."""
+    from ..operators.curation import epoch_batches
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(tokens_expr()).cast("bigint").alias("n_tokens")
+    )
+    assign = epoch_batches(docs, epoch=EPOCH_N, batch_size=EPOCH_BATCH)
+    return assign.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("sk").alias("first_key"),
+        F.max("sk").alias("last_key"),
+    )

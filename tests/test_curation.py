@@ -657,3 +657,52 @@ def test_corpus_diff_on_bucketed_snapshots_joins_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS cd_v1")
         spark.sql("DROP TABLE IF EXISTS cd_v2")
+
+
+def test_epoch_batches_is_exact_permutation_and_partition_independent(docs):
+    """The bucketed global row-number must equal the naive total-order
+    semantics: batches are exactly batch_size rows (last one short),
+    ids are contiguous from 0, assignment matches the single-sort
+    ground truth, and none of it changes under a repartition."""
+    from chinook_music_database_analysis_spark.operators.curation import (
+        epoch_batches,
+    )
+
+    d = docs.select("doc_id")
+    n = d.count()
+    bs = 64
+    out = epoch_batches(d, epoch=1, batch_size=bs)
+    rows = {r.doc_id: (r.sk, r.batch_id) for r in out.collect()}
+    assert len(rows) == n
+    # ground truth: sort the permuted keys on the driver
+    order = sorted((sk, did) for did, (sk, _) in rows.items())
+    for pos, (sk, did) in enumerate(order):
+        assert rows[did][1] == pos // bs, (did, pos)
+    sizes = out.groupBy("batch_id").count().collect()
+    full, last = n // bs, n % bs
+    got = {r.batch_id: r["count"] for r in sizes}
+    assert all(got[b] == bs for b in range(full))
+    if last:
+        assert got[full] == last
+    # physical-layout independence
+    re_rows = {
+        r.doc_id: (r.sk, r.batch_id)
+        for r in epoch_batches(d.repartition(7), epoch=1, batch_size=bs).collect()
+    }
+    assert re_rows == rows
+
+
+def test_epoch_batches_new_epoch_is_new_permutation(docs):
+    """Changing the epoch must produce a genuinely different order
+    (that is the point of reshuffling between epochs) while keeping
+    the same exact batch-size invariants."""
+    from chinook_music_database_analysis_spark.operators.curation import (
+        epoch_batches,
+    )
+
+    d = docs.select("doc_id")
+    e1 = {r.doc_id: r.batch_id for r in epoch_batches(d, 1, 16).collect()}
+    e2 = {r.doc_id: r.batch_id for r in epoch_batches(d, 2, 16).collect()}
+    assert set(e1) == set(e2)
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > len(e1) // 2, "epoch resalt should move most docs"
