@@ -43,7 +43,10 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (6)
+    # never driver-checked r8 additions (9)
+    "tx_cms_tokens",
+    "sim_mrl_topk",
+    "cur_epoch_batches",
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",

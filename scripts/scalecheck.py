@@ -178,6 +178,18 @@ QUERIES = {
     # r8: corpus collapses to a bounded histogram in the first
     # map-side-combined agg; everything downstream is domain-sized
     "tx_length_quantiles": 1.3,
+    # r8: count-min — depth-fanned narrow map + FIXED 4x1024-row
+    # register shuffle + broadcast probe lookup; the exact top-N audit
+    # (one token-keyed shuffle) dominates, linear
+    "tx_cms_tokens": 1.3,
+    # r8: matryoshka two-stage — coarse |q| x N scan over the 32-dim
+    # prefix + broadcast-shortlist rerank (|q| x 100 full vectors);
+    # linear like bruteforce at half the flops
+    "sim_mrl_topk": 1.3,
+    # r8: epoch shuffle — one bucket-keyed corpus shuffle (4096
+    # uniform window groups) + broadcast 4096-row offsets; linear,
+    # no global sort pipeline
+    "cur_epoch_batches": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
@@ -454,6 +466,14 @@ def main() -> int:
         failures.append(("pq_recall_floor", r_pq, 0.6))
     if r_ivfpq < 0.6:
         failures.append(("ivfpq_recall_floor", r_ivfpq, 0.6))
+
+    # Matryoshka floor: the half-width prefix + 100-deep shortlist
+    # must hold recall on the clustered corpus too (measured 0.92/0.96
+    # on the flat sf0.001/sf0.01 corpora).
+    r_mrl = recall("sim_mrl_topk")
+    print(f"mrl recall@5 (clustered {args.factor}x corpus): {r_mrl:.3f}")
+    if r_mrl < 0.8:
+        failures.append(("mrl_recall_floor", r_mrl, 0.8))
 
     # --- containment candidate bound (r5 advice): the df-capped
     # probe's distinct candidate pairs can never exceed the documented

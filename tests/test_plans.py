@@ -157,6 +157,14 @@ BNLJ_ALLOWED = {
     "sim_sq8_topk",
     # broadcast ~sqrt(N) centroid relation (the IVF assignment argmax)
     "cur_cluster_sample",
+    # same broadcast-centroid argmax on its COLD path (store-served
+    # when warm, so the BNLJ only appears while the index store for
+    # the corpus is absent or mid-rebuild by a concurrent session)
+    "cur_diverse_sample",
+    # matryoshka coarse pass: the fixed |q|-row prefix-vector set is
+    # the broadcast side (same pattern as sim_bruteforce_topk); the
+    # rerank joins are equi-joins on the broadcast shortlist
+    "sim_mrl_topk",
     # salt replication: dimension x broadcast DEFAULT_SALTS-row range
     # (skew.salted_join) — fixed-size build side by construction
     "s15_skew_salted",
