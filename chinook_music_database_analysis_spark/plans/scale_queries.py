@@ -1030,3 +1030,72 @@ def ev_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_inter"))
     )
     return est.crossJoin(F.broadcast(ex))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (tokenizer vocab induction, first merge round)
+# ---------------------------------------------------------------------------
+
+#: tx_bpe_merges reports the top-N adjacent character pairs.
+BPE_TOP_N = 20
+
+
+@register(
+    "tx_bpe_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.tok FROM (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+      ), unnest(toks) AS t(tok)
+    ), wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), pr AS (
+      SELECT p.pair, wc.cnt FROM wc,
+        LATERAL (SELECT unnest(list_transform(range(1, len(wc.tok)),
+                                              i -> wc.tok[i:i+1])) AS pair) p
+      WHERE len(wc.tok) >= 2
+    )
+    SELECT pair, SUM(cnt) AS n_pair
+    FROM pr GROUP BY pair
+    ORDER BY n_pair DESC, pair ASC LIMIT {BPE_TOP_N}
+    """,
+)
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge candidates: the corpus's most frequent
+    adjacent character pairs, weighted by word frequency — the
+    statistic BPE tokenizer training (Sennrich et al., ACL 2016)
+    greedily merges on, computed for the FIRST merge round (the full
+    training loop re-counts after each merge and is driver-iterative
+    like PageRank's BSP supersteps; one round is the registered,
+    oracle-gated unit).
+
+    The classic BPE trick is the scale story: pairs are enumerated
+    over the DISTINCT-WORD DICTIONARY weighted by word counts, never
+    over the corpus — after the token-count aggregate (corpus shuffle
+    with map-side combine, the same relation tx_hll_vocab audits) the
+    pair explode touches |vocabulary| rows, and the pair aggregate +
+    TakeOrdered top-20 are dictionary-sized.  At 100 TB the vocabulary
+    is millions of rows while the corpus is trillions — the dictionary
+    split is the difference between a laptop-sized second stage and a
+    second corpus pass."""
+    from ..operators.text import tokens_expr
+
+    toks = load_tables(spark, sf_dir)["documents"].select(
+        F.explode(tokens_expr()).alias("tok")
+    )
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_N)
+    )

@@ -190,6 +190,10 @@ QUERIES = {
     # uniform window groups) + broadcast 4096-row offsets; linear,
     # no global sort pipeline
     "cur_epoch_batches": 1.3,
+    # r8: BPE pair counts — token-count corpus shuffle, then pair
+    # enumeration over the DISTINCT-word dictionary only; linear in
+    # the corpus, dictionary-sized downstream
+    "tx_bpe_merges": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
