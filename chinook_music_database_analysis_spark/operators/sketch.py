@@ -476,3 +476,94 @@ def cms_lookup(regs: DataFrame, probes: DataFrame, key: str) -> DataFrame:
         .groupBy(key, *other)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (md5-derived, cross-engine exact) — shuffle-avoiding
+# semi-join pruning
+# ---------------------------------------------------------------------------
+
+#: independent hash functions per key.  False-positive rate at load
+#: factor f (fraction of bits set) is ~f^BLOOM_K.
+BLOOM_K = 3
+
+#: filter width in bits = 256 words of 32 used bits each (bit 31 max,
+#: so the int64 masks never touch the sign bit — DuckDB's signed <<
+#: refuses 1 << 63, and portability is the whole point).  Size
+#: proportionally to the
+#: build-side key count in production (~10 bits/key for ~1% FP at
+#: k=3); the registered query keeps a fixed width and AUDITS the
+#: resulting FP count instead.
+BLOOM_BITS = 8192
+
+
+def _bloom_pos_sql(col: str, i: int) -> str:
+    """Hash ``i``'s bit position for column ``col`` as a SQL fragment
+    — the md5/conv idiom of :func:`_cms_bucket` with a per-hash salt.
+    A string (not a Column) so the probe can embed it inside a single
+    filter expression."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat('bloom{i}|',"
+        f" CAST({col} AS STRING))), 1, 15), 16, 10) AS BIGINT),"
+        f" {BLOOM_BITS})"
+    )
+
+
+def _bloom_pos(key_col_name: str, i: int):
+    return F.expr(_bloom_pos_sql(key_col_name, i))
+
+
+def bloom_build(keys: DataFrame, key: str) -> DataFrame:
+    """Build the (word, bits) relation of a Bloom filter over
+    ``keys[key]``: each key sets BLOOM_K bits; bit p lives in word
+    ``p DIV 32`` at offset ``p % 32``.  The aggregate map-side
+    OR-combines each task to <= 256 rows, so the filter relation is
+    FIXED-SIZE and broadcastable whatever the build-side cardinality
+    (the classic runtime-filter build Spark's own AQE bloom pushdown
+    performs JVM-internally — reproduced here portably so the DuckDB
+    oracle can verify membership bit-for-bit)."""
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(key, i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr("p DIV 32").alias("word"),
+            F.expr("shiftleft(1L, CAST(p % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
+def bloom_prune(fact: DataFrame, key: str, words: DataFrame) -> DataFrame:
+    """Rows of ``fact`` whose ``key`` PASSES the Bloom filter — a
+    superset of the true semi-join result (no false negatives; false
+    positives at the filter's load-factor rate).
+
+    The word relation is materialized once (it is <= 256 rows BY
+    CONSTRUCTION — the same O(1)-relation class as the ANALYZE scalar
+    memos, never data-sized) and inlined as a literal map, so the
+    probe is a single codegen'd Filter on the fact scan: no joins, no
+    exchanges, no per-hash rebuild of the build side.  That is how a
+    runtime filter actually ships at 100 TB — the VALUE travels to the
+    tasks (Spark's AQE bloom pushdown does the same JVM-internally via
+    a subquery result); joining the word relation K times would plan K
+    broadcast builds of the dim subtree instead.  The fact table is
+    pruned BEFORE any exchange, so the exact semi-join that follows
+    shuffles only the surviving fraction."""
+    wmap = {int(r["word"]): int(r["bits"]) for r in words.collect()}
+    if not wmap:
+        # empty build side: a bloom over nothing rejects everything
+        return fact.filter(F.lit(False))
+    entries = ", ".join(f"{w}L, {b}L" for w, b in sorted(wmap.items()))
+    tests = []
+    for i in range(BLOOM_K):
+        pos = _bloom_pos_sql(key, i)
+        tests.append(
+            f"(coalesce(element_at(map({entries}),"
+            f" CAST(({pos}) DIV 32 AS BIGINT)), 0L)"
+            f" & shiftleft(1L, CAST(({pos}) % 32 AS INT))) != 0L"
+        )
+    return fact.filter(F.expr(" AND ".join(tests)))

@@ -1099,3 +1099,115 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), F.col("pair").asc())
         .limit(BPE_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning audit
+# ---------------------------------------------------------------------------
+
+
+def _bloom_oracle() -> str:
+    """DuckDB oracle replicating operators/sketch.bloom_build bit by
+    bit (same per-hash md5 salts, same word/bit packing) — membership
+    is pure integer arithmetic, so candidate counts including FALSE
+    POSITIVES are under the exact value-hash gate."""
+    from ..operators.sketch import BLOOM_BITS, BLOOM_K
+
+    return f"""
+    WITH allowed AS (
+      SELECT c_custkey AS k FROM customer WHERE c_nationkey = 0
+    ), hh AS (SELECT unnest(range({BLOOM_K})) AS i),
+    pos AS (
+      SELECT CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR)
+                                     || '|' || CAST(k AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {BLOOM_BITS} AS p
+      FROM allowed, hh
+    ), words AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+      FROM pos GROUP BY 1
+    ), users AS (SELECT DISTINCT user_id FROM events),
+    upass AS (
+      SELECT u.user_id,
+             BOOL_AND(COALESCE(w.bits
+                 & (1::BIGINT << CAST(pp.p % 32 AS INTEGER)), 0) != 0) AS pass
+      FROM users u,
+           LATERAL (
+             SELECT CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR)
+                       || '|' || CAST(u.user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {BLOOM_BITS} AS p
+             FROM hh
+           ) pp
+           LEFT JOIN words w ON w.word = pp.p // 32
+      GROUP BY u.user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN up.pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN up.pass THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM events e
+    JOIN upass up USING (user_id)
+    LEFT JOIN allowed a ON a.k = e.user_id
+    GROUP BY 1
+    """
+
+
+@register("ev_bloom_prune", oracle=_bloom_oracle())
+def ev_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pruning audit: events pruned by a PORTABLE
+    256-word Bloom filter built over the selective customer subset
+    (nation 0), per event type — total rows, Bloom survivors, exact
+    semi-join matches, and the measured false-positive count.
+
+    The plan is the 100 TB shape Spark's AQE bloom pushdown automates
+    JVM-internally, reproduced portably and auditable: the filter
+    build map-side OR-combines to <= 256 bounded words, and the probe is
+    BLOOM_K broadcast hash joins fused into the fact scan's codegen
+    stage — the fact table is pruned BEFORE any exchange, so the exact
+    semi-join that follows shuffles only the surviving fraction.  When
+    the dim side outgrows the broadcast threshold this is the
+    difference between shuffling the corpus and shuffling survivors;
+    the fixed width here trades FP rate for size and the audit column
+    measures exactly what that trade costs (size ~10 bits/key in
+    production for ~1% FP at k=3)."""
+    from ..operators.sketch import bloom_build, bloom_prune
+
+    t = load_tables(spark, sf_dir)
+    allowed = (
+        t["customer"]
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    words = bloom_build(allowed, "k")
+    ev = t["events"].select("event_type", "user_id")
+    cand = bloom_prune(ev, "user_id", words).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    ex = (
+        ev.join(
+            F.broadcast(allowed.select(F.col("k").alias("user_id"))),
+            "user_id",
+            "left_semi",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        tot.join(cand, "event_type", "left")
+        .join(ex, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            (
+                F.coalesce("n_candidates", F.lit(0)) - F.coalesce("n_exact", F.lit(0))
+            ).cast("bigint").alias("n_false_pos"),
+        )
+    )

@@ -194,6 +194,10 @@ QUERIES = {
     # enumeration over the DISTINCT-word dictionary only; linear in
     # the corpus, dictionary-sized downstream
     "tx_bpe_merges": 1.3,
+    # r8: bloom pruning — fixed 256-word build (map-side OR-combined)
+    # inlined as a literal filter on the fact scan; linear, the probe
+    # adds zero exchanges
+    "ev_bloom_prune": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

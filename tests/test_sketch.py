@@ -238,3 +238,59 @@ def test_cms_unseen_key_reads_only_collision_mass(spark):
     assert 0 <= est <= max_counter
     empty = cms_registers(toks.limit(0), "tok")
     assert cms_lookup(empty, probe, "tok").first().cms_est == 0
+
+
+def test_bloom_has_no_false_negatives_and_bounded_state(spark):
+    """Every key in the build set MUST pass its own filter (the Bloom
+    guarantee that makes pruning safe), the word relation can never
+    exceed BLOOM_BITS/32 rows, and an empty build side rejects every
+    probe row."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        BLOOM_BITS,
+        bloom_build,
+        bloom_prune,
+    )
+
+    cust = spark.read.parquet(f"{SF_TEST_DIR}/customer.parquet")
+    allowed = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    words = bloom_build(allowed, "k")
+    assert words.count() <= BLOOM_BITS // 32
+    n_allowed = allowed.count()
+    assert bloom_prune(allowed, "k", words).count() == n_allowed
+    # empty build side
+    empty = bloom_build(allowed.limit(0), "k")
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    assert bloom_prune(probe, "k", empty).count() == 0
+
+
+def test_bloom_survivors_superset_of_semijoin(spark):
+    """The pruned fact set must contain EVERY true match (supersets
+    only, never a dropped row) — checked row-for-row against the exact
+    semi-join on the events fact."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    cust = spark.read.parquet(f"{SF_TEST_DIR}/customer.parquet")
+    ev = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    allowed = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    words = bloom_build(allowed, "k")
+    got = {r.event_id for r in bloom_prune(ev, "user_id", words).collect()}
+    want = {
+        r.event_id
+        for r in ev.join(
+            allowed.withColumnRenamed("k", "user_id"), "user_id", "left_semi"
+        ).collect()
+    }
+    assert want <= got, "bloom dropped true matches"
