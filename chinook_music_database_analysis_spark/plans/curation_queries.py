@@ -1644,3 +1644,68 @@ def cur_epoch_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").alias("first_key"),
         F.max("sk").alias("last_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (group-integral train/val/test by dup cluster)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cur_leakage_safe_split",
+    oracle=(
+        f"WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND}, "
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM cand "
+        "UNION ALL SELECT doc_b, doc_a FROM cand), "
+        "walk(doc_id, lbl) AS (SELECT src, src FROM e "
+        "UNION SELECT e.src, w.lbl FROM walk w JOIN e ON e.dst = w.doc_id), "
+        "cl AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc_id), "
+        "g AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS gid, "
+        "cl.doc_id IS NOT NULL AS is_clustered "
+        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id), "
+        "s AS (SELECT *, CASE "
+        f"WHEN substr(md5('lsplit|' || CAST(gid AS VARCHAR)), 1, 4)"
+        f" < '{pct_threshold(TEST_PCT)}' THEN 'test' "
+        f"WHEN substr(md5('lsplit|' || CAST(gid AS VARCHAR)), 1, 4)"
+        f" < '{pct_threshold(TEST_PCT + VAL_PCT)}' THEN 'val' "
+        "ELSE 'train' END AS split FROM g) "
+        "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT gid) AS BIGINT) AS n_groups, "
+        "CAST(SUM(CASE WHEN is_clustered THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_clustered_docs "
+        "FROM s GROUP BY split"
+    ),
+)
+def cur_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak through near-duplicates:
+    the md5 split coin is tossed on the doc's DUP-CLUSTER id (its own
+    id for singletons), so every LSH near-dup cluster lands whole in
+    exactly one split — the group-integrity property a doc-keyed split
+    (cur_split) lacks, and the reason eval contamination survives
+    naive splitting: a train doc's paraphrase in the test split is a
+    leaked answer.  Reports per-split doc/group/clustered-doc counts;
+    the structural no-cluster-spans-splits guarantee is asserted
+    row-level in test_curation.
+
+    Scale shape: the cluster relation is the pair-graph-sized
+    (doc_id, cluster_id) table dd_dup_clusters already maintains
+    (served from the index store), broadcast into one left join;
+    the split coin and the rollup are a narrow map plus one
+    3-group aggregate.  Nothing here re-touches text or re-runs
+    LSH."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    clusters = _dup_clusters(spark, sf_dir)
+    g = (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("gid"),
+            F.col("cluster_id").isNotNull().alias("is_clustered"),
+        )
+    )
+    s = train_val_test_split(g, "gid", VAL_PCT, TEST_PCT, salt="lsplit")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gid").alias("n_groups"),
+        F.sum(F.col("is_clustered").cast("bigint")).alias("n_clustered_docs"),
+    )

@@ -198,6 +198,10 @@ QUERIES = {
     # inlined as a literal filter on the fact scan; linear, the probe
     # adds zero exchanges
     "ev_bloom_prune": 1.3,
+    # r8: group-integral split — broadcast cluster join + narrow coin
+    # + 3-group agg; the cluster build is the dd_dup_clusters family
+    # (store-served), so the probe itself is linear
+    "cur_leakage_safe_split": 1.5,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

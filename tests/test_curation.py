@@ -706,3 +706,47 @@ def test_epoch_batches_new_epoch_is_new_permutation(docs):
     assert set(e1) == set(e2)
     moved = sum(1 for k in e1 if e1[k] != e2[k])
     assert moved > len(e1) // 2, "epoch resalt should move most docs"
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark, docs):
+    """Row-level check of the structural guarantee the registered
+    rollup can't show: no dup cluster may span two splits, and the
+    doc-keyed cur_split on the same corpus genuinely would split at
+    least one cluster whenever it assigns its members different coins
+    (the failure mode this operator exists to close)."""
+    from chinook_music_database_analysis_spark.operators.curation import (
+        train_val_test_split,
+    )
+    from chinook_music_database_analysis_spark.plans.extensions import (
+        _dup_clusters,
+    )
+    from conftest import SF_TEST_DIR
+
+    clusters = _dup_clusters(spark, SF_TEST_DIR)
+    g = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("gid"))
+    )
+    s = train_val_test_split(g, "gid", salt="lsplit")
+    spans = (
+        s.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # the doc-keyed coin is NOT group-integral on this corpus
+    naive = train_val_test_split(docs.select("doc_id"), "doc_id")
+    naive_spans = (
+        naive.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert naive_spans >= 1, (
+        "fixture has no multi-split cluster under the doc-keyed coin; "
+        "the leakage scenario this test demonstrates is vacuous"
+    )
