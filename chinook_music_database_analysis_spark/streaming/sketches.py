@@ -100,3 +100,54 @@ def compact_sketch_log(spark: SparkSession, path: str, out_path: str) -> None:
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental count-min maintenance (the ADDITIVE counterpart)
+# ---------------------------------------------------------------------------
+
+
+def batch_cms(events: DataFrame, key: str) -> DataFrame:
+    """One micro-batch's count-min register increment over ``key``
+    (operators/sketch.cms_registers): (d, bucket, cnt), <= 4096 rows
+    per batch whatever the batch size."""
+    from ..operators.sketch import cms_registers
+
+    return cms_registers(events.select(key), key)
+
+
+def start_cms_log_sink(
+    stream: DataFrame, key: str, path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain a count-min register log from an event stream.
+
+    CONTRAST with the HLL log above: CMS merge is register-wise SUM,
+    an ADDITIVE fold — a double-appended batch genuinely double-counts
+    (no value idempotence to fall back on), so correctness here rests
+    entirely on the ``batch_id=N`` overwrite-directory discipline of
+    streaming/sinks.write_batch: a replayed batch overwrites its own
+    directory and the folded totals are unchanged.  This is the
+    exactly-once requirement every additive streaming aggregate
+    carries on at-least-once delivery, made concrete on the smallest
+    possible state (4096 counters)."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, batch_id: write_batch(batch_cms(df, key), batch_id, path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_registers_from_log(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the register log to the stream-total sketch: register-wise
+    SUM (mergeable-summaries rule for counter sketches).  Because sum
+    is associative, the folded registers are IDENTICAL to a one-shot
+    cms_registers over the concatenated stream — the equivalence
+    test_streaming asserts."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

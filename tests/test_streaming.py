@@ -829,3 +829,56 @@ def test_scd2_corrupt_log_propagates_and_consult_is_user_bounded(spark, tmp_path
     assert "LeftSemi" in plan
     # and the batch apply keeps working against the bounded consult
     apply_scd2_batch(ev([(1, "b", 20, 2)]), 1, log)
+
+
+def test_incremental_cms_log_maintenance(spark, tmp_path):
+    """Streaming-maintained count-min register log: (1) the folded log
+    is BIT-IDENTICAL to a one-shot sketch over the whole stream (sum
+    merge is associative — the additive mergeable-summaries rule);
+    (2) a replayed batch leaves every register unchanged because the
+    batch_id=N overwrite directory absorbs it — and the test also
+    shows the hazard the discipline exists for: the same registers
+    appended under a FRESH batch_id genuinely double-count."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.streaming.sketches import (
+        batch_cms,
+        cms_registers_from_log,
+        start_cms_log_sink,
+        write_batch,
+    )
+
+    log, ckpt = str(tmp_path / "cms_log"), str(tmp_path / "cms_ckpt")
+    q = start_cms_log_sink(
+        read_events_stream(spark, SF_TEST_DIR), "user_id", log, ckpt
+    )
+    q.awaitTermination()
+
+    events = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet")
+    one_shot = {
+        (r.d, r.bucket): r.cnt for r in batch_cms(events, "user_id").collect()
+    }
+    folded = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_registers_from_log(spark, log).collect()
+    }
+    assert folded == one_shot
+
+    # Replay batch 0 (same batch_id): overwrite-idempotent, no change.
+    write_batch(batch_cms(events, "user_id"), 0, log)
+    assert {
+        (r.d, r.bucket): r.cnt
+        for r in cms_registers_from_log(spark, log).collect()
+    } == one_shot
+
+    # The counter-example: the same increment under a NEW batch_id
+    # double-counts — additive sketches have no value idempotence.
+    write_batch(batch_cms(events, "user_id"), 9999, log)
+    doubled = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_registers_from_log(spark, log).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in one_shot.items()}
+    shutil.rmtree(f"{log}/batch_id=9999")
