@@ -840,3 +840,75 @@ def containment_pairs_exact(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — storage-level redundancy
+# ---------------------------------------------------------------------------
+
+#: expected CDC chunk length in tokens: a token opens a new chunk when
+#: its md5 lands in residue 0 mod CDC_MOD, so boundaries are decided
+#: by LOCAL content — an insertion re-chunks only its neighborhood,
+#: where fixed-size segmentation (curation.line_dedup's unit) shifts
+#: every later segment.  This is the backup/dataset-versioning dedup
+#: unit (FastCDC-family systems), simplified to a single-token gear.
+CDC_MOD = 16
+
+
+def cdc_chunk_stats(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """Per-source storage-dedup report over content-defined chunks:
+    (source, n_chunks, n_distinct_chunks, dedup_ratio_q, n_dup_tokens)
+    with dedup_ratio_q = distinct/total in 1e4 fixed point and
+    n_dup_tokens the tokens sitting in REDUNDANT chunk instances —
+    what cross-document storage dedup would reclaim.
+
+    Plan: posexplode to (doc, pos, tok); the boundary flag is a narrow
+    md5 test; chunk ids are a running sum over the doc-keyed window,
+    and the chunk-content aggregate that follows groups by
+    (doc_id, chunk_idx) — hash-partitioning by doc_id satisfies both,
+    so the corpus shuffles ONCE for the whole chunking stage.  The
+    chunk relation (one md5 + token count per chunk) then carries the
+    dedup aggregates; text itself never shuffles again.  At 100 TB
+    the chunk relation is ~1/CDC_MOD of the token count — the same
+    reduction every downstream stage inherits.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens_expr()).alias("pos", "tok"),
+    )
+    flag = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("cdc|"), F.col("tok"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(mod),
+        )
+        == 0
+    ).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunks = (
+        toks.withColumn("b", flag)
+        .withColumn("chunk_idx", F.sum("b").over(w))
+        .groupBy("doc_id", "source", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.expr(
+                "md5(array_join(transform(array_sort("
+                "collect_list(struct(pos, tok))), s -> s.tok), ' '))"
+            ).alias("chunk_hash"),
+        )
+    )
+    per = chunks.groupBy("source", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("n_tok").alias("n_tok")
+    )
+    return per.groupBy("source").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.expr("(count(1) * 10000) DIV sum(cnt)").alias("dedup_ratio_q"),
+        F.sum((F.col("cnt") - 1) * F.col("n_tok")).alias("n_dup_tokens"),
+    )

@@ -43,13 +43,14 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (12)
+    # never driver-checked r8 additions (13)
     "tx_cms_tokens",
     "sim_mrl_topk",
     "cur_epoch_batches",
     "tx_bpe_merges",
     "ev_bloom_prune",
     "cur_leakage_safe_split",
+    "dd_cdc_chunks",
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",

@@ -1709,3 +1709,72 @@ def cur_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gid").alias("n_groups"),
         F.sum(F.col("is_clustered").cast("bigint")).alias("n_clustered_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup report
+# ---------------------------------------------------------------------------
+
+
+def _register_dd_cdc_chunks() -> None:
+    from ..operators.dedup import CDC_MOD
+
+    oracle = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, source, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id, source,
+               unnest([{{'pos': i, 'tok': toks[i]}}
+                       for i in range(1, len(toks) + 1)]) AS u
+        FROM d)
+    ), f AS (
+      SELECT doc_id, source, pos, tok,
+             CASE WHEN CAST('0x' || substr(md5('cdc|' || tok), 1, 15)
+                        AS BIGINT) % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+      FROM t
+    ), c AS (
+      SELECT doc_id, source, pos, tok,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+      FROM f
+    ), ch AS (
+      SELECT doc_id, source, chunk_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM c GROUP BY doc_id, source, chunk_idx
+    ), per AS (
+      SELECT source, chunk_hash, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(n_tok) AS n_tok
+      FROM ch GROUP BY source, chunk_hash
+    )
+    SELECT source, SUM(cnt) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           (COUNT(*) * 10000) // SUM(cnt) AS dedup_ratio_q,
+           SUM((cnt - 1) * n_tok) AS n_dup_tokens
+    FROM per GROUP BY source
+    """
+
+    @register("dd_cdc_chunks", oracle=oracle)
+    def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Storage-level redundancy report over CONTENT-DEFINED chunks
+        (operators/dedup.cdc_chunk_stats): a token whose md5 lands in
+        residue 0 mod 16 opens a new chunk, so chunk boundaries follow
+        content — an insertion re-chunks only its neighborhood, where
+        fixed-size segments (cur_line_dedup's unit) shift every later
+        boundary.  Per source: total/distinct chunk counts, the 1e4
+        fixed-point dedup ratio, and the tokens sitting in redundant
+        chunk instances (what cross-document storage dedup reclaims —
+        the FastCDC-family backup/dataset-versioning measure, distinct
+        from the semantic near-dup families).  The corpus shuffles
+        once for the whole chunking stage: the boundary flag is a
+        narrow map, the running chunk id and the chunk-content
+        aggregate share the doc-keyed exchange, and only the
+        (chunk_hash, counts) relation flows on."""
+        from ..operators.dedup import cdc_chunk_stats
+
+        return cdc_chunk_stats(load_tables(spark, sf_dir)["documents"])
+
+
+_register_dd_cdc_chunks()

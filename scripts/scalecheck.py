@@ -202,6 +202,10 @@ QUERIES = {
     # + 3-group agg; the cluster build is the dd_dup_clusters family
     # (store-served), so the probe itself is linear
     "cur_leakage_safe_split": 1.5,
+    # r8: CDC chunking — posexplode + one doc-keyed exchange shared by
+    # the running chunk id and the chunk aggregate, then chunk-sized
+    # (~1/16 of tokens) relations; linear
+    "dd_cdc_chunks": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
