@@ -88,22 +88,18 @@ _WINDOW_FIRST = [
     "sim_ivf_stride_topk",
     "sim_pq_topk",
     "sim_ivfpq_topk",
-    # displaced multiply-green r3/r5 entries (10)
-    "q01_dupes",
-    "sim_lsh_topk",
+    # displaced multiply-green r3/r5 entries (8) — q01_dupes,
+    # sim_lsh_topk, ev_tumbling_1h, tx_gopher_quality, the mm_*
+    # plumbing trio, and ev_dedup_first rotate out this round to make
+    # room for the seven late-r8 additions; each is multiply-green and
+    # byte-unchanged, due back next rotation.
     "sim_bruteforce_topk",
-    "ev_tumbling_1h",
     "ev_sliding_1h_30m",
     "ev_sessionized",
     "tx_surprisal",
     "cur_contamination_report",
-    "tx_gopher_quality",
     "dd_cross_simhash",
-    # stalest remainders, last green r3/r5 (5)
-    "mm_media_features",
-    "mm_resize",
-    "mm_frame_sample",
-    "ev_dedup_first",
+    "q01_dupes",
     "dd_simhash_pairs",
 ]
 
