@@ -872,6 +872,24 @@ def cdc_chunk_stats(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
     the chunk relation is ~1/CDC_MOD of the token count — the same
     reduction every downstream stage inherits.
     """
+    per = cdc_chunks(docs, mod).groupBy("source", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("n_tok").alias("n_tok")
+    )
+    return per.groupBy("source").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.expr("(count(1) * 10000) DIV sum(cnt)").alias("dedup_ratio_q"),
+        F.sum((F.col("cnt") - 1) * F.col("n_tok")).alias("n_dup_tokens"),
+    )
+
+
+def cdc_chunks(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """The per-chunk relation of :func:`cdc_chunk_stats`:
+    (doc_id, source, chunk_idx, n_tok, chunk_hash) — exposed because
+    the chunk table IS the content-addressed store's ingest unit:
+    version-over-version ingest (cdc_reuse_stats) stores only chunk
+    hashes it has not seen.  One doc-keyed exchange shared by the
+    running chunk-id window and the chunk-content aggregate."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -891,7 +909,7 @@ def cdc_chunk_stats(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
         == 0
     ).cast("int")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    chunks = (
+    return (
         toks.withColumn("b", flag)
         .withColumn("chunk_idx", F.sum("b").over(w))
         .groupBy("doc_id", "source", "chunk_idx")
@@ -903,12 +921,34 @@ def cdc_chunk_stats(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
-    per = chunks.groupBy("source", "chunk_hash").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("n_tok").alias("n_tok")
+
+
+def cdc_reuse_stats(v1: DataFrame, v2: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """Version-over-version chunk-store ingest report: of corpus v2's
+    chunks, how many are REUSED from v1's content-addressed chunk
+    store vs genuinely new — one row
+    (n_v2_chunks, n_reused, n_new, reuse_ratio_q, n_new_tokens), with
+    n_new_tokens the only content a de-duplicating store writes for
+    the new version.
+
+    Plan: both sides collapse to chunk relations first (the one
+    corpus-scale exchange each, shared with their chunk-id windows);
+    v1's DISTINCT chunk-hash set then left-semi-classifies v2's
+    chunks on the hash — a join between two ~1/mod-sized relations,
+    never between corpora.  At 100 TB the v1 side is the store's
+    existing hash index, read not recomputed."""
+    v1h = cdc_chunks(v1, mod).select("chunk_hash").distinct()
+    c2 = cdc_chunks(v2, mod).join(
+        v1h.withColumn("_seen", F.lit(True)), "chunk_hash", "left"
     )
-    return per.groupBy("source").agg(
-        F.sum("cnt").alias("n_chunks"),
-        F.count(F.lit(1)).alias("n_distinct_chunks"),
-        F.expr("(count(1) * 10000) DIV sum(cnt)").alias("dedup_ratio_q"),
-        F.sum((F.col("cnt") - 1) * F.col("n_tok")).alias("n_dup_tokens"),
+    return c2.agg(
+        F.count(F.lit(1)).alias("n_v2_chunks"),
+        F.sum(F.col("_seen").isNotNull().cast("bigint")).alias("n_reused"),
+        F.sum(F.col("_seen").isNull().cast("bigint")).alias("n_new"),
+        F.expr(
+            "(sum(CAST(_seen IS NOT NULL AS BIGINT)) * 10000) DIV count(1)"
+        ).alias("reuse_ratio_q"),
+        F.sum(
+            F.when(F.col("_seen").isNull(), F.col("n_tok")).otherwise(F.lit(0))
+        ).alias("n_new_tokens"),
     )

@@ -43,7 +43,7 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (13)
+    # never driver-checked r8 additions (14)
     "tx_cms_tokens",
     "sim_mrl_topk",
     "cur_epoch_batches",
@@ -51,6 +51,7 @@ _WINDOW_FIRST = [
     "ev_bloom_prune",
     "cur_leakage_safe_split",
     "dd_cdc_chunks",
+    "dd_cdc_incremental",
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",
@@ -88,10 +89,10 @@ _WINDOW_FIRST = [
     "sim_ivf_stride_topk",
     "sim_pq_topk",
     "sim_ivfpq_topk",
-    # displaced multiply-green r3/r5 entries (8) — q01_dupes,
+    # displaced multiply-green r3/r5 entries (7) — q01_dupes,
     # sim_lsh_topk, ev_tumbling_1h, tx_gopher_quality, the mm_*
     # plumbing trio, and ev_dedup_first rotate out this round to make
-    # room for the seven late-r8 additions; each is multiply-green and
+    # room for the late-r8 additions; each is multiply-green and
     # byte-unchanged, due back next rotation.
     "sim_bruteforce_topk",
     "ev_sliding_1h_30m",
@@ -99,7 +100,6 @@ _WINDOW_FIRST = [
     "tx_surprisal",
     "cur_contamination_report",
     "dd_cross_simhash",
-    "q01_dupes",
     "dd_simhash_pairs",
 ]
 

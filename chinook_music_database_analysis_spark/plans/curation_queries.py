@@ -1778,3 +1778,108 @@ def _register_dd_cdc_chunks() -> None:
 
 
 _register_dd_cdc_chunks()
+
+
+# ---------------------------------------------------------------------------
+# Incremental chunk-store ingest (CDC reuse across corpus versions)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_chunk_cte(rel: str, p: str) -> str:
+    """CDC chunk relation CTE chain over relation ``rel`` (prefix
+    ``p`` keeps the two versions' chains disjoint) — same md5-gear
+    arithmetic as operators/dedup.cdc_chunks."""
+    from ..operators.dedup import CDC_MOD
+
+    return f"""{p}d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {rel}
+    ), {p}t AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'tok': toks[i]}}
+                       for i in range(1, len(toks) + 1)]) AS u
+        FROM {p}d)
+    ), {p}c AS (
+      SELECT doc_id, pos, tok,
+             SUM(CASE WHEN CAST('0x' || substr(md5('cdc|' || tok), 1, 15)
+                            AS BIGINT) % {CDC_MOD} = 0
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+      FROM {p}t
+    ), {p}ch AS (
+      SELECT doc_id, chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM {p}c GROUP BY doc_id, chunk_idx
+    )"""
+
+
+def _register_dd_cdc_incremental() -> None:
+    oracle = f"""
+    WITH v2base AS (
+      SELECT doc_id, source,
+             CASE WHEN {_diff_coin_sql('edit')} % {DIFF_EDIT_MOD} = 0
+                  THEN text || ' r2-edit' ELSE text END AS text
+      FROM documents
+      WHERE {_diff_coin_sql('del')} % {DIFF_DEL_MOD} <> 0
+    ), v2 AS (
+      SELECT * FROM v2base
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id, source, text || ' r2-new' AS text
+      FROM documents
+      WHERE {_diff_coin_sql('add')} % {DIFF_DEL_MOD} = {DIFF_ADD_RESIDUE}
+    ), {_cdc_chunk_cte('documents', 'a')}, {_cdc_chunk_cte('v2', 'b')},
+    v1h AS (SELECT DISTINCT chunk_hash FROM ach),
+    cls AS (
+      SELECT bch.chunk_hash, bch.n_tok,
+             v1h.chunk_hash IS NOT NULL AS seen
+      FROM bch LEFT JOIN v1h USING (chunk_hash)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_v2_chunks,
+           CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+           CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS reuse_ratio_q,
+           CAST(SUM(CASE WHEN NOT seen THEN n_tok ELSE 0 END) AS BIGINT)
+             AS n_new_tokens
+    FROM cls
+    """
+
+    @register("dd_cdc_incremental", oracle=oracle)
+    def dd_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental chunk-store ingest across corpus versions
+        (operators/dedup.cdc_reuse_stats over pipe_corpus_diff's
+        deterministically derived v2): how many of v2's content-
+        defined chunks already sit in v1's content-addressed store,
+        and the token volume only a de-duplicating store must write.
+        Because CDC boundaries are content-local, an edited document
+        re-ingests only its changed neighborhoods — the measured
+        reuse ratio is the dataset-versioning storage win.  Both
+        versions collapse to chunk relations (one corpus-scale
+        exchange each); the classify join runs between two
+        ~1/16-sized hash relations, never between corpora."""
+        from ..operators.dedup import cdc_reuse_stats
+
+        docs = load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", "source", "text"
+        )
+        v2base = docs.filter(_diff_coin("del") % DIFF_DEL_MOD != 0).select(
+            "doc_id",
+            "source",
+            F.when(
+                _diff_coin("edit") % DIFF_EDIT_MOD == 0,
+                F.concat(F.col("text"), F.lit(" r2-edit")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        added = docs.filter(
+            _diff_coin("add") % DIFF_DEL_MOD == DIFF_ADD_RESIDUE
+        ).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            "source",
+            F.concat(F.col("text"), F.lit(" r2-new")).alias("text"),
+        )
+        return cdc_reuse_stats(docs, v2base.unionByName(added))
+
+
+_register_dd_cdc_incremental()

@@ -206,6 +206,9 @@ QUERIES = {
     # the running chunk id and the chunk aggregate, then chunk-sized
     # (~1/16 of tokens) relations; linear
     "dd_cdc_chunks": 1.3,
+    # r8: two CDC chunk passes + a join of two ~1/16-sized hash
+    # relations; linear
+    "dd_cdc_incremental": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
@@ -344,6 +347,21 @@ def generate(out_dir: str, factor: int, seed: int = 7) -> None:
         f"{out_dir}/events.parquet",
     )
 
+    # customer dimension for the bloom-prune probe: key domain matches
+    # the events user_id draw, nations cycle 0..24 like the testdata.
+    n_cust = 1500 * factor
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_nationkey": pa.array(
+                    (np.arange(n_cust) % 25).astype(np.int64), pa.int64()
+                ),
+            }
+        ),
+        f"{out_dir}/customer.parquet",
+    )
+
     n_vec = 2000 * factor
     centers = rng.normal(size=(10, 64))
     labels = rng.integers(0, 10, size=n_vec)
@@ -381,7 +399,7 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     if not all(
         os.path.exists(f"{out_dir}/{t}.parquet")
-        for t in ("embeddings", "documents", "part", "lineitem", "events")
+        for t in ("embeddings", "documents", "part", "lineitem", "events", "customer")
     ):
         print(f"# generating {args.factor}x corpus under {out_dir}", file=sys.stderr)
         generate(out_dir, args.factor)
