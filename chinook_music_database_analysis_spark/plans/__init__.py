@@ -43,7 +43,7 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (14)
+    # never driver-checked r8 additions (15)
     "tx_cms_tokens",
     "sim_mrl_topk",
     "cur_epoch_batches",
@@ -52,6 +52,7 @@ _WINDOW_FIRST = [
     "cur_leakage_safe_split",
     "dd_cdc_chunks",
     "dd_cdc_incremental",
+    "sim_ivf_append",
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",
@@ -95,7 +96,6 @@ _WINDOW_FIRST = [
     # room for the late-r8 additions; each is multiply-green and
     # byte-unchanged, due back next rotation.
     "sim_bruteforce_topk",
-    "ev_sliding_1h_30m",
     "ev_sessionized",
     "tx_surprisal",
     "cur_contamination_report",

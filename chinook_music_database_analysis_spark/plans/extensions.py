@@ -3629,3 +3629,123 @@ def _register_contrastive_negatives() -> None:
 
 _register_contrastive_negatives()
 
+
+
+# ---------------------------------------------------------------------------
+# IVF index staleness on append
+# ---------------------------------------------------------------------------
+
+#: sim_ivf_append treats vectors with vec_id % MOD == RESIDUE as the
+#: post-build append (~20% of the corpus arrives after the index was
+#: trained).  RESIDUE is 3, NOT 0: the k-means sample strides over
+#: multiples of ss, and ss divides into multiples of 5 at several
+#: corpus sizes — excluding residue 0 would empty the training sample
+#: (measured: zero centroids at sf0.01), where residue 3 removes only
+#: non-sample ids.
+IVF_APPEND_MOD = 5
+IVF_APPEND_RESIDUE = 3
+
+
+def _register_sim_ivf_append() -> None:
+    kcte = _sql_kmeans_cents().replace("FROM embeddings", "FROM ivfa_base")
+    oracle = f"""
+    WITH ivfa_base AS (
+      SELECT * FROM embeddings
+      WHERE vec_id % {IVF_APPEND_MOD} <> {IVF_APPEND_RESIDUE}
+    ), {kcte},
+    allv AS (
+      SELECT vec_id,
+             vec_id % {IVF_APPEND_MOD} = {IVF_APPEND_RESIDUE} AS is_new,
+             list_transform(embedding, x -> x::DOUBLE) AS se
+      FROM embeddings
+    ), asg AS (
+      SELECT v.vec_id, v.is_new, c.cell_id,
+             CAST(ROUND({_sql_cos("v.se", "c.ce")} * 1000000) AS BIGINT)
+               AS sim_q,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY {_sql_cos("v.se", "c.ce")} DESC, c.cell_id) AS rn
+      FROM allv v, kc{KMEANS_ITERS} c QUALIFY rn = 1
+    )
+    SELECT cell_id,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS appended_share_q,
+           CAST(SUM(CASE WHEN is_new THEN sim_q ELSE 0 END)
+                // NULLIF(SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS mean_new_sim_q
+    FROM asg GROUP BY cell_id
+    """
+
+    @register("sim_ivf_append", oracle=oracle)
+    def sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF index staleness audit: centroids are trained on the
+        BASE 80% of the corpus only (vec_id % 5 != 3 — the state of
+        the index before an append), then EVERY vector — base and the
+        20% that arrived after training — is assigned to its nearest
+        stale centroid.  Per cell: base/appended occupancy, the
+        appended share (hot cells mean the append is drifting into a
+        region the index under-represents -> retrain trigger), and the
+        appended vectors' mean centroid cosine in 1e-6 fixed point
+        (integer-summed so the mean is order-independent and under the
+        exact gate).  This is the maintenance decision a 100 TB vector
+        store actually faces: appends ride the existing index at
+        ~sqrt(N)-broadcast assignment cost (no retrain, no corpus
+        reshuffle) until the audit says the cells no longer fit.
+        Plan: k-means bounded by the sample as always; assignment is
+        one broadcast-centroid argmax over the corpus — the same
+        linear pass sim_ivf_topk's file build does."""
+        from pyspark.sql import Window
+
+        from ..operators.similarity import _cos, _norm, kmeans_centroids
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        base = emb.filter(
+            F.col("vec_id") % IVF_APPEND_MOD != IVF_APPEND_RESIDUE
+        )
+        key = (
+            "ivf_append_nbase",
+            spark.sparkContext.applicationId,
+            sf_dir,
+            _table_set_id(sf_dir),
+        )
+        if key not in _SCALAR_MEMO:
+            _SCALAR_MEMO[key] = base.count()
+        cents = kmeans_centroids(base, _SCALAR_MEMO[key])
+        v = emb.select(
+            "vec_id",
+            (F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_RESIDUE).alias(
+                "is_new"
+            ),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("se"),
+        ).withColumn("s_norm", _norm("se"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cell_id")
+        )
+        asg = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("sim", _cos("se", "c_emb", "s_norm", "c_norm"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "cell_id",
+                "is_new",
+                F.round(F.col("sim") * 1000000).cast("bigint").alias("sim_q"),
+            )
+        )
+        is_new_l = F.col("is_new").cast("bigint")
+        return asg.groupBy("cell_id").agg(
+            F.sum(F.lit(1) - is_new_l).alias("n_base"),
+            F.sum(is_new_l).alias("n_appended"),
+            F.expr(
+                "CAST(sum(CAST(is_new AS BIGINT)) * 10000 DIV count(1) AS BIGINT)"
+            ).alias("appended_share_q"),
+            F.expr(
+                "CAST(sum(CASE WHEN is_new THEN sim_q ELSE 0 END)"
+                " DIV nullif(sum(CAST(is_new AS BIGINT)), 0) AS BIGINT)"
+            ).alias("mean_new_sim_q"),
+        )
+
+
+_register_sim_ivf_append()

@@ -209,6 +209,9 @@ QUERIES = {
     # r8: two CDC chunk passes + a join of two ~1/16-sized hash
     # relations; linear
     "dd_cdc_incremental": 1.3,
+    # r8: k-means on the base subset + one broadcast-centroid argmax
+    # over the corpus — the IVF family's N*sqrt(N) shape
+    "sim_ivf_append": 1.7,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

@@ -422,3 +422,23 @@ def test_mrl_recall_floor_and_shortlist_bound(spark):
     assert all(r["count"] <= cap for r in sizes)
     if n - 1 > MRL_SHORTLIST:
         assert all(r["count"] == MRL_SHORTLIST for r in sizes)
+
+
+def test_ivf_append_audit_is_not_degenerate(spark):
+    """Guard against the silent-empty failure mode the residue choice
+    exists for (appended set aligned with the k-means stride sample
+    empties the centroids and BOTH engines agree on zero rows): the
+    audit must cover every cell-assigned vector, see both populations,
+    and the appended share must be ~20% overall."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    out = QUERIES["sim_ivf_append"](spark, SF_TEST_DIR)
+    rows = out.collect()
+    assert rows, "audit returned no cells"
+    n_base = sum(r.n_base for r in rows)
+    n_app = sum(r.n_appended for r in rows)
+    n = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet").count()
+    assert n_base + n_app == n
+    assert abs(n_app / n - 0.2) < 0.02

@@ -161,6 +161,9 @@ BNLJ_ALLOWED = {
     # when warm, so the BNLJ only appears while the index store for
     # the corpus is absent or mid-rebuild by a concurrent session)
     "cur_diverse_sample",
+    # broadcast-centroid assignment argmax over the corpus (the IVF
+    # build pass shape) for the staleness audit
+    "sim_ivf_append",
     # matryoshka coarse pass: the fixed |q|-row prefix-vector set is
     # the broadcast side (same pattern as sim_bruteforce_topk); the
     # rerank joins are equi-joins on the broadcast shortlist
