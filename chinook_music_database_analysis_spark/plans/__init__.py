@@ -43,7 +43,7 @@ from . import scale_queries  # noqa: E402,F401
 # parity heads, ev_json_extract).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (15)
+    # never driver-checked r8 additions (16)
     "tx_cms_tokens",
     "sim_mrl_topk",
     "cur_epoch_batches",
@@ -53,6 +53,7 @@ _WINDOW_FIRST = [
     "dd_cdc_chunks",
     "dd_cdc_incremental",
     "sim_ivf_append",
+    "sim_outlier_audit",
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",
@@ -96,7 +97,6 @@ _WINDOW_FIRST = [
     # room for the late-r8 additions; each is multiply-green and
     # byte-unchanged, due back next rotation.
     "sim_bruteforce_topk",
-    "ev_sessionized",
     "tx_surprisal",
     "cur_contamination_report",
     "dd_cross_simhash",

@@ -3749,3 +3749,93 @@ def _register_sim_ivf_append() -> None:
 
 
 _register_sim_ivf_append()
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit (distance-to-centroid z-scores)
+# ---------------------------------------------------------------------------
+
+#: sim_outlier_audit reports the N most anomalous vectors.
+OUTLIER_TOP_N = 20
+
+
+def _register_sim_outlier_audit() -> None:
+    mu = "s1 / CAST(n AS DOUBLE)"
+    var = f"s2 / CAST(n AS DOUBLE) - ({mu}) * ({mu})"
+    oracle = f"""
+    WITH {_sql_kmeans_cents()}, c AS (
+      SELECT cell_id, ce FROM kc{KMEANS_ITERS}
+    ), a AS (
+      SELECT e.vec_id, c.cell_id,
+             CAST(ROUND({_sql_cos('e.embedding', 'c.ce')} * 1000000)
+                  AS BIGINT) AS sim_q,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+      FROM embeddings e, c
+      QUALIFY rn = 1
+    ), st AS (
+      SELECT cell_id, CAST(SUM(sim_q) AS BIGINT) AS s1,
+             CAST(SUM(sim_q * sim_q) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a GROUP BY cell_id
+    )
+    SELECT a.vec_id, a.cell_id, a.sim_q,
+           CASE WHEN {var} > 0
+                THEN ROUND((a.sim_q - {mu}) / SQRT({var}), 4)
+                ELSE 0.0 END AS z
+    FROM a JOIN st USING (cell_id)
+    ORDER BY z ASC, a.vec_id ASC LIMIT {OUTLIER_TOP_N}
+    """
+
+    @register("sim_outlier_audit", oracle=oracle)
+    def sim_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-space outlier audit: the 20 vectors most anomalous
+        within their own IVF cell, by z-score of the (1e-6 fixed-point)
+        centroid cosine against the cell's integer sufficient
+        statistics — the data-quality sweep that surfaces mislabeled /
+        corrupted / off-distribution embeddings BEFORE they poison
+        near-dup thresholds and retrieval (SemDeDup's complement:
+        dd_semantic prunes the too-close, this flags the too-far).
+        z-scores derive from exact int64 (sum, sum-of-squares, count)
+        per cell — the ev_anomaly_hours portability pattern — so both
+        engines divide identical integers into identical doubles.
+        Plan: the stored inverted file joins the broadcast centroid
+        relation for one narrow cosine recompute (zero marginal
+        assignment cost), the stats aggregate is cells-sized, and the
+        top-20 is a TakeOrderedAndProject — no corpus sort."""
+        from ..operators.similarity import _cos
+
+        asg = _ivf_assign(spark, sf_dir)
+        cents = _ivf_cents(spark, sf_dir)
+        a = asg.join(F.broadcast(cents), "cell_id").select(
+            "vec_id",
+            "cell_id",
+            F.round(_cos("embedding", "c_emb", "norm", "c_norm") * 1000000)
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+        st = a.groupBy("cell_id").agg(
+            F.sum("sim_q").alias("s1"),
+            F.sum(F.col("sim_q") * F.col("sim_q")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        n_d = F.col("n").cast("double")
+        mu = F.col("s1") / n_d
+        var = F.col("s2") / n_d - mu * mu
+        return (
+            a.join(F.broadcast(st), "cell_id")
+            .select(
+                "vec_id",
+                "cell_id",
+                "sim_q",
+                F.when(var > 0, F.round((F.col("sim_q") - mu) / F.sqrt(var), 4))
+                .otherwise(F.lit(0.0))
+                .alias("z"),
+            )
+            .orderBy(F.col("z").asc(), F.col("vec_id").asc())
+            .limit(OUTLIER_TOP_N)
+        )
+
+
+_register_sim_outlier_audit()

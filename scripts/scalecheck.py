@@ -212,6 +212,9 @@ QUERIES = {
     # r8: k-means on the base subset + one broadcast-centroid argmax
     # over the corpus — the IVF family's N*sqrt(N) shape
     "sim_ivf_append": 1.7,
+    # r8: stored inverted file + broadcast centroid re-join + cell
+    # stats + TakeOrdered — IVF-family build cost on fresh corpora
+    "sim_outlier_audit": 1.7,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

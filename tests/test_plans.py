@@ -164,6 +164,9 @@ BNLJ_ALLOWED = {
     # broadcast-centroid assignment argmax over the corpus (the IVF
     # build pass shape) for the staleness audit
     "sim_ivf_append",
+    # store-served inverted file; the COLD path recomputes the
+    # broadcast-centroid argmax (same caveat as cur_diverse_sample)
+    "sim_outlier_audit",
     # matryoshka coarse pass: the fixed |q|-row prefix-vector set is
     # the broadcast side (same pattern as sim_bruteforce_topk); the
     # rerank joins are equi-joins on the broadcast shortlist
