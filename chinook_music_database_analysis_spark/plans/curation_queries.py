@@ -1613,7 +1613,7 @@ EPOCH_BATCH = 64
     )
     SELECT CAST(pos // {EPOCH_BATCH} AS BIGINT) AS batch_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            MIN(sk) AS first_key, MAX(sk) AS last_key
     FROM p GROUP BY 1
     """,
@@ -1749,10 +1749,10 @@ def _register_dd_cdc_chunks() -> None:
              MIN(n_tok) AS n_tok
       FROM ch GROUP BY source, chunk_hash
     )
-    SELECT source, SUM(cnt) AS n_chunks,
+    SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
            CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
-           (COUNT(*) * 10000) // SUM(cnt) AS dedup_ratio_q,
-           SUM((cnt - 1) * n_tok) AS n_dup_tokens
+           CAST((COUNT(*) * 10000) // SUM(cnt) AS BIGINT) AS dedup_ratio_q,
+           CAST(SUM((cnt - 1) * n_tok) AS BIGINT) AS n_dup_tokens
     FROM per GROUP BY source
     """
 

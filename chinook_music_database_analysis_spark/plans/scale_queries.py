@@ -1055,7 +1055,7 @@ BPE_TOP_N = 20
                                               i -> wc.tok[i:i+1])) AS pair) p
       WHERE len(wc.tok) >= 2
     )
-    SELECT pair, SUM(cnt) AS n_pair
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_pair
     FROM pr GROUP BY pair
     ORDER BY n_pair DESC, pair ASC LIMIT {BPE_TOP_N}
     """,
