@@ -3712,7 +3712,15 @@ def _register_sim_ivf_append() -> None:
         )
         if key not in _SCALAR_MEMO:
             _SCALAR_MEMO[key] = base.count()
-        cents = kmeans_centroids(base, _SCALAR_MEMO[key])
+        # the STALE centroid relation is an index artifact like
+        # _ivf_cents: trained once per corpus version, store-served
+        # after (production keeps exactly this — the pre-append index)
+        cents = _persisted_index(
+            "ivf_append_cents", spark, sf_dir,
+            lambda: kmeans_centroids(base, _SCALAR_MEMO[key]),
+            params=f"iters={KMEANS_ITERS};mod={IVF_APPEND_MOD};"
+                   f"res={IVF_APPEND_RESIDUE}",
+        )
         v = emb.select(
             "vec_id",
             (F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_RESIDUE).alias(

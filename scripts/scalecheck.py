@@ -231,6 +231,8 @@ WARM_FIRST = {
     # r8: the three-batch fold is store-served (paid once per corpus
     # version); time the steady state on both sides
     "ev_scd2_incremental",
+    # r8: the stale pre-append centroid relation is store-served
+    "sim_ivf_append",
 }
 
 #: fixed per-query scheduling overhead subtracted before the exponent
