@@ -151,3 +151,52 @@ def cms_registers_from_log(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental Bloom maintenance (the OR-merge counterpart)
+# ---------------------------------------------------------------------------
+
+
+def batch_bloom(events: DataFrame, key: str) -> DataFrame:
+    """One micro-batch's Bloom word increment over ``key``
+    (operators/sketch.bloom_build): (word, bits), <= 256 rows per
+    batch."""
+    from ..operators.sketch import bloom_build
+
+    return bloom_build(events.select(key), key)
+
+
+def start_bloom_log_sink(
+    stream: DataFrame, key: str, path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain a Bloom word log from an event stream — the streaming
+    build of the runtime join filter (ev_bloom_prune's build half,
+    kept fresh as keys arrive).
+
+    This completes the merge-algebra trio the sketch logs demonstrate:
+    HLL merges by register MAX, count-min by SUM, Bloom by bitwise OR.
+    OR is idempotent like max — a double-appended batch changes no
+    bit — so Bloom logs inherit HLL's replay immunity rather than
+    CMS's strict exactly-once requirement, and the same
+    ``batch_id=N`` sink discipline is belt-and-braces here."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, batch_id: write_batch(batch_bloom(df, key), batch_id, path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bloom_words_from_log(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the word log to the stream-total filter: bitwise OR per
+    word — identical to a one-shot bloom_build over the concatenated
+    stream (OR is associative AND idempotent), so the folded filter
+    can prune exactly like a batch-built one."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )

@@ -882,3 +882,57 @@ def test_incremental_cms_log_maintenance(spark, tmp_path):
     }
     assert doubled == {k: 2 * v for k, v in one_shot.items()}
     shutil.rmtree(f"{log}/batch_id=9999")
+
+
+def test_incremental_bloom_log_maintenance(spark, tmp_path):
+    """Streaming-maintained Bloom word log: the folded log is
+    bit-identical to a one-shot build over the whole stream, a
+    replayed batch changes no bit EVEN under a fresh batch_id (OR is
+    idempotent — the property CMS lacks), and the folded filter prunes
+    facts exactly like the batch-built filter."""
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        bloom_prune,
+    )
+    from chinook_music_database_analysis_spark.streaming.sketches import (
+        batch_bloom,
+        bloom_words_from_log,
+        start_bloom_log_sink,
+        write_batch,
+    )
+
+    log, ckpt = str(tmp_path / "bloom_log"), str(tmp_path / "bloom_ckpt")
+    q = start_bloom_log_sink(
+        read_events_stream(spark, SF_TEST_DIR), "user_id", log, ckpt
+    )
+    q.awaitTermination()
+
+    events = spark.read.parquet(f"{SF_TEST_DIR}/events.parquet")
+    one_shot = {
+        r.word: r.bits for r in batch_bloom(events, "user_id").collect()
+    }
+    folded = {
+        r.word: r.bits for r in bloom_words_from_log(spark, log).collect()
+    }
+    assert folded == one_shot
+
+    # replay under a FRESH batch_id: OR-idempotent, no bit changes
+    write_batch(batch_bloom(events, "user_id"), 9999, log)
+    assert {
+        r.word: r.bits for r in bloom_words_from_log(spark, log).collect()
+    } == one_shot
+
+    # the folded filter prunes exactly like the batch-built one
+    probe = events.select("event_id", "user_id")
+    got = {
+        r.event_id
+        for r in bloom_prune(
+            probe, "user_id", bloom_words_from_log(spark, log)
+        ).collect()
+    }
+    want = {
+        r.event_id
+        for r in bloom_prune(
+            probe, "user_id", batch_bloom(events, "user_id")
+        ).collect()
+    }
+    assert got == want and len(got) == probe.count()  # every seen key passes
