@@ -22,25 +22,18 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 8 window: (0) the never-checked r8 registrations (the
-# portable md5-HLL audits, the corpus-version diff, the contrastive
-# negative miner, the histogram-quantile length report); (1) the
-# twenty-two r7 first-timers for their second
-# green (builders byte-unchanged except the four noted below — all
-# r8-mutated entries stay in-window by construction); (2) every
-# builder MUTATED in r8 — the capped knn graph (sim_knn_graph), the
-# hashed-shuffle dup-ngram stats (dd_dup_ngrams), the loud-refusal
-# containment router (dd_containment), and the IVF family touched by
-# the n_probe 3->4 raise (sim_ivf_topk, sim_ivf_stride_topk,
-# sim_pq_topk, sim_ivfpq_topk; sim_filtered_ivf_topk is already in
-# the first-timer block, as are the store-served scd2 fold
-# ev_scd2_incremental and the hint-dropped cur_line_dedup); (3) the
-# multiply-green r3/r5 entries displaced by the r7 window (q01_dupes,
-# sim_lsh/bruteforce, the ev_ streaming windows, tx_surprisal,
-# cur_contamination_report, tx_gopher_quality, dd_cross_simhash);
-# (4) stalest remainders last green r3/r5 (the mm_* multimodal
-# plumbing family, ev_dedup_first, the simhash pair, the q01/q03/q07
-# parity heads, ev_json_extract).
+# Round 8 window (late-session state): (0) ALL sixteen never-checked
+# r8 registrations — the ten late-session additions (count-min,
+# matryoshka, epoch batches, BPE merges, bloom prune, leakage-safe
+# split, CDC chunks + incremental ingest, IVF append audit, embedding
+# outlier audit) ahead of the six first-session ones (md5-HLL audits,
+# corpus diff, contrastive negatives, histogram quantiles); (1) the
+# twenty-two r7 first-timers for their second green; (2) every
+# builder MUTATED in r8 — the capped knn graph, the hashed-shuffle
+# dup-ngram stats, the loud-refusal containment router, and the IVF
+# family touched by the n_probe 3->4 raise; (3) whatever multiply-
+# green r3/r5 re-checks still fit in the 50 (the evicted cohort is
+# named below and is due back in r9).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
     # never driver-checked r8 additions (16)
@@ -117,8 +110,10 @@ def _rotate_window(first: list[str]) -> None:
 _rotate_window(_WINDOW_FIRST)
 
 # r8 NOTE: 50/50 slots.  r9 should lead with anything r9 mutates,
-# then the entries evicted by the r8 window whose last green is
-# oldest: the r7-mutated store family (tx_bm25_topk,
+# then the cohort evicted by the late-r8 additions (q01_dupes,
+# sim_lsh_topk, ev_tumbling_1h, ev_sliding_1h_30m, ev_sessionized,
+# tx_gopher_quality, the mm_media/resize/frame plumbing trio,
+# ev_dedup_first), then the r7-mutated store family (tx_bm25_topk,
 # dd_containment_scale, dd_minhash_estimate, cur_boilerplate,
 # s14_brand_pagerank, pipe_layout_rebuild, dd_dup_clusters), the r6
 # first-timers (cur_chunk, dq_documents_expectations,
