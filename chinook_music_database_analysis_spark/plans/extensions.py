@@ -3847,3 +3847,46 @@ def _register_sim_outlier_audit() -> None:
 
 
 _register_sim_outlier_audit()
+
+
+def _sql_soft_quality() -> str:
+    coin = (
+        "CAST('0x' || substr(md5('softq|' || CAST(doc_id AS VARCHAR)), 1, 4)"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH qc AS ({_sql_quality_classifier()})
+    SELECT doc_id, CAST(score_q AS BIGINT) AS score_q FROM qc
+    WHERE {coin} * 10000 < CAST(score_q AS BIGINT) * 65536
+    """
+
+
+@register("cur_soft_quality_sample", oracle=_sql_soft_quality())
+def cur_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering: each document's keep PROBABILITY is its
+    own quality score (score_q/10000) — the continuous CCNet-style
+    reweighting, where cur_curriculum_sample's three fixed tier rates
+    are the stepped approximation.  The coin is exact integer
+    arithmetic on both engines: keep iff
+    md5_bucket(doc_id) * 10000 < score_q * 65536 (bucket uniform on
+    0..65535), so membership is content-addressed — stable under
+    appends, re-runs, and any partitioning — and the achieved keep
+    rate converges to the corpus's mean quality.  Like the curriculum,
+    the classifier signals, score and coin all fuse into ONE
+    zero-shuffle codegen stage over the scan; there is no sort, no
+    sample(), no RNG state anywhere."""
+    from ..operators.text import quality_classifier
+
+    qc = quality_classifier(load_tables(spark, sf_dir)["documents"]).select(
+        "doc_id", F.col("score_q").cast("bigint").alias("score_q")
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("softq|"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return qc.filter(coin * 10000 < F.col("score_q") * 65536)

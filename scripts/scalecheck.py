@@ -215,6 +215,8 @@ QUERIES = {
     # r8: stored inverted file + broadcast centroid re-join + cell
     # stats + TakeOrdered — IVF-family build cost on fresh corpora
     "sim_outlier_audit": 1.7,
+    # r8: one zero-shuffle codegen stage (classifier + integer coin)
+    "cur_soft_quality_sample": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same

@@ -62,3 +62,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
             a[col] = pd.to_datetime(a[col]).astype("datetime64[us]")
             b[col] = pd.to_datetime(b[col]).astype("datetime64[us]")
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
+    # The driver's gate compares STRINGIFIED values, so a numerically
+    # equal result can still fail it on type drift — e.g. an uncast
+    # DuckDB SUM(BIGINT) lands in pandas as float and prints 4568.0
+    # against Spark's 4568 (caught live in r8 on three oracles).
+    # Enforce the same strictness here so the class can't recur.
+    assert a.astype(str).equals(b.astype(str)), (
+        f"{name}: values match numerically but stringified compare "
+        "differs — oracle/Spark type drift (cast the oracle aggregates)"
+    )
