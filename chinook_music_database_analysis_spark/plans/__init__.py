@@ -36,7 +36,7 @@ from . import scale_queries  # noqa: E402,F401
 # named below and is due back in r9).
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (17)
+    # never driver-checked r8 additions (18)
     "tx_cms_tokens",
     "sim_mrl_topk",
     "cur_epoch_batches",
@@ -48,6 +48,7 @@ _WINDOW_FIRST = [
     "sim_ivf_append",
     "sim_outlier_audit",
     "cur_soft_quality_sample",
+    "cur_length_buckets",
     "ev_hll_users",
     "tx_hll_vocab",
     "pipe_corpus_diff",
@@ -92,7 +93,6 @@ _WINDOW_FIRST = [
     # byte-unchanged, due back next rotation.
     "sim_bruteforce_topk",
     "tx_surprisal",
-    "dd_cross_simhash",
     "dd_simhash_pairs",
 ]
 

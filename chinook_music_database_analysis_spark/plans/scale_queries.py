@@ -1211,3 +1211,63 @@ def ev_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_false_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching waste report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cur_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT GREATEST(CAST(len(string_split_regex(trim(text), '\\s+'))
+                           AS BIGINT), 1) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT n_tokens,
+             CAST(POWER(2, CEIL(LOG2(n_tokens))) AS BIGINT) AS bucket_cap
+      FROM t
+    )
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) * bucket_cap AS BIGINT) AS capacity,
+           CAST((COUNT(*) * bucket_cap - SUM(n_tokens)) * 10000
+                // (COUNT(*) * bucket_cap) AS BIGINT) AS padding_q
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def cur_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report under power-of-2 length bucketing: every
+    document rounds up to the next 2^k token capacity (the
+    fixed-shape batches inference servers and non-packed training
+    loaders allocate), and each bucket reports its doc count, real
+    token volume, allocated capacity, and the 1e4 fixed-point padding
+    fraction — the number that decides between plain bucketing and
+    sequence packing (cur_pack eliminates this waste at the cost of
+    attention-mask plumbing).  bucket_cap = 2^ceil(log2(n)) is exact
+    on both engines: log2 of an int is correctly rounded IEEE and the
+    ceil/pow round-trip lands on exact powers of two far below the
+    double precision limit.  Plan: one narrow map + one bounded
+    (<= log2(max_len) buckets) aggregate — nothing scales past the
+    scan."""
+    t = load_tables(spark, sf_dir)["documents"].select(
+        F.greatest(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint"), F.lit(1)
+        ).alias("n_tokens")
+    )
+    b = t.withColumn(
+        "bucket_cap",
+        F.expr("CAST(POWER(2, CEIL(LOG2(n_tokens))) AS BIGINT)"),
+    )
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_cap")).cast("bigint").alias("capacity"),
+        F.expr(
+            "CAST((count(1) * bucket_cap - sum(n_tokens)) * 10000"
+            " DIV (count(1) * bucket_cap) AS BIGINT)"
+        ).alias("padding_q"),
+    )

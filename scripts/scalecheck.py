@@ -217,6 +217,8 @@ QUERIES = {
     "sim_outlier_audit": 1.7,
     # r8: one zero-shuffle codegen stage (classifier + integer coin)
     "cur_soft_quality_sample": 1.3,
+    # r8: narrow map + <= log2(max_len)-bucket aggregate
+    "cur_length_buckets": 1.3,
 }
 #: Store-backed queries (persisted-index relations): run once UNTIMED
 #: at each scale before the timed run, so both sides measure the same
