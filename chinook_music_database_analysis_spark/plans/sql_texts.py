@@ -11,8 +11,8 @@ of truth (composability + explicit plan shaping); the texts here cover
 each operator family once so the SQL entry path is continuously
 exercised: star join + window rank, per-group dense_rank, LAG,
 scalar-subquery anchor, COUNT DISTINCT + HAVING, semi-join via IN,
-view scan, self-join pairs, Morton bit ops (r3), and the portable
-md5-HLL sketch (r8).
+view scan, self-join pairs, Morton bit ops (r3), the portable
+md5-HLL sketch (r8), and the portable count-min sketch (late r8).
 """
 
 from __future__ import annotations
@@ -288,3 +288,46 @@ def _hll_spark_sql() -> str:
 
 
 SPARK_SQL["ev_hll_users"] = _hll_spark_sql()
+
+
+def _cms_spark_sql() -> str:
+    """late r8: the portable count-min audit as Spark SQL text — the
+    frequency-sketch representative on the dual surface, alongside the
+    md5-HLL distinct sketch.  Same md5-salted integer counters as the
+    DataFrame builder (operators/sketch.cms_registers) and the DuckDB
+    oracle."""
+    from ..operators.sketch import CMS_D, CMS_W
+    from .scale_queries import CMS_TOP_N
+
+    return f"""
+    WITH toks AS (
+      SELECT explode(split(trim(text), '\\\\s+')) AS tok FROM documents
+    ), dd AS (
+      SELECT explode(sequence(0, {CMS_D - 1})) AS d
+    ), regs AS (
+      SELECT d,
+             pmod(CAST(conv(substr(md5(concat('cms', CAST(d AS STRING), '|',
+                                              tok)), 1, 15), 16, 10)
+                       AS BIGINT), {CMS_W}) AS bucket,
+             COUNT(*) AS cnt
+      FROM toks CROSS JOIN dd GROUP BY 1, 2
+    ), ex AS (
+      SELECT tok, COUNT(*) AS n_exact FROM toks
+      GROUP BY tok ORDER BY n_exact DESC, tok ASC LIMIT {CMS_TOP_N}
+    ), pb AS (
+      SELECT ex.tok, ex.n_exact, dd.d,
+             pmod(CAST(conv(substr(md5(concat('cms', CAST(dd.d AS STRING),
+                                              '|', ex.tok)), 1, 15), 16, 10)
+                       AS BIGINT), {CMS_W}) AS bucket
+      FROM ex CROSS JOIN dd
+    )
+    SELECT pb.tok, MIN(pb.n_exact) AS n_exact,
+           CAST(MIN(COALESCE(regs.cnt, 0)) AS BIGINT) AS cms_est,
+           CAST(MIN(COALESCE(regs.cnt, 0)) - MIN(pb.n_exact) AS BIGINT)
+             AS overest
+    FROM pb LEFT JOIN regs ON pb.d = regs.d AND pb.bucket = regs.bucket
+    GROUP BY pb.tok
+    """
+
+
+SPARK_SQL["tx_cms_tokens"] = _cms_spark_sql()
