@@ -45,12 +45,12 @@ N_TABLES = 4
 #: extend the range (it only adds build-time literals).
 MAX_PLANES = 20
 
-#: how many nearest cells an IVF query probes.  4 (r8, from 3): the
-#: 10x clustered probe measured recall@5 0.80 -> 0.86 for one more
-#: probed cell per query — probe cost is |q| x n_probe x cell size,
-#: still ~sqrt(N) per query; a 3rd Lloyd iteration was measured to add
-#: nothing (0.860 either way), so the knob that pays is the probe.
-IVF_N_PROBE = 4
+#: how many nearest cells an IVF query probes.  5 (r9, from 4): the
+#: 10x clustered probe measured recall@5 0.80 (3) -> 0.86 (4) ->
+#: 0.90+ (5) — probe cost stays |q| x n_probe x cell size, ~sqrt(N)
+#: per query; a 3rd Lloyd iteration was measured to add nothing
+#: (0.860 either way), so the knob that pays is the probe.
+IVF_N_PROBE = 5
 
 #: embedding dimensionality of the driver corpus (asserted at runtime
 #: by zip_with producing nulls on mismatch).
@@ -302,12 +302,65 @@ def with_norms(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding", _norm("embedding").alias("norm"))
 
 
+#: per-bucket candidate window for the near-dup PAIR sweep — the same
+#: occupancy cap :func:`knn_graph` carries (r9; its r8 fix pattern,
+#: applied here after the 10x hot-corpus probe measured the uncapped
+#: bucket self-join at 22.9x).  Within each (tbl, bucket) a member
+#: pairs only with its PAIR_WINDOW successors in the table's
+#: deterministic md5 shuffle order, so a bucket of occupancy m yields
+#: m*window candidate pairs instead of m^2 and total candidates are
+#: <= N*window*N_TABLES whatever the occupancy distribution.  Buckets
+#: with occupancy <= window+1 (the common case under corpus-scaled
+#: bits) still yield their COMPLETE pair set, and a pair missed by one
+#: table's window is independently retried by every other table it
+#: co-buckets in.  The DuckDB oracle mirrors the cap exactly, so the
+#: gate stays a hash-match, never a recall hope.
+PAIR_WINDOW = 16
+
+
+def _bucket_windowed_pairs(buckets: DataFrame, window: int) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs from the occupancy-capped
+    per-bucket positional window — the shared candidate stage of
+    :func:`embedding_near_dup_pairs` and (directionally, pre-
+    symmetrization) :func:`knn_graph`.  Plan shape: one row_number
+    window per (tbl, bucket), an explode of a bounded integer
+    sequence, and an EQUI-join back on (tbl, bucket, pos) — no
+    non-equi join, no occupancy^2 blowup."""
+    order_key = F.md5(
+        F.concat_ws(":", F.col("tbl").cast("string"), F.col("vec_id").cast("string"))
+    )
+    posed = buckets.select(
+        "tbl",
+        "bucket",
+        "vec_id",
+        F.row_number()
+        .over(Window.partitionBy("tbl", "bucket").orderBy(order_key, F.col("vec_id")))
+        .alias("pos"),
+    )
+    lhs = posed.select(
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("va"),
+        F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + F.lit(window))).alias(
+            "pos"
+        ),
+    )
+    fwd = lhs.join(
+        posed.select("tbl", "bucket", "pos", F.col("vec_id").alias("vb")),
+        ["tbl", "bucket", "pos"],
+    )
+    return fwd.select(
+        F.least("va", "vb").alias("vec_a"), F.greatest("va", "vb").alias("vec_b")
+    ).distinct()
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.2,
     n_bits: int | None = None,
     buckets: DataFrame | None = None,
     norms: DataFrame | None = None,
+    window: int = PAIR_WINDOW,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space analog
     of minhash dedup: candidates meet only inside an LSH bucket (any of
@@ -317,6 +370,17 @@ def embedding_near_dup_pairs(
     a count at plan-build time — the same one-scan parameter derivation
     an ANALYZE/stats pass does), so expected candidates stay ~linear in
     N; the multi-table union buys back the recall that more bits cost.
+
+    r9: candidates are additionally OCCUPANCY-CAPPED by the per-bucket
+    positional window (:data:`PAIR_WINDOW` — the proven knn_graph
+    pattern at similarity.py knn_graph), because corpus-scaled bits
+    bound EXPECTED occupancy but a clustered corpus concentrates mass
+    into hot buckets, and a hot bucket made the uncapped self-join go
+    occupancy^2 (measured 22.9x at the 10x probe).  Capped, total
+    candidates are <= N*window*N_TABLES; benign buckets (occupancy <=
+    window+1) still emit their complete pair set, so at driver scales
+    the capped sweep IS the uncapped sweep.  The oracle mirrors the
+    cap bit-for-bit.
 
     The threshold is corpus-relative (the driver's synthetic embeddings
     are near-orthogonal, so 0.2 is 'suspiciously similar' there; a real
@@ -329,14 +393,7 @@ def embedding_near_dup_pairs(
     if buckets is None:
         b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
         buckets = lsh_buckets(emb, b)
-    bk = buckets
-    cand = (
-        bk.alias("a")
-        .join(bk.alias("b"), ["tbl", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()  # a pair may collide in several tables
-    )
+    cand = _bucket_windowed_pairs(buckets, window)
     wn = with_norms(emb) if norms is None else norms
     return (
         cand.join(
@@ -479,6 +536,54 @@ def knn_graph(
     )
 
 
+#: sparse-vs-dense cutover for :func:`range_search`: the LSH probe is
+#: taken only while its candidate upper bound (sum of corpus occupancy
+#: over the query vectors' buckets) stays under this fraction of the
+#: dense exact scan's |q| x N row count.  Past that point the "pruned"
+#: probe is touching a comparable share of the corpus anyway — paying
+#: bucket-join + distinct on top of the scoring — so the router takes
+#: the broadcast dense scan instead: exact (recall 1.0, a SUPERSET of
+#: the banded result), linear in N for a fixed query set, zero
+#: shuffles.  This is the containment router's stats-first pattern
+#: (dedup.containment_join_stats) with a cheaper escape hatch: where
+#: the capped containment path LOSES recall and must refuse loudly,
+#: the dense radius scan GAINS recall, so auto-routing is honest.
+RANGE_DENSE_CUTOVER = 0.5
+
+
+def range_probe_stats(buckets: DataFrame, n_queries: int) -> tuple[int, int]:
+    """(corpus_size, candidate_upper) for the radius-search router.
+
+    ``candidate_upper`` = sum over (tbl, bucket) cells of the cell's
+    corpus occupancy x the number of QUERY vectors in the cell — the
+    EXACT row count of the probe join before distinct (each query
+    member of a cell pairs with every corpus member of it), computable
+    from one two-level hash-agg over the (cached) signature relation,
+    no pair join.  ``corpus_size`` falls out of the same pass
+    (signature rows / N_TABLES).  This is the ANALYZE-style stats pass
+    a production run does before choosing the pruned vs dense radius
+    path — the same df-histogram trick dedup.containment_join_stats
+    uses for the inverted-file router.
+    """
+    row = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.sum(
+                F.when(F.col("vec_id") < n_queries, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_q_in"),
+        )
+        .agg(
+            F.sum("occ").alias("sig_rows"),
+            F.coalesce(F.sum(F.col("occ") * F.col("n_q_in")), F.lit(0)).alias(
+                "cand_upper"
+            ),
+        )
+        .collect()[0]
+    )
+    return int(row["sig_rows"] or 0) // N_TABLES, int(row["cand_upper"])
+
+
 def range_search(
     emb: DataFrame,
     tau: float = 0.2,
@@ -502,9 +607,44 @@ def range_search(
     which the multi-table union makes improbable at the radius of
     interest (and the oracle replicates the banding, so the gate is
     exact).
+
+    r9 ROUTER: on a clustered corpus the query vectors land in HOT
+    buckets and the probe's candidate set approaches |q| x N — the
+    bucket machinery then only adds cost over scanning.  A stats pass
+    (:func:`range_probe_stats`, one hash-agg over the cached signature
+    relation) measures the probe's exact pre-distinct row count first;
+    when it exceeds :data:`RANGE_DENSE_CUTOVER` x |q| x N the router
+    takes the broadcast dense scan — same schema, EXACT semantics
+    (recall 1.0, a superset of the banded contract), linear cost, no
+    silent degradation in either direction.  Driver-shaped corpora
+    (near-orthogonal, corpus-scaled bits) stay on the pruned path,
+    which is what the registered oracle replicates.
     """
     if buckets is None:
         buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
+    wn = with_norms(emb) if norms is None else norms
+    n_corpus, cand_upper = range_probe_stats(buckets, n_queries)
+    if cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus:
+        q = wn.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        return (
+            wn.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("norm").alias("n_norm"),
+            )
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                _cos("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= tau)
+        )
     qb = buckets.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -514,7 +654,6 @@ def range_search(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    wn = with_norms(emb) if norms is None else norms
     return (
         cand.join(
             wn.select(
@@ -928,11 +1067,24 @@ def lsh_topk(
 
     ``buckets``/``norms`` accept prebuilt (cached) relations shared
     with the near-dup path.
+
+    r9: same stats-first router as :func:`range_search` — when the
+    query vectors land in hot buckets (probe rows >=
+    :data:`RANGE_DENSE_CUTOVER` x |q| x N, measured exactly by
+    :func:`range_probe_stats` before any pair join), the bucket
+    machinery only adds cost over scanning, so the router answers
+    with the exact brute-force top-k instead (recall 1.0 — the
+    approximate contract's candidate set was about to be ~the whole
+    corpus anyway).  Driver-shaped corpora stay on the pruned path
+    the registered oracle replicates.
     """
     if buckets is None:
         b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
         buckets = lsh_buckets(emb, b)
     bk = buckets
+    n_corpus, cand_upper = range_probe_stats(bk, n_queries)
+    if cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus:
+        return cosine_topk(emb, n_queries=n_queries, k=k)
     q_bk = bk.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )

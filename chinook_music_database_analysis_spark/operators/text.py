@@ -750,3 +750,119 @@ def rrf_fuse(
         .filter(F.col("rank") <= top_k)
         .select(group_col, id_col, "rrf_score", "n_lists", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction: merge learning + merge-table application.
+#
+# tx_bpe_merges (plans/scale_queries.py) counts first-round merge
+# candidates; these operators close the loop (r9): learn R merges by
+# the classic greedy re-count (Sennrich et al., ACL 2016) and APPLY
+# each to re-segment the corpus, reporting the compression the merge
+# table buys.  The scale invariant is the same dictionary split the
+# count pass uses: after the one corpus-shuffle token count, every
+# round touches only the DISTINCT-WORD dictionary weighted by counts —
+# at 100 TB the corpus is trillions of tokens but the dictionary is
+# millions of rows, so R merge rounds cost R dictionary sweeps, never
+# R corpus passes.
+# ---------------------------------------------------------------------------
+
+#: symbol separator inside a word's segmentation string.  A control
+#: char that cannot appear in whitespace-split corpus tokens, so
+#: whole-symbol boundary checks are exact (no Sennrich-style regex
+#: lookbehind needed — ASCII 0x1f is not produced by any tokenizer).
+BPE_SEP = "\x1f"
+
+
+def bpe_initial_seq(tok: Column) -> Column:
+    """Character-level segmentation of one word: its chars joined by
+    :data:`BPE_SEP` (round 0 of BPE — every symbol is one char)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok)), lambda i: F.substring(tok, i, 1)
+        ),
+        BPE_SEP,
+    )
+
+
+def bpe_pair_counts(seq_df: DataFrame) -> DataFrame:
+    """(x, y, n_pair): adjacent-symbol pair frequencies over the
+    dictionary, weighted by word count — the statistic one greedy
+    merge round argmaxes over.  Dictionary-sized: the explode emits
+    (symbols-1) rows per DISTINCT word."""
+    syms = F.split(F.col("seq"), BPE_SEP)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("x"),
+            F.element_at(syms, i + 1).alias("y"),
+        ),
+    )
+    return (
+        seq_df.filter(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.sum("cnt").cast("bigint").alias("n_pair"))
+    )
+
+
+def bpe_merge_expr(seq: Column, x: str, y: str) -> Column:
+    """Apply ONE merge (x, y) -> xy to a segmentation string, exactly
+    BPE's left-to-right non-overlapping scan.  Implemented as a fold
+    over the symbol list with the segmentation STRING as state: when
+    the incoming symbol is ``y`` and the state's last WHOLE symbol is
+    ``x`` (equality or a sep-boundary-guarded suffix — never a partial
+    symbol match), append without a separator, fusing them.  A fused
+    symbol is strictly longer than ``x``, so it can never re-match as
+    the left side within the same round — the fold IS the scan.  The
+    identical fold runs in the DuckDB oracle (list_reduce), so learned
+    merges are bit-comparable across engines."""
+    syms = F.split(seq, BPE_SEP)
+    init = F.element_at(syms, 1)
+    rest = F.slice(syms, F.lit(2), F.greatest(F.size(syms) - 1, F.lit(0)))
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (s == F.lit(y)) & (
+            (acc == F.lit(x)) | acc.endswith(F.lit(BPE_SEP + x))
+        )
+        return F.when(hit, F.concat(acc, s)).otherwise(
+            F.concat(acc, F.lit(BPE_SEP), s)
+        )
+
+    return F.aggregate(rest, init, step)
+
+
+def bpe_train(wc: DataFrame, rounds: int) -> list[dict]:
+    """Greedy BPE training over a (tok, cnt) dictionary: ``rounds``
+    iterations of count-pairs -> argmax -> apply-merge.  Returns the
+    merge table [{rnd, x, y, n_pair, seq_df}, ...] where ``seq_df`` is
+    the dictionary segmentation AFTER that round's merge (lazy — one
+    narrow fold per round over the cached dictionary).
+
+    The per-round argmax is a 1-row collect (the ANALYZE-pattern
+    scalar every iterative operator here uses — PageRank's supersteps,
+    k-means' Lloyd steps); ties break deterministically on
+    (n_pair DESC, x, y) so both engines learn the same table.
+    """
+    seq = wc.select("tok", "cnt", bpe_initial_seq(F.col("tok")).alias("seq"))
+    table: list[dict] = []
+    for rnd in range(1, rounds + 1):
+        best = (
+            bpe_pair_counts(seq)
+            .orderBy(F.col("n_pair").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise RuntimeError(
+                f"BPE round {rnd}: no adjacent pairs left in the dictionary "
+                f"(every word fully merged) — lower rounds below {rounds}"
+            )
+        b = best[0]
+        seq = seq.select(
+            "tok", "cnt", bpe_merge_expr(F.col("seq"), b["x"], b["y"]).alias("seq")
+        )
+        table.append(
+            {"rnd": rnd, "x": b["x"], "y": b["y"], "n_pair": int(b["n_pair"]), "seq_df": seq}
+        )
+    return table

@@ -22,78 +22,73 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 8 window (late-session state): (0) ALL sixteen never-checked
-# r8 registrations — the ten late-session additions (count-min,
-# matryoshka, epoch batches, BPE merges, bloom prune, leakage-safe
-# split, CDC chunks + incremental ingest, IVF append audit, embedding
-# outlier audit) ahead of the six first-session ones (md5-HLL audits,
-# corpus diff, contrastive negatives, histogram quantiles); (1) the
-# twenty-two r7 first-timers for their second green; (2) every
-# builder MUTATED in r8 — the capped knn graph, the hashed-shuffle
-# dup-ngram stats, the loud-refusal containment router, and the IVF
-# family touched by the n_probe 3->4 raise; (3) whatever multiply-
-# green r3/r5 re-checks still fit in the 50 (the evicted cohort is
-# named below and is due back in r9).
+# Round 9 window: (0) the never-checked r9 registration
+# (tx_bpe_encode) and the two r9-rewritten weak-fix builders
+# (dd_embedding_cosine — occupancy-capped window, oracle mirrored;
+# sim_range_search — stats-first dense router); (1) the four IVF
+# consumers mutated by the n_probe 4->5 raise; (2) the ENTIRE SURVEY
+# §2.12 parity cohort (q01..q20 + s01..s15 — 43 queries), due back
+# per the r8 eviction note: they are byte-frozen and union-green but
+# their most recent driver row was r7 or earlier, and §2 rows should
+# never be two rounds stale.  That fills the 50 exactly; the r8 NOTE's
+# other due-backs (sim_lsh_topk, the tumbling/sliding/session trio,
+# the mm plumbing trio, the r7 store family, the r6 first-timers)
+# are multiply-green and rotate back in r10.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # never driver-checked r8 additions (18)
-    "tx_cms_tokens",
-    "sim_mrl_topk",
-    "cur_epoch_batches",
-    "tx_bpe_merges",
-    "ev_bloom_prune",
-    "cur_leakage_safe_split",
-    "dd_cdc_chunks",
-    "dd_cdc_incremental",
-    "sim_ivf_append",
-    "sim_outlier_audit",
-    "cur_soft_quality_sample",
-    "cur_length_buckets",
-    "ev_hll_users",
-    "tx_hll_vocab",
-    "pipe_corpus_diff",
-    "pipe_contrastive_negatives",
-    "tx_length_quantiles",
-    "ev_hll_overlap",
-    # r7 first-timers, second green (22)
-    "cur_domain_cap",
-    "tx_quality_classifier",
-    "ev_scd2_user_state",
-    "ev_scd2_pit_lookup",
-    "cur_line_dedup",
-    "ev_heavy_keys",
-    "cur_curriculum_sample",
-    "cur_corpus_health",
-    "cur_diverse_sample",
-    "mm_phash_clusters",
-    "sim_filtered_topk",
-    "ev_scd2_incremental",
-    "ev_scd2_snapshot",
-    "ev_state_durations",
-    "sim_filtered_ivf_topk",
-    "tx_lang_confusion",
-    "tx_hybrid_rrf",
-    "tx_hybrid_batch",
-    "tx_bm25_batch",
-    "pipe_rag_index",
-    "mm_phash",
-    "mm_phash_pairs",
-    # r8-mutated builders not already above (7)
-    "sim_knn_graph",
-    "dd_dup_ngrams",
-    "dd_containment",
+    # never driver-checked r9 addition + r9-rewritten weak fixes (3)
+    "tx_bpe_encode",
+    "dd_embedding_cosine",
+    "sim_range_search",
+    # mutated by the r9 IVF_N_PROBE 4 -> 5 raise (4)
     "sim_ivf_topk",
     "sim_ivf_stride_topk",
-    "sim_pq_topk",
     "sim_ivfpq_topk",
-    # displaced multiply-green r3/r5 entries (7) — q01_dupes,
-    # sim_lsh_topk, ev_tumbling_1h, tx_gopher_quality, the mm_*
-    # plumbing trio, and ev_dedup_first rotate out this round to make
-    # room for the late-r8 additions; each is multiply-green and
-    # byte-unchanged, due back next rotation.
-    "sim_bruteforce_topk",
-    "tx_surprisal",
-    "dd_simhash_pairs",
+    "sim_filtered_ivf_topk",
+    # SURVEY §2.12 parity cohort, due back from the r8 eviction (43)
+    "q01_dupes",
+    "q01_nulls",
+    "q02_top_parts_nation0",
+    "q03_demographics",
+    "q03b_segment_geo",
+    "q04_rev_by_geo",
+    "q04b_topk_nations",
+    "q04c_rollup_geo",
+    "q04d_cube_geo",
+    "q04e_grouping_sets",
+    "q05_top5_cust_per_nation",
+    "q06_top_part_per_cust",
+    "q07_purchase_trends",
+    "q08_churn_rate",
+    "q09_type_pct_nation0",
+    "q09b_top_brands_top_types",
+    "q10_multi_type_cust",
+    "q10b_approx_distinct",
+    "q11_type_rank_nation0",
+    "q12_inactive_3mo",
+    "q13_no_big_order",
+    "q13b_not_in_null_aware",
+    "q14_rolling_90d_spend",
+    "q15_spend_distribution",
+    "q16_order_value_frames",
+    "q17_top_spender_maxby",
+    "q18_price_profile_arrays",
+    "q20_stats_profile",
+    "s01_brand_promo",
+    "s02_intl_types",
+    "s03_old_vs_new",
+    "s04_affinity_brands",
+    "s04_affinity_types",
+    "s04_affinity_types_scaled",
+    "s05_regional_churn",
+    "s06_risk_profile",
+    "s07_clv_segments",
+    "s10_add_column",
+    "s11_geo_behavior",
+    "s12_retention_setops",
+    "s13_zorder_locality",
+    "s14_brand_pagerank",
+    "s15_skew_salted",
 ]
 
 
@@ -109,15 +104,19 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r8 NOTE: 50/50 slots.  r9 should lead with anything r9 mutates,
-# then the cohort evicted by the late-r8 additions (q01_dupes,
+# r9 NOTE: 50/50 slots.  r10 should lead with anything r10 mutates
+# plus the one never-driver-checked r9 registration that did not fit
+# (tx_bpe_source_tokens — pytest- and sweep-green, sharing its CTE
+# machinery with the window's tx_bpe_encode), then the multiply-green
+# due-backs the parity cohort displaced:
 # sim_lsh_topk, ev_tumbling_1h, ev_sliding_1h_30m, ev_sessionized,
 # tx_gopher_quality, the mm_media/resize/frame plumbing trio,
-# ev_dedup_first), then the r7-mutated store family (tx_bm25_topk,
+# ev_dedup_first, the r7-mutated store family (tx_bm25_topk,
 # dd_containment_scale, dd_minhash_estimate, cur_boilerplate,
-# s14_brand_pagerank, pipe_layout_rebuild, dd_dup_clusters), the r6
-# first-timers (cur_chunk, dq_documents_expectations,
-# ev_cdc_latest_state, ev_watermark_audit, pipe_filter_funnel,
-# s15_skew_salted), and the s01-s10 scale suite (last green r7).
+# pipe_layout_rebuild, dd_dup_clusters), the r6 first-timers
+# (cur_chunk, dq_documents_expectations, ev_cdc_latest_state,
+# ev_watermark_audit, pipe_filter_funnel), and then the oldest
+# remaining r2-r5 greens (tx_tfidf, cur_pack/mix family, ev_json_*,
+# dd_cross_simhash, sim_sq8_topk, ...).
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1967,7 +1967,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: banded multi-table sign-projection LSH with
     corpus-scaled bucket bits + exact scoring over the candidate union
     (the scale path; recall < 1 by design).  Bucket and norm relations
-    are the cached signature tables shared with dd_embedding_cosine."""
+    are the cached signature tables shared with dd_embedding_cosine.
+    r9: the range_search stats-first router guards this too — on a
+    hot-bucket corpus the probe would score ~the whole corpus through
+    a join, so it answers with the exact broadcast scan instead
+    (recall 1.0); driver corpora stay on the pruned path this oracle
+    replicates."""
     return lsh_topk(
         load_tables(spark, sf_dir)["embeddings"],
         buckets=_emb_buckets(spark, sf_dir),
@@ -2031,35 +2036,55 @@ def _register_knn_graph() -> None:
 _register_knn_graph()
 
 
-@register(
-    "dd_embedding_cosine",
-    oracle=f"""
-    WITH {_SQL_LSH_BUCKETS},
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bkts a
-      JOIN bkts b ON b.tbl = a.tbl AND b.bucket = a.bucket AND a.vec_id < b.vec_id
-    ), p AS (
-      SELECT c.vec_a, c.vec_b,
-             {_sql_cos('ea.embedding', 'eb.embedding')} AS cos_sim
-      FROM cand c
-      JOIN embeddings ea ON ea.vec_id = c.vec_a
-      JOIN embeddings eb ON eb.vec_id = c.vec_b
+def _register_embedding_cosine() -> None:
+    from ..operators.similarity import PAIR_WINDOW
+
+    @register(
+        "dd_embedding_cosine",
+        oracle=f"""
+        WITH {_SQL_LSH_BUCKETS},
+        posed AS (
+          SELECT tbl, bucket, vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tbl, bucket
+                   ORDER BY md5(CAST(tbl AS VARCHAR) || ':' ||
+                                CAST(vec_id AS VARCHAR)), vec_id) AS pos
+          FROM bkts
+        ), fwd AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM posed a
+          JOIN posed b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                      AND b.pos BETWEEN a.pos + 1 AND a.pos + {PAIR_WINDOW}
+        ), cand AS (
+          SELECT DISTINCT LEAST(va, vb) AS vec_a, GREATEST(va, vb) AS vec_b
+          FROM fwd
+        ), p AS (
+          SELECT c.vec_a, c.vec_b,
+                 {_sql_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.vec_a
+          JOIN embeddings eb ON eb.vec_id = c.vec_b
+        )
+        SELECT * FROM p WHERE cos_sim >= 0.2
+        """,
     )
-    SELECT * FROM p WHERE cos_sim >= 0.2
-    """,
-)
-def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: multi-table LSH candidates
-    (corpus-scaled bucket bits, linear expected candidate count) +
-    exact cosine threshold (the vector analog of minhash dedup).
-    Bucket and norm relations are the cached signature tables shared
-    with sim_lsh_topk."""
-    return embedding_near_dup_pairs(
-        load_tables(spark, sf_dir)["embeddings"],
-        buckets=_emb_buckets(spark, sf_dir),
-        norms=_emb_norms(spark, sf_dir),
-    )
+    def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-cosine near-dup pairs: multi-table LSH candidates
+        (corpus-scaled bucket bits, linear expected candidate count),
+        OCCUPANCY-CAPPED by the per-bucket positional window (r9 — the
+        knn_graph pattern, PAIR_WINDOW successors in the per-table md5
+        shuffle order, cap mirrored in the oracle), + exact cosine
+        threshold (the vector analog of minhash dedup).  Bucket and
+        norm relations are the cached signature tables shared with
+        sim_lsh_topk."""
+        return embedding_near_dup_pairs(
+            load_tables(spark, sf_dir)["embeddings"],
+            buckets=_emb_buckets(spark, sf_dir),
+            norms=_emb_norms(spark, sf_dir),
+        )
+
+
+_register_embedding_cosine()
 
 
 @register(
@@ -2086,7 +2111,12 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector (vec_id < 10) — the unbounded-k companion of the
     top-k family, answered from the same cached LSH signature tables;
     the query-side bucket slice is broadcast, so the corpus signature
-    relation is probed in place."""
+    relation is probed in place.  r9: a stats-first router
+    (similarity.range_probe_stats) measures the probe's exact
+    pre-distinct candidate count and switches to the broadcast dense
+    scan (exact, linear, a SUPERSET of the banded contract) when the
+    query vectors land in hot buckets — driver-shaped corpora stay on
+    the pruned path this oracle replicates."""
     from ..operators.similarity import range_search
 
     return range_search(

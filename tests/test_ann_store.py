@@ -442,3 +442,107 @@ def test_ivf_append_audit_is_not_degenerate(spark):
     n = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet").count()
     assert n_base + n_app == n
     assert abs(n_app / n - 0.2) < 0.02
+
+
+def test_pair_window_cap_complete_on_benign_buckets(spark):
+    """r9 occupancy cap (the knn_graph pattern applied to the near-dup
+    pair sweep): on buckets with occupancy <= PAIR_WINDOW + 1 the
+    capped candidate set IS the full bucket self-join's, so the driver
+    corpus loses nothing; and on a pathological one-cluster corpus the
+    candidate count respects the N*window*tables bound instead of
+    going occupancy^2."""
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        N_TABLES,
+        _bucket_windowed_pairs,
+        lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    n_bits = lsh_n_bits(emb.count())
+    capped = embedding_near_dup_pairs(emb, n_bits=n_bits)
+    # window >= corpus size == the uncapped full self-join
+    full = embedding_near_dup_pairs(emb, n_bits=n_bits, window=10**6)
+    assert _pairs_set(capped) == _pairs_set(full)
+
+    # pathological: every vector in ONE bucket per table (identical
+    # embeddings) -> full join would be N^2/2 pairs; the window keeps
+    # candidates <= N * window * tables.
+    n, window = 200, 16
+    hot = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> CAST(1.0 AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    cand = _bucket_windowed_pairs(lsh_buckets(hot, 4), window)
+    n_cand = cand.count()
+    assert n_cand <= n * window * N_TABLES
+    assert n_cand < n * (n - 1) // 2  # strictly below the self-join
+
+
+def test_range_search_router_sparse_on_driver_dense_on_hot(spark):
+    """The r9 stats-first radius router: driver-shaped corpora stay on
+    the pruned LSH path (what the registered oracle replicates); a
+    one-cluster corpus whose query buckets run hot takes the broadcast
+    dense scan, whose result is EXACTLY the brute-force radius answer
+    (recall 1.0 — a superset of the banded contract, never less)."""
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        RANGE_DENSE_CUTOVER,
+        lsh_buckets,
+        range_probe_stats,
+        range_search,
+        with_norms,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    n_q = 10
+    buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
+    n_corpus, cand_upper = range_probe_stats(buckets, n_q)
+    assert n_corpus == emb.count()
+    assert cand_upper < RANGE_DENSE_CUTOVER * n_q * n_corpus
+    plan = range_search(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # pruned path
+
+    # one tight cluster -> every query bucket holds the whole corpus
+    n = 120
+    hot = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8),"
+            " i -> CAST(1.0 + id * 0.0001 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    hb = lsh_buckets(hot, 4)
+    hn, hc = range_probe_stats(hb, n_q)
+    assert hc >= RANGE_DENSE_CUTOVER * n_q * hn
+    dense = range_search(hot, tau=0.5, n_queries=n_q)
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # dense route engaged
+
+    # dense == exact brute-force radius answer
+    wn = with_norms(hot)
+    q = wn.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    from chinook_music_database_analysis_spark.operators.similarity import _cos
+
+    exact = (
+        wn.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("norm").alias("n_norm"),
+        )
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+    )
+    got = {(r.query_id, r.neighbor_id, r.cos_sim) for r in dense.collect()}
+    want = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
+    assert got == want

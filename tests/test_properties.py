@@ -1017,3 +1017,54 @@ def test_knn_graph_cap_is_transparent_on_small_buckets(spark):
         .collect()
     }
     assert capped == uncapped and capped
+
+
+def test_bpe_merge_fold_is_left_to_right_bpe(spark):
+    """The fold-with-string-state merge (operators.text.bpe_merge_expr)
+    must reproduce BPE's left-to-right non-overlapping scan exactly —
+    including the classic traps: odd runs ('aaa' + (a,a) -> [aa, a],
+    never [a, aa]), even runs ('aaaa' -> [aa, aa]), created symbols
+    never re-matching as the LEFT side within the same round, and
+    multi-char symbols only matching WHOLE symbols (no suffix
+    collisions across the separator)."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.text import (
+        BPE_SEP,
+        bpe_initial_seq,
+        bpe_merge_expr,
+    )
+
+    def ref_merge(syms: list[str], x: str, y: str) -> list[str]:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = ["aaa", "aaaa", "aa", "a", "ababab", "banana", "zxy", "xyxy"]
+    df = spark.createDataFrame([(w,) for w in words], ["tok"]).select(
+        "tok", bpe_initial_seq(F.col("tok")).alias("seq")
+    )
+    for x, y in [("a", "a"), ("a", "b"), ("b", "a"), ("x", "y")]:
+        got = {
+            r.tok: r.m.split(BPE_SEP)
+            for r in df.select(
+                "tok", bpe_merge_expr(F.col("seq"), x, y).alias("m")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == ref_merge(list(w), x, y), (w, x, y, got[w])
+
+    # second round on multi-char symbols: 'zx' + 'y' must NOT match a
+    # merge of ('x', 'y') — whole-symbol boundaries only.
+    two = spark.createDataFrame([("zx" + BPE_SEP + "y",)], ["seq"])
+    merged = two.select(bpe_merge_expr(F.col("seq"), "x", "y").alias("m")).collect()
+    assert merged[0].m == "zx" + BPE_SEP + "y"
+    # ...while a real ('zx', 'y') adjacency does merge.
+    merged = two.select(bpe_merge_expr(F.col("seq"), "zx", "y").alias("m")).collect()
+    assert merged[0].m == "zxy"
