@@ -177,8 +177,19 @@ MRL_DIM = 32
 #: candidates kept per query after the coarse pass, re-ranked with the
 #: full vector.  recall@k degrades smoothly with this knob — the same
 #: shortlist/rerank split PQ serving uses (PQ_RERANK), without needing
-#: any trained codebook.
+#: any trained codebook.  This is the FLOOR: the effective shortlist is
+#: max(MRL_SHORTLIST, MRL_SHORTLIST_SQRT_MULT * ceil(sqrt(N))) — a
+#: fixed depth over a growing corpus dilutes coarse recall (measured
+#: on the clustered 20k probe corpus: 100 -> 0.76, 2*sqrt(N)=284 ->
+#: 0.92), and sqrt(N) is the same sublinear growth rule the IVF cell
+#: count uses, keeping rerank cost |q| x O(sqrt(N)).
 MRL_SHORTLIST = 100
+
+#: multiplier on ceil(sqrt(N)) for the corpus-scaled shortlist depth.
+#: 2 measured: sqrt(N)=142 -> 0.84, 2*sqrt(N)=284 -> 0.92 recall@5 on
+#: the clustered 10x probe; at driver scales (<= 2500 vectors) the
+#: MRL_SHORTLIST floor dominates, so registered results are unchanged.
+MRL_SHORTLIST_SQRT_MULT = 2
 
 
 def mrl_topk(
@@ -186,7 +197,7 @@ def mrl_topk(
     n_queries: int = 10,
     k: int = 5,
     prefix_dim: int = MRL_DIM,
-    shortlist: int = MRL_SHORTLIST,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Two-stage matryoshka retrieval: coarse cosine over the first
     ``prefix_dim`` dimensions keeps a ``shortlist`` per query, then the
@@ -209,7 +220,19 @@ def mrl_topk(
     candidate set is engine-independent (same reason cosine_topk
     rounds): the rounded prefix cosine plus neighbor_id tie-break
     makes both stages exactly reproducible in the DuckDB oracle.
+
+    ``shortlist=None`` (the default) takes the corpus-scaled depth
+    max(MRL_SHORTLIST, MRL_SHORTLIST_SQRT_MULT * ceil(sqrt(N))) — the
+    count is the one ANALYZE-pattern scalar of the operator (cheap on
+    the cached corpus relation; at 100 TB it is a catalog statistic).
     """
+    if shortlist is None:
+        import math as _math
+
+        shortlist = max(
+            MRL_SHORTLIST,
+            MRL_SHORTLIST_SQRT_MULT * _math.ceil(_math.sqrt(emb.count())),
+        )
     pre = f"slice(embedding, 1, {prefix_dim})"
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

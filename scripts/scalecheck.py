@@ -535,9 +535,10 @@ def main() -> int:
     if r_ivfpq < 0.6:
         failures.append(("ivfpq_recall_floor", r_ivfpq, 0.6))
 
-    # Matryoshka floor: the half-width prefix + 100-deep shortlist
-    # must hold recall on the clustered corpus too (measured 0.92/0.96
-    # on the flat sf0.001/sf0.01 corpora).
+    # Matryoshka floor: the half-width prefix + sqrt-scaled shortlist
+    # (max(100, 2*ceil(sqrt(N))) — r9: a FIXED 100 diluted to 0.76 on
+    # this 20k corpus; 284 measures 0.92) must hold recall on the
+    # clustered corpus too (0.92/0.96 on the flat sf0.001/sf0.01).
     r_mrl = recall("sim_mrl_topk")
     print(f"mrl recall@5 (clustered {args.factor}x corpus): {r_mrl:.3f}")
     if r_mrl < 0.8:
