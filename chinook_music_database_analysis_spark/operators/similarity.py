@@ -1713,3 +1713,203 @@ def contrastive_negatives(
         .filter(F.col("rnk") <= k)
         .select("query_id", F.col("vec_id").alias("neg_id"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding corpus (power iteration on the
+# second-moment matrix).
+#
+# The 100 TB shape is the classic two-phase moment aggregation every
+# distributed PCA uses (e.g. Spark MLlib's RowMatrix.computeGramian,
+# Halko et al. 2011 for why a handful of power steps suffice when the
+# spectrum decays): ONE Arrow-vectorized pass over the corpus computes
+# per-batch partials (n, column sums, X^T X) whose size is O(d^2) and
+# INDEPENDENT of N — a 64-dim corpus carries 4096 doubles of state per
+# batch whether the batch holds 10^3 or 10^9 rows — and the eigensolve
+# itself happens on the collected d x d matrix (an ANALYZE-pattern
+# scalar, like the k-means centroid collects).  There is no N x d^2
+# explode and no shuffle wider than #batches x d^2.
+#
+# Cross-engine bit-stability contract (what lets DuckDB hash-match the
+# registered queries): the covariance is QUANTIZED to 1e-6 before the
+# eigensolve, and every downstream reduction is written as the same
+# left fold with a 0.0 initial element in Python (functools.reduce),
+# Spark SQL (F.aggregate), and DuckDB (list_reduce over list_prepend
+# (0.0, ...)) — identical IEEE-754 double operations in an identical
+# association order produce identical bits, so fixed-point outputs
+# match exactly even after 2 x PCA_ITERS matrix-vector products.
+# ---------------------------------------------------------------------------
+
+#: power-iteration steps per component.  Convergence is NOT required
+#: for cross-engine correctness — both engines run the identical steps
+#: on the identical quantized matrix, so the gate stays a hash-match
+#: even unconverged — but the driver corpus is near-isotropic
+#: (lam2/lam1 = 0.93) and 12 steps left lam1 7% short of numpy's
+#: eigh; 80 measures rel error 5e-8 (lam1) / 2e-4 (lam2), under the
+#: 1e-3 test bound, at ~1.8 s oracle cost (recursive CTE).
+PCA_ITERS = 80
+
+#: leading components extracted (the second via one deflation step:
+#: C2 = C - lam1 * v1 v1^T).
+PCA_COMPONENTS = 2
+
+#: fixed-point grid the covariance is snapped to before the eigensolve
+#: (1e-6).  Spark's and DuckDB's moment SUMs associate differently, so
+#: their raw doubles differ in the last bits; snapping both to this
+#: grid makes the eigensolve input — and therefore every downstream
+#: bit — identical.  At ~1e-11 absolute sum error the grid has ~1e5
+#: headroom.
+PCA_QUANT = 1e6
+
+
+def embedding_moment_partials(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Per-Arrow-batch second-moment partials of the embedding corpus:
+    one output row per batch with ``n`` (rows), ``s`` (column sums,
+    d doubles) and ``ss`` (X^T X row-major, d^2 doubles) — the
+    map-side-combine stage of distributed PCA.  numpy's BLAS does the
+    d^2 work per batch; nothing row-at-a-time crosses the Arrow
+    boundary, and downstream state is O(#batches * d^2), never O(N)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [int(X.shape[0])],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    return emb.select("embedding").mapInPandas(
+        batches, "n bigint, s array<double>, ss array<double>"
+    )
+
+
+def _fold(terms: list[float]) -> float:
+    """Left fold with a 0.0 initial element — the Python mirror of
+    DuckDB's ``list_reduce(list_prepend(0.0, ...), (a,b) -> a+b)`` and
+    Spark's ``F.aggregate(_, lit(0.0), (a,b) -> a+b)``.  NOT math.fsum
+    and NOT sum(): the association order is part of the cross-engine
+    contract."""
+    acc = 0.0
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def _matvec(m: list[float], v: list[float], d: int) -> list[float]:
+    return [_fold([m[i * d + j] * v[j] for j in range(d)]) for i in range(d)]
+
+
+def pca_power_model(
+    partials: list,
+    dim: int = EMB_DIM,
+    iters: int = PCA_ITERS,
+    components: int = PCA_COMPONENTS,
+) -> dict:
+    """Combine the collected moment partials and extract the leading
+    ``components`` eigenpairs by power iteration with deflation —
+    driver-side math on the d x d matrix (the ANALYZE-pattern scalar
+    stage; at d=64 this is 4096 doubles, not data).
+
+    Every expression below is the literal Python transcription of the
+    generated DuckDB CTEs (plans.scale_queries._pca_cte_prefix): same
+    quantization grid, same left folds, same association — change one
+    side only in lockstep with the other.
+
+    Returns ``{"n", "mu_q", "m_q", "trace_q", "comps": [(lam, v),...]}``
+    with ``mu_q``/``m_q`` snapped to the 1e-6 grid and lam/v raw
+    doubles (bit-identical across engines by construction).
+    """
+    d = dim
+    # deterministic combine order (partition/batch order is not part
+    # of the contract): sort by content
+    parts = sorted(
+        ((int(p[0]), list(p[1]), list(p[2])) for p in partials),
+        key=lambda p: (p[0], p[1]),
+    )
+    n = float(sum(p[0] for p in parts))
+    if n < 2:
+        raise ValueError(f"PCA needs >= 2 vectors, got {n}")
+    s = [_fold([p[1][i] for p in parts]) for i in range(d)]
+    ss = [_fold([p[2][k] for p in parts]) for k in range(d * d)]
+
+    def q(x: float) -> float:
+        return math.floor(x * PCA_QUANT + 5e-1) / PCA_QUANT
+
+    mu_q = [q(s[i] / n) for i in range(d)]
+    raw = [(ss[i * d + j] - s[i] * s[j] / n) / n for i in range(d) for j in range(d)]
+    m_q = [
+        q((raw[i * d + j] + raw[j * d + i]) * 0.5)
+        for i in range(d)
+        for j in range(d)
+    ]
+    trace_q = _fold([m_q[i * d + i] for i in range(d)])
+
+    comps: list[tuple[float, list[float]]] = []
+    m = list(m_q)
+    for _ in range(components):
+        v = [1.0] * d
+        for _ in range(iters):
+            w = _matvec(m, v, d)
+            nrm = math.sqrt(_fold([x * x for x in w]))
+            v = [x / nrm for x in w]
+        w = _matvec(m, v, d)
+        lam = _fold([v[i] * w[i] for i in range(d)])
+        comps.append((lam, v))
+        m = [
+            m[i * d + j] - lam * v[i] * v[j]
+            for i in range(d)
+            for j in range(d)
+        ]
+    return {"n": n, "mu_q": mu_q, "m_q": m_q, "trace_q": trace_q, "comps": comps}
+
+
+def pca_project_scores(
+    emb: DataFrame, model: dict, dim: int = EMB_DIM
+) -> DataFrame:
+    """Per-vector projections onto the model's top-2 principal axes
+    plus the Mahalanobis distance in that subspace — the outlier /
+    drift score a curation pipeline thresholds on.  The model enters
+    as broadcast literals (it is d + 2d + 2 doubles), so the plan is a
+    zero-shuffle narrow map over the corpus; fixed-point columns are
+    the cross-engine-stable surface.
+    """
+    mu = F.array(*[F.lit(x) for x in model["mu_q"]])
+    (lam1, v1), (lam2, v2) = model["comps"][0], model["comps"][1]
+    a1 = F.array(*[F.lit(x) for x in v1])
+    a2 = F.array(*[F.lit(x) for x in v2])
+
+    def proj(axis: F.Column) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (
+                F.element_at(F.col("embedding"), j).cast("double")
+                - F.element_at(mu, j)
+            )
+            * F.element_at(axis, j),
+        )
+
+    pc1, pc2 = proj(a1), proj(a2)
+    maha = pc1 * pc1 / F.lit(lam1) + pc2 * pc2 / F.lit(lam2)
+
+    def e4(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e4) + F.lit(5e-1)).cast("long")
+
+    return emb.select(
+        "vec_id",
+        "label",
+        e4(pc1).alias("pc1_e4"),
+        e4(pc2).alias("pc2_e4"),
+        e4(maha).alias("maha_e4"),
+    )

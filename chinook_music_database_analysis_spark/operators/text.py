@@ -843,6 +843,14 @@ def bpe_train(wc: DataFrame, rounds: int) -> list[dict]:
     scalar every iterative operator here uses — PageRank's supersteps,
     k-means' Lloyd steps); ties break deterministically on
     (n_pair DESC, x, y) so both engines learn the same table.
+
+    Each round's segmentation is PERSISTED before the next round's
+    argmax: round r's job then computes exactly ONE fold layer on top
+    of the cached round r-1 instead of replaying all r-1 folds from
+    the raw dictionary — O(R) fold layers total across training, not
+    O(R^2).  The cached relations are dictionary-sized (distinct
+    words), so R of them cost ~R x the dictionary, trivial against
+    the corpus.
     """
     seq = wc.select("tok", "cnt", bpe_initial_seq(F.col("tok")).alias("seq"))
     table: list[dict] = []
@@ -861,7 +869,7 @@ def bpe_train(wc: DataFrame, rounds: int) -> list[dict]:
         b = best[0]
         seq = seq.select(
             "tok", "cnt", bpe_merge_expr(F.col("seq"), b["x"], b["y"]).alias("seq")
-        )
+        ).persist()
         table.append(
             {"rnd": rnd, "x": b["x"], "y": b["y"], "n_pair": int(b["n_pair"]), "seq_df": seq}
         )

@@ -105,9 +105,14 @@ def _rotate_window(first: list[str]) -> None:
 _rotate_window(_WINDOW_FIRST)
 
 # r9 NOTE: 50/50 slots.  r10 should lead with anything r10 mutates
-# plus the one never-driver-checked r9 registration that did not fit
+# plus the never-driver-checked r9 registrations that did not fit
 # (tx_bpe_source_tokens — pytest- and sweep-green, sharing its CTE
-# machinery with the window's tx_bpe_encode), then the multiply-green
+# machinery with the window's tx_bpe_encode; sim_pca_spectrum,
+# sim_pca_outliers and sim_dim_corr — pytest-parity-green at sf0.001
+# AND gate-checked at sf0.01 by hand this round; sim_mrl_topk —
+# mutated r9 by the
+# sqrt-scaled shortlist, byte-stable at driver scales but owed a
+# driver row), then the multiply-green
 # due-backs the parity cohort displaced:
 # sim_lsh_topk, ev_tumbling_1h, ev_sliding_1h_30m, ev_sessionized,
 # tx_gopher_quality, the mm_media/resize/frame plumbing trio,

@@ -1198,18 +1198,25 @@ def _bpe_merge_table(spark: SparkSession, sf_dir: str) -> list[tuple]:
 def _bpe_seqs(spark: SparkSession, sf_dir: str) -> list[tuple]:
     """[(rnd, x, y, n_pair, seq_df), ...] — the dictionary segmentation
     AFTER each learned merge, rebuilt lazily from the memoized table
-    (narrow folds over the cached dictionary, no collects)."""
-    from ..operators.text import bpe_initial_seq, bpe_merge_expr
+    (narrow folds over the cached dictionary, no collects).  Each
+    round's relation is persisted and the LIST memoized per (session,
+    corpus), so the 6 per-round consumers each compute one fold layer
+    over the cached predecessor instead of replaying the whole chain
+    (the same O(R) — not O(R^2) — argument as bpe_train)."""
+    key = ("bpe_seqs", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        from ..operators.text import bpe_initial_seq, bpe_merge_expr
 
-    wc = _bpe_wc(spark, sf_dir)
-    seq = wc.select("tok", "cnt", bpe_initial_seq(F.col("tok")).alias("seq"))
-    out = []
-    for rnd, x, y, n_pair in _bpe_merge_table(spark, sf_dir):
-        seq = seq.select(
-            "tok", "cnt", bpe_merge_expr(F.col("seq"), x, y).alias("seq")
-        )
-        out.append((rnd, x, y, n_pair, seq))
-    return out
+        wc = _bpe_wc(spark, sf_dir)
+        seq = wc.select("tok", "cnt", bpe_initial_seq(F.col("tok")).alias("seq"))
+        out = []
+        for rnd, x, y, n_pair in _bpe_merge_table(spark, sf_dir):
+            seq = seq.select(
+                "tok", "cnt", bpe_merge_expr(F.col("seq"), x, y).alias("seq")
+            ).persist()
+            out.append((rnd, x, y, n_pair, seq))
+        _SCALAR_MEMO[key] = out
+    return _SCALAR_MEMO[key]
 
 
 @register("tx_bpe_encode", oracle=_bpe_encode_oracle(BPE_ENC_ROUNDS))
@@ -1493,3 +1500,310 @@ def cur_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (count(1) * bucket_cap) AS BIGINT)"
         ).alias("padding_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (r9): one Arrow-vectorized moment pass + a driver-side
+# power-iteration eigensolve (operators/similarity.py PCA section).
+#
+# The oracle runs the IDENTICAL algorithm as generated DuckDB CTEs: the
+# covariance is snapped to the 1e-6 grid on both engines (their moment
+# SUMs associate differently; everything after the snap is the same
+# IEEE-754 ops in the same left-fold association, hence bit-equal), and
+# the 2 x PCA_ITERS matrix-vector products are unrolled CTE stages the
+# way the k-means and BPE oracles unroll their iterations.
+# ---------------------------------------------------------------------------
+
+
+def _pca_cov_prefix(d: int) -> str:
+    """Covariance-only CTE chain (moments -> quantized covariance +
+    means + trace) — the shared base of the eigen chain and of
+    consumers that need no power iteration (sim_dim_corr)."""
+    idx = f"range(1, {d + 1})"
+    kdx = f"range(1, {d * d + 1})"
+    return f"""
+    WITH RECURSIVE dimsq AS MATERIALIZED (SELECT unnest({idx}) AS i),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    sums AS MATERIALIZED (
+      SELECT di.i AS i, SUM(CAST(e.embedding[di.i] AS DOUBLE)) AS s
+      FROM embeddings e, dimsq di GROUP BY di.i
+    ),
+    sprods AS MATERIALIZED (
+      SELECT di.i AS i, dj.i AS j,
+             SUM(CAST(e.embedding[di.i] AS DOUBLE)
+                 * CAST(e.embedding[dj.i] AS DOUBLE)) AS ss
+      FROM embeddings e, dimsq di, dimsq dj GROUP BY di.i, dj.i
+    ),
+    sv AS MATERIALIZED (SELECT list(s ORDER BY i) AS s FROM sums),
+    ssv AS MATERIALIZED (SELECT list(ss ORDER BY (i-1)*{d}+j) AS ss FROM sprods),
+    muv AS MATERIALIZED (
+      SELECT list_transform({idx}, i ->
+               floor(s[i] / n * 1e6 + 5e-1) / 1e6) AS mu
+      FROM sv, nn
+    ),
+    rawv AS MATERIALIZED (
+      SELECT list_transform({kdx}, k ->
+        (ss[k] - s[((k-1)//{d})+1] * s[((k-1)%{d})+1] / n) / n) AS raw
+      FROM sv, ssv, nn
+    ),
+    cmq AS MATERIALIZED (
+      SELECT list_transform({kdx}, k ->
+        floor((raw[k] + raw[((k-1)%{d})*{d} + ((k-1)//{d}) + 1]) * 0.5e0
+              * 1e6 + 5e-1) / 1e6) AS m
+      FROM rawv
+    ),
+    trv AS MATERIALIZED (
+      SELECT list_reduce(list_prepend(0.0e0,
+               list_transform({idx}, i -> m[(i-1)*{d}+i])),
+             (a,b) -> a + b) AS trace
+      FROM cmq
+    )"""
+
+
+def _pca_cte_prefix(d: int, iters: int) -> str:
+    """Shared CTE chain: moments -> quantized covariance + means ->
+    power iteration (v0 = all-ones, ``iters`` recursive steps) ->
+    eig1 -> rank-1 deflation -> eig2 -> trace.  Every expression is
+    the SQL transcription of operators.similarity.pca_power_model —
+    the two must change in lockstep.
+
+    Implementation notes that matter for the gate: every CTE is
+    MATERIALIZED (DuckDB inlines plain CTEs per reference, which
+    re-evaluates the corpus moment join once per consumer), and the
+    iteration is a RECURSIVE CTE over (r, v) rather than ``iters``
+    unrolled stages — the unrolled form spent ~70 ms/step in the
+    binder (5.8 s at 80 steps) vs 1.8 s total recursive.  The matvec
+    appears twice inside normalize (no lateral state in a recursive
+    step); both evaluations are the identical expression, so the
+    Python mirror's compute-once is value-equal."""
+    idx = f"range(1, {d + 1})"
+    kdx = f"range(1, {d * d + 1})"
+
+    def matvec(m: str, v: str) -> str:
+        return (
+            f"list_transform({idx}, i -> list_reduce(list_prepend(0.0e0, "
+            f"list_transform({idx}, j -> {m}[(i-1)*{d}+j] * {v}[j])), "
+            f"(a,b) -> a + b))"
+        )
+
+    def power(tag: str, cm: str) -> str:
+        mv = matvec("c.m", "p.v")
+        return f"""
+    {tag} AS (
+      SELECT 0 AS r, list_transform({idx}, i -> 1.0e0) AS v
+      UNION ALL
+      SELECT p.r + 1,
+             list_transform({mv}, x -> x / sqrt(list_reduce(list_prepend(
+               0.0e0, list_transform({mv}, y -> y*y)), (a,b) -> a + b)))
+      FROM {tag} p, {cm} c
+      WHERE p.r < {iters}
+    ),
+    {tag}f AS MATERIALIZED (SELECT v FROM {tag} WHERE r = {iters})"""
+
+    sql = _pca_cov_prefix(d) + f""",{power("p1", "cmq")},
+    e1w AS MATERIALIZED (SELECT {matvec("c.m", "p.v")} AS w FROM p1f p, cmq c),
+    eig1 AS MATERIALIZED (
+      SELECT pv.v AS v1,
+             list_reduce(list_prepend(0.0e0,
+               list_transform({idx}, i -> pv.v[i] * pw.w[i])),
+             (a,b) -> a + b) AS lam1
+      FROM p1f pv, e1w pw
+    ),
+    cm2 AS MATERIALIZED (
+      SELECT list_transform({kdx}, k ->
+        m[k] - lam1 * v1[((k-1)//{d})+1] * v1[((k-1)%{d})+1]) AS m
+      FROM cmq, eig1
+    ),{power("p2", "cm2")},
+    e2w AS MATERIALIZED (SELECT {matvec("c.m", "p.v")} AS w FROM p2f p, cm2 c),
+    eig2 AS MATERIALIZED (
+      SELECT pv.v AS v2,
+             list_reduce(list_prepend(0.0e0,
+               list_transform({idx}, i -> pv.v[i] * pw.w[i])),
+             (a,b) -> a + b) AS lam2
+      FROM p2f pv, e2w pw
+    )"""
+    return sql
+
+
+def _pca_spectrum_oracle(d: int, iters: int) -> str:
+    return _pca_cte_prefix(d, iters) + f"""
+    SELECT comp, dim, loading_e4, eigval_e6, explained_pct_e4 FROM (
+      SELECT CAST(1 AS INTEGER) AS comp, CAST(di.i AS INTEGER) AS dim,
+             CAST(floor(e.v1[di.i] * 1e4 + 5e-1) AS BIGINT) AS loading_e4,
+             CAST(floor(e.lam1 * 1e6 + 5e-1) AS BIGINT) AS eigval_e6,
+             CAST(floor(e.lam1 / t.trace * 1e4 + 5e-1) AS BIGINT)
+               AS explained_pct_e4
+      FROM eig1 e, trv t, dimsq di
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), CAST(di.i AS INTEGER),
+             CAST(floor(e.v2[di.i] * 1e4 + 5e-1) AS BIGINT),
+             CAST(floor(e.lam2 * 1e6 + 5e-1) AS BIGINT),
+             CAST(floor(e.lam2 / t.trace * 1e4 + 5e-1) AS BIGINT)
+      FROM eig2 e, trv t, dimsq di
+    ) ORDER BY comp, dim
+    """
+
+
+def _pca_outliers_oracle(d: int, iters: int, top: int) -> str:
+    proj = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, %d), j -> "
+        "(CAST(e.embedding[j] AS DOUBLE) - mu.mu[j]) * %s[j])), "
+        "(a,b) -> a + b)" % (d + 1, "%s")
+    )
+    return _pca_cte_prefix(d, iters) + f""",
+    sc AS (
+      SELECT e.vec_id, e.label,
+             {proj % 'e1.v1'} AS pc1,
+             {proj % 'e2.v2'} AS pc2,
+             e1.lam1 AS lam1, e2.lam2 AS lam2
+      FROM embeddings e, muv mu, eig1 e1, eig2 e2
+    )
+    SELECT vec_id, label,
+           CAST(floor(pc1 * 1e4 + 5e-1) AS BIGINT) AS pc1_e4,
+           CAST(floor(pc2 * 1e4 + 5e-1) AS BIGINT) AS pc2_e4,
+           CAST(floor((pc1 * pc1 / lam1 + pc2 * pc2 / lam2) * 1e4 + 5e-1)
+             AS BIGINT) AS maha_e4
+    FROM sc ORDER BY maha_e4 DESC, vec_id LIMIT {top}
+    """
+
+
+def _dim_corr_oracle(d: int, top: int) -> str:
+    """Top-|corr| off-diagonal dimension pairs from the quantized
+    covariance — needs only the cov prefix (no power iteration), so
+    the oracle is one moment pass + a d*(d-1)/2 enumeration."""
+    return _pca_cov_prefix(d) + f"""
+    SELECT dim_i, dim_j, corr_e4 FROM (
+      SELECT CAST(di.i AS INTEGER) AS dim_i, CAST(dj.i AS INTEGER) AS dim_j,
+             CAST(floor(m[(di.i-1)*{d}+dj.i]
+                        / sqrt(m[(di.i-1)*{d}+di.i] * m[(dj.i-1)*{d}+dj.i])
+                        * 1e4 + 5e-1) AS BIGINT) AS corr_e4
+      FROM cmq, dimsq di, dimsq dj
+      WHERE di.i < dj.i
+    ) ORDER BY abs(corr_e4) DESC, dim_i, dim_j LIMIT {top}
+    """
+
+
+#: dimension-correlation report depth.
+DIM_CORR_TOP = 20
+
+#: outlier report depth.
+PCA_OUTLIER_TOP = 20
+
+
+def _pca(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized PCA model per (session, corpus): the moment partials
+    collect (one Arrow-vectorized pass, O(#batches * d^2) rows) and the
+    driver eigensolve run once; every consumer reads the dict."""
+    key = ("pca_model", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        from ..operators.similarity import (
+            embedding_moment_partials,
+            pca_power_model,
+        )
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        parts = [
+            (r["n"], r["s"], r["ss"])
+            for r in embedding_moment_partials(emb).collect()
+        ]
+        _SCALAR_MEMO[key] = pca_power_model(parts)
+    return _SCALAR_MEMO[key]
+
+
+def _register_pca() -> None:
+    import math as _math
+
+    from ..operators.similarity import EMB_DIM, PCA_ITERS
+
+    @register("sim_pca_spectrum", oracle=_pca_spectrum_oracle(EMB_DIM, PCA_ITERS))
+    def sim_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Leading-2 principal components of the embedding corpus:
+        per (component, dim) the loading, the eigenvalue and the
+        explained-variance share — the spectrum audit that tells a
+        curation pipeline whether its embedding space has collapsed
+        (one dominant direction) or stayed spread (the
+        anisotropy/outlier checks sim_outlier_audit approximates
+        per-vector, done properly on the second-moment matrix).
+
+        Scale shape: ONE Arrow-vectorized corpus pass emits O(d^2)
+        partials per batch (similarity.embedding_moment_partials —
+        numpy X^T X per batch, state independent of N), the eigensolve
+        is driver math on the collected 64x64 matrix (ANALYZE-pattern
+        scalar, memoized per corpus), and the result is 2*d literal
+        rows.  The oracle replays the identical quantize-then-
+        power-iterate algorithm as unrolled CTEs, so every fixed-point
+        output hash-matches bit-for-bit."""
+        model = _pca(spark, sf_dir)
+        rows = []
+        for ci, (lam, v) in enumerate(model["comps"], start=1):
+            for i in range(EMB_DIM):
+                rows.append(
+                    (
+                        ci,
+                        i + 1,
+                        _math.floor(v[i] * 1e4 + 5e-1),
+                        _math.floor(lam * 1e6 + 5e-1),
+                        _math.floor(lam / model["trace_q"] * 1e4 + 5e-1),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "comp int, dim int, loading_e4 long, eigval_e6 long,"
+            " explained_pct_e4 long",
+        ).orderBy("comp", "dim")
+
+    @register(
+        "sim_pca_outliers",
+        oracle=_pca_outliers_oracle(EMB_DIM, PCA_ITERS, PCA_OUTLIER_TOP),
+    )
+    def sim_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-20 embedding outliers by Mahalanobis distance in the
+        top-2 principal subspace (pc^2/lambda summed over components)
+        — the PCA-grounded companion of sim_outlier_audit's per-vector
+        norm screen: catches vectors far along the DOMINANT directions
+        even when their norms look ordinary.
+
+        Scale shape: the model enters as broadcast literals (d + 2d +
+        2 doubles from the memoized eigensolve), the projection is a
+        zero-shuffle narrow map over the corpus (one F.aggregate fold
+        per component), and the cut is ORDER BY + LIMIT ->
+        TakeOrderedAndProject.  Fixed-point columns make the result
+        engine-exact; ties break on vec_id."""
+        from ..operators.similarity import pca_project_scores
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        return (
+            pca_project_scores(emb, _pca(spark, sf_dir))
+            .orderBy(F.col("maha_e4").desc(), "vec_id")
+            .limit(PCA_OUTLIER_TOP)
+        )
+
+    @register(
+        "sim_dim_corr", oracle=_dim_corr_oracle(EMB_DIM, DIM_CORR_TOP)
+    )
+    def sim_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding dimension-correlation audit: the top-20
+        off-diagonal |Pearson corr| pairs from the quantized
+        covariance — redundant/entangled dimensions are the first
+        thing a whitening or feature-pruning pass removes, and on an
+        embedding corpus a high-|corr| pair flags a collapsed
+        projection head.  Zero marginal corpus work: the same memoized
+        moment pass as sim_pca_spectrum (ONE Arrow-vectorized scan per
+        corpus); the d*(d-1)/2 pair enumeration is driver math on the
+        64x64 matrix.  corr = cov_ij / sqrt(var_i * var_j) on the
+        1e-6-snapped matrix, so both engines emit identical bits;
+        order by |corr_e4| DESC with (dim_i, dim_j) tie-break."""
+        model = _pca(spark, sf_dir)
+        m, d = model["m_q"], EMB_DIM
+        rows = []
+        for i in range(d):
+            for j in range(i + 1, d):
+                corr = m[i * d + j] / _math.sqrt(m[i * d + i] * m[j * d + j])
+                rows.append((i + 1, j + 1, _math.floor(corr * 1e4 + 5e-1)))
+        rows.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
+        return spark.createDataFrame(
+            rows[:DIM_CORR_TOP], "dim_i int, dim_j int, corr_e4 long"
+        )
+
+
+_register_pca()

@@ -211,6 +211,15 @@ QUERIES = {
     # r9: corpus re-tokenization = token explode + broadcast-
     # dictionary join + |sources| rollup; linear in the corpus
     "tx_bpe_source_tokens": 1.3,
+    # r9: distributed PCA — one Arrow-vectorized moment pass with
+    # O(d^2) per-batch state (never O(N) shuffle), driver eigensolve
+    # on the collected 64x64; the outlier projection is a zero-
+    # Exchange narrow map + TakeOrderedAndProject (plan-asserted)
+    "sim_pca_spectrum": 1.3,
+    "sim_pca_outliers": 1.3,
+    # zero marginal corpus work (same memoized moment pass; the pair
+    # enumeration is driver math on the 64x64)
+    "sim_dim_corr": 1.3,
     # r8: bloom pruning — fixed 256-word build (map-side OR-combined)
     # inlined as a literal filter on the fact scan; linear, the probe
     # adds zero exchanges

@@ -546,3 +546,66 @@ def test_range_search_router_sparse_on_driver_dense_on_hot(spark):
     got = {(r.query_id, r.neighbor_id, r.cos_sim) for r in dense.collect()}
     want = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
     assert got == want
+
+
+def test_pca_power_model_matches_numpy(spark):
+    """The quantize-then-power-iterate eigensolve must agree with
+    numpy's exact eigendecomposition OF THE SAME quantized matrix:
+    top-2 eigenvalues within 1e-3 relative (12 power steps on a
+    decaying spectrum) and loadings aligned up to sign
+    (|cos| > 0.995).  This is the 'is it actually PCA' check the
+    cross-engine hash-match can't give."""
+    import numpy as np
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_moment_partials,
+        pca_power_model,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    parts = [
+        (r["n"], r["s"], r["ss"])
+        for r in embedding_moment_partials(emb).collect()
+    ]
+    model = pca_power_model(parts)
+    C = np.array(model["m_q"]).reshape(EMB_DIM, EMB_DIM)
+    assert np.allclose(C, C.T)  # symmetrized before quantization
+    evals, evecs = np.linalg.eigh(C)
+    lam_np = evals[::-1][:2]
+    v_np = evecs[:, ::-1][:, :2]
+    for k, (lam, v) in enumerate(model["comps"]):
+        assert abs(lam - lam_np[k]) <= 1e-3 * abs(lam_np[k]), (k, lam, lam_np[k])
+        cos = abs(float(np.dot(np.array(v), v_np[:, k])))
+        assert cos > 0.995, (k, cos)
+    assert model["comps"][0][0] >= model["comps"][1][0] > 0
+    # trace bounds the spectrum: explained shares in (0, 1] and ordered
+    e1 = model["comps"][0][0] / model["trace_q"]
+    e2 = model["comps"][1][0] / model["trace_q"]
+    assert 0 < e2 <= e1 <= 1.0
+
+
+def test_pca_moment_partials_are_batch_independent(spark):
+    """Combining the Arrow-batch partials must give the same model
+    whatever the partitioning: 1-partition and 8-partition corpora
+    yield identical quantized covariance and eigenpairs (the
+    quantization grid absorbs the different partial-sum
+    associations)."""
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        embedding_moment_partials,
+        pca_power_model,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    models = []
+    for parts_df in (
+        embedding_moment_partials(emb.coalesce(1)),
+        embedding_moment_partials(emb.repartition(8)),
+    ):
+        parts = [(r["n"], r["s"], r["ss"]) for r in parts_df.collect()]
+        models.append(pca_power_model(parts))
+    a, b = models
+    assert a["m_q"] == b["m_q"]
+    assert a["mu_q"] == b["mu_q"]
+    assert [c[0] for c in a["comps"]] == [c[0] for c in b["comps"]]
+    assert [c[1] for c in a["comps"]] == [c[1] for c in b["comps"]]

@@ -447,3 +447,29 @@ def test_scd2_consumers_inherit_single_shuffle(spark):
     assert snap.count("Exchange") == 1 and "Join" not in snap
     dur = _plan(spark, "ev_state_durations")
     assert dur.count("Exchange") <= 2 and "Join" not in dur
+
+
+def test_pca_outliers_zero_exchange_take_ordered(spark):
+    """sim_pca_outliers: the PCA model enters as broadcast literals, so
+    the projection is a narrow map with ZERO Exchanges and the top-20
+    cut is TakeOrderedAndProject — the plan stays a single corpus scan
+    at any N.  The model-build pass (memoized separately) must itself
+    be one Arrow mapInPandas stage."""
+    plan = _plan(spark, "sim_pca_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        embedding_moment_partials,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    mplan = (
+        embedding_moment_partials(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in mplan
+    assert "Exchange" not in mplan
