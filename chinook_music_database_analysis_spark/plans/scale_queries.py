@@ -1515,57 +1515,73 @@ def cur_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pca_cov_prefix(d: int) -> str:
+def _pca_cov_prefix(
+    d: int, src: str = "embeddings", sfx: str = "", lead: bool = True
+) -> str:
     """Covariance-only CTE chain (moments -> quantized covariance +
     means + trace) — the shared base of the eigen chain and of
-    consumers that need no power iteration (sim_dim_corr)."""
+    consumers that need no power iteration (sim_dim_corr).
+
+    ``src`` is the relation the moments scan (a table name or a
+    parenthesized subquery — sim_pca_drift passes the base-slice
+    filter); ``sfx`` suffixes every CTE name so two chains can live in
+    one WITH (the drift oracle runs full + base side by side);
+    ``lead=False`` emits a continuation (no WITH RECURSIVE keyword)."""
     idx = f"range(1, {d + 1})"
     kdx = f"range(1, {d * d + 1})"
-    return f"""
-    WITH RECURSIVE dimsq AS MATERIALIZED (SELECT unnest({idx}) AS i),
-    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
-    sums AS MATERIALIZED (
+    head = "\n    WITH RECURSIVE " if lead else ",\n    "
+    return f"""{head}dimsq{sfx} AS MATERIALIZED (SELECT unnest({idx}) AS i),
+    nn{sfx} AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {src}),
+    sums{sfx} AS MATERIALIZED (
       SELECT di.i AS i, SUM(CAST(e.embedding[di.i] AS DOUBLE)) AS s
-      FROM embeddings e, dimsq di GROUP BY di.i
+      FROM {src} e, dimsq{sfx} di GROUP BY di.i
     ),
-    sprods AS MATERIALIZED (
+    sprods{sfx} AS MATERIALIZED (
       SELECT di.i AS i, dj.i AS j,
              SUM(CAST(e.embedding[di.i] AS DOUBLE)
                  * CAST(e.embedding[dj.i] AS DOUBLE)) AS ss
-      FROM embeddings e, dimsq di, dimsq dj GROUP BY di.i, dj.i
+      FROM {src} e, dimsq{sfx} di, dimsq{sfx} dj GROUP BY di.i, dj.i
     ),
-    sv AS MATERIALIZED (SELECT list(s ORDER BY i) AS s FROM sums),
-    ssv AS MATERIALIZED (SELECT list(ss ORDER BY (i-1)*{d}+j) AS ss FROM sprods),
-    muv AS MATERIALIZED (
+    sv{sfx} AS MATERIALIZED (SELECT list(s ORDER BY i) AS s FROM sums{sfx}),
+    ssv{sfx} AS MATERIALIZED (
+      SELECT list(ss ORDER BY (i-1)*{d}+j) AS ss FROM sprods{sfx}),
+    muv{sfx} AS MATERIALIZED (
       SELECT list_transform({idx}, i ->
                floor(s[i] / n * 1e6 + 5e-1) / 1e6) AS mu
-      FROM sv, nn
+      FROM sv{sfx}, nn{sfx}
     ),
-    rawv AS MATERIALIZED (
+    rawv{sfx} AS MATERIALIZED (
       SELECT list_transform({kdx}, k ->
         (ss[k] - s[((k-1)//{d})+1] * s[((k-1)%{d})+1] / n) / n) AS raw
-      FROM sv, ssv, nn
+      FROM sv{sfx}, ssv{sfx}, nn{sfx}
     ),
-    cmq AS MATERIALIZED (
+    cmq{sfx} AS MATERIALIZED (
       SELECT list_transform({kdx}, k ->
         floor((raw[k] + raw[((k-1)%{d})*{d} + ((k-1)//{d}) + 1]) * 0.5e0
               * 1e6 + 5e-1) / 1e6) AS m
-      FROM rawv
+      FROM rawv{sfx}
     ),
-    trv AS MATERIALIZED (
+    trv{sfx} AS MATERIALIZED (
       SELECT list_reduce(list_prepend(0.0e0,
                list_transform({idx}, i -> m[(i-1)*{d}+i])),
              (a,b) -> a + b) AS trace
-      FROM cmq
+      FROM cmq{sfx}
     )"""
 
 
-def _pca_cte_prefix(d: int, iters: int) -> str:
+def _pca_cte_prefix(
+    d: int,
+    iters: int,
+    src: str = "embeddings",
+    sfx: str = "",
+    lead: bool = True,
+) -> str:
     """Shared CTE chain: moments -> quantized covariance + means ->
     power iteration (v0 = all-ones, ``iters`` recursive steps) ->
     eig1 -> rank-1 deflation -> eig2 -> trace.  Every expression is
     the SQL transcription of operators.similarity.pca_power_model —
-    the two must change in lockstep.
+    the two must change in lockstep.  ``src``/``sfx``/``lead`` as in
+    :func:`_pca_cov_prefix` (the drift oracle stacks two chains).
 
     Implementation notes that matter for the gate: every CTE is
     MATERIALIZED (DuckDB inlines plain CTEs per reference, which
@@ -1600,27 +1616,29 @@ def _pca_cte_prefix(d: int, iters: int) -> str:
     ),
     {tag}f AS MATERIALIZED (SELECT v FROM {tag} WHERE r = {iters})"""
 
-    sql = _pca_cov_prefix(d) + f""",{power("p1", "cmq")},
-    e1w AS MATERIALIZED (SELECT {matvec("c.m", "p.v")} AS w FROM p1f p, cmq c),
-    eig1 AS MATERIALIZED (
+    sql = _pca_cov_prefix(d, src, sfx, lead) + f""",{power(f"p1{sfx}", f"cmq{sfx}")},
+    e1w{sfx} AS MATERIALIZED (
+      SELECT {matvec("c.m", "p.v")} AS w FROM p1{sfx}f p, cmq{sfx} c),
+    eig1{sfx} AS MATERIALIZED (
       SELECT pv.v AS v1,
              list_reduce(list_prepend(0.0e0,
                list_transform({idx}, i -> pv.v[i] * pw.w[i])),
              (a,b) -> a + b) AS lam1
-      FROM p1f pv, e1w pw
+      FROM p1{sfx}f pv, e1w{sfx} pw
     ),
-    cm2 AS MATERIALIZED (
+    cm2{sfx} AS MATERIALIZED (
       SELECT list_transform({kdx}, k ->
         m[k] - lam1 * v1[((k-1)//{d})+1] * v1[((k-1)%{d})+1]) AS m
-      FROM cmq, eig1
-    ),{power("p2", "cm2")},
-    e2w AS MATERIALIZED (SELECT {matvec("c.m", "p.v")} AS w FROM p2f p, cm2 c),
-    eig2 AS MATERIALIZED (
+      FROM cmq{sfx}, eig1{sfx}
+    ),{power(f"p2{sfx}", f"cm2{sfx}")},
+    e2w{sfx} AS MATERIALIZED (
+      SELECT {matvec("c.m", "p.v")} AS w FROM p2{sfx}f p, cm2{sfx} c),
+    eig2{sfx} AS MATERIALIZED (
       SELECT pv.v AS v2,
              list_reduce(list_prepend(0.0e0,
                list_transform({idx}, i -> pv.v[i] * pw.w[i])),
              (a,b) -> a + b) AS lam2
-      FROM p2f pv, e2w pw
+      FROM p2{sfx}f pv, e2w{sfx} pw
     )"""
     return sql
 
@@ -1685,6 +1703,73 @@ def _dim_corr_oracle(d: int, top: int) -> str:
 
 #: dimension-correlation report depth.
 DIM_CORR_TOP = 20
+
+#: drift base slice: the "previous corpus version" is the first
+#: BASE_FRAC of vectors by vec_id (append-only ingest order — the same
+#: v1-is-a-prefix convention sim_ivf_append and dd_cdc_incremental
+#: use).
+PCA_DRIFT_BASE_FRAC = 0.8
+
+
+def _pca_drift_oracle(d: int, iters: int) -> str:
+    """Full-corpus chain + base-slice chain side by side (suffix "b"),
+    then one row of drift statistics.  The base filter threshold is
+    CAST(floor(n_full * 0.8) AS BIGINT) computed FROM the full chain's
+    nn — the identical integer the Spark side derives from the
+    memoized full model."""
+    thr = f"(SELECT CAST(floor(n * {PCA_DRIFT_BASE_FRAC}e0) AS BIGINT) FROM nn)"
+    base_src = f"(SELECT * FROM embeddings WHERE vec_id < {thr})"
+    fold_cos = (
+        f"list_reduce(list_prepend(0.0e0, list_transform(range(1, {d + 1}), "
+        f"i -> eb.v1[i] * ef.v1[i])), (a,b) -> a + b)"
+    )
+    fold_shift = (
+        f"list_reduce(list_prepend(0.0e0, list_transform(range(1, {d + 1}), "
+        f"i -> (mf.mu[i] - mb.mu[i]) * (mf.mu[i] - mb.mu[i]))), "
+        f"(a,b) -> a + b)"
+    )
+    return (
+        _pca_cte_prefix(d, iters)
+        + _pca_cte_prefix(d, iters, src=base_src, sfx="b", lead=False)
+        + f"""
+    SELECT CAST(nb.n AS BIGINT) AS n_base,
+           CAST(nf.n AS BIGINT) AS n_full,
+           CAST(floor(abs({fold_cos}) * 1e4 + 5e-1) AS BIGINT)
+             AS principal_cos_e4,
+           CAST(floor((ef.lam1 - eb.lam1) * 1e6 + 5e-1) AS BIGINT)
+             AS lam1_delta_e6,
+           CAST(floor((ef.lam1 / tf.trace - eb.lam1 / tb.trace) * 1e4 + 5e-1)
+             AS BIGINT) AS explained_delta_e4,
+           CAST(floor(sqrt({fold_shift}) * 1e4 + 5e-1) AS BIGINT)
+             AS mean_shift_e4
+    FROM nn nf, nnb nb, eig1 ef, eig1b eb, trv tf, trvb tb, muv mf, muvb mb
+    """
+    )
+
+
+def _pca_base(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized PCA model of the base slice (vec_id < floor(0.8 * N)):
+    a second Arrow moment pass over the filtered corpus — the filter is
+    pushed to the scan, so the pass reads only the slice."""
+    import math as _math
+
+    key = ("pca_base", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+    if key not in _SCALAR_MEMO:
+        from ..operators.similarity import (
+            embedding_moment_partials,
+            pca_power_model,
+        )
+
+        thr = int(_math.floor(_pca(spark, sf_dir)["n"] * PCA_DRIFT_BASE_FRAC))
+        emb = load_tables(spark, sf_dir)["embeddings"].filter(
+            F.col("vec_id") < F.lit(thr)
+        )
+        parts = [
+            (r["n"], r["s"], r["ss"])
+            for r in embedding_moment_partials(emb).collect()
+        ]
+        _SCALAR_MEMO[key] = pca_power_model(parts)
+    return _SCALAR_MEMO[key]
 
 #: outlier report depth.
 PCA_OUTLIER_TOP = 20
@@ -1803,6 +1888,59 @@ def _register_pca() -> None:
         rows.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
         return spark.createDataFrame(
             rows[:DIM_CORR_TOP], "dim_i int, dim_j int, corr_e4 long"
+        )
+
+    @register("sim_pca_drift", oracle=_pca_drift_oracle(EMB_DIM, PCA_ITERS))
+    def sim_pca_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding distribution drift between the base corpus slice
+        (first 80% of vectors by vec_id — the append-only "previous
+        version", the sim_ivf_append / dd_cdc_incremental convention)
+        and the full corpus: principal-angle cosine between the two
+        top components (|cos| near 1e4 = the dominant direction is
+        stable; a drop flags rotation of the embedding space),
+        eigenvalue and explained-share deltas (variance concentration
+        drift), and the L2 shift of the mean vector (centroid drift).
+        This is the embedding-level companion of pipe_corpus_diff's
+        text-level diff — the monitor a training pipeline alerts on
+        before re-clustering / re-indexing after an ingest.
+
+        Scale shape: TWO Arrow moment passes (full — shared memoized
+        with sim_pca_spectrum — and the filtered base slice, filter
+        pushed to the scan), two driver eigensolves, one literal row
+        out.  Every statistic is derived from the two bit-stable
+        models, so the oracle's side-by-side CTE chains hash-match
+        exactly."""
+        from ..operators.similarity import _fold
+
+        full, base = _pca(spark, sf_dir), _pca_base(spark, sf_dir)
+        d = EMB_DIM
+        (lam_f, v_f), (lam_b, v_b) = full["comps"][0], base["comps"][0]
+        cos = _fold([v_b[i] * v_f[i] for i in range(d)])
+        shift = _math.sqrt(
+            _fold(
+                [
+                    (full["mu_q"][i] - base["mu_q"][i])
+                    * (full["mu_q"][i] - base["mu_q"][i])
+                    for i in range(d)
+                ]
+            )
+        )
+        row = (
+            int(base["n"]),
+            int(full["n"]),
+            _math.floor(abs(cos) * 1e4 + 5e-1),
+            _math.floor((lam_f - lam_b) * 1e6 + 5e-1),
+            _math.floor(
+                (lam_f / full["trace_q"] - lam_b / base["trace_q"]) * 1e4
+                + 5e-1
+            ),
+            _math.floor(shift * 1e4 + 5e-1),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_base long, n_full long, principal_cos_e4 long,"
+            " lam1_delta_e6 long, explained_delta_e4 long,"
+            " mean_shift_e4 long",
         )
 
 

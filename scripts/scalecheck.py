@@ -220,6 +220,9 @@ QUERIES = {
     # zero marginal corpus work (same memoized moment pass; the pair
     # enumeration is driver math on the 64x64)
     "sim_dim_corr": 1.3,
+    # two linear moment passes (full is shared/memoized; the base
+    # slice's filter is pushed to the scan), one literal row out
+    "sim_pca_drift": 1.3,
     # r8: bloom pruning — fixed 256-word build (map-side OR-combined)
     # inlined as a literal filter on the fact scan; linear, the probe
     # adds zero exchanges

@@ -609,3 +609,53 @@ def test_pca_moment_partials_are_batch_independent(spark):
     assert a["mu_q"] == b["mu_q"]
     assert [c[0] for c in a["comps"]] == [c[0] for c in b["comps"]]
     assert [c[1] for c in a["comps"]] == [c[1] for c in b["comps"]]
+
+
+def test_pca_drift_stable_on_anisotropic_append(spark):
+    """On a corpus with one dominant direction, appending 25% more
+    vectors FROM THE SAME distribution must leave the principal axis
+    aligned (|cos| ~ 1) and the mean near-unmoved — the no-drift
+    baseline the sim_pca_drift monitor alerts against.  Built from a
+    deterministic expression corpus (dim 3 carries 10x the variance)."""
+    import math
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        _fold,
+        embedding_moment_partials,
+        pca_power_model,
+    )
+
+    def corpus(n):
+        # pseudo-random but deterministic: sin-hash amplitude, dim 3
+        # scaled 10x -> dominant direction is e3 on any slice
+        return spark.range(n).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 64), j -> CAST("
+            " CASE WHEN j = 3 THEN 10.0 ELSE 1.0 END"
+            " * sin(CAST(id * 64 + j AS DOUBLE))"
+            " AS FLOAT)) AS embedding",
+        )
+
+    def model(df):
+        parts = [
+            (r["n"], r["s"], r["ss"])
+            for r in embedding_moment_partials(df).collect()
+        ]
+        return pca_power_model(parts)
+
+    base, full = model(corpus(160)), model(corpus(200))
+    (_, vb), (_, vf) = base["comps"][0], full["comps"][0]
+    cos = abs(_fold([vb[i] * vf[i] for i in range(64)]))
+    assert cos > 0.999, cos
+    # the dominant loading is dim 3 on both
+    assert max(range(64), key=lambda i: abs(vb[i])) == 2
+    assert max(range(64), key=lambda i: abs(vf[i])) == 2
+    shift = math.sqrt(
+        _fold(
+            [
+                (full["mu_q"][i] - base["mu_q"][i]) ** 2
+                for i in range(64)
+            ]
+        )
+    )
+    assert shift < 0.5  # centroid essentially unmoved vs 10x-var axis
