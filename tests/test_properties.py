@@ -1068,3 +1068,51 @@ def test_bpe_merge_fold_is_left_to_right_bpe(spark):
     # ...while a real ('zx', 'y') adjacency does merge.
     merged = two.select(bpe_merge_expr(F.col("seq"), "zx", "y").alias("m")).collect()
     assert merged[0].m == "zxy"
+
+
+def test_bpe_merge_fold_exhaustive_small_alphabet(spark):
+    """EXHAUSTIVE check of the fold-with-string-state merge against the
+    reference left-to-right scan: every word over {a, b} up to length 8
+    (510 words), every single-symbol merge pair — if the fold's
+    boundary guard or non-overlap rule were wrong anywhere, some word
+    in this space would expose it (runs, alternations, palindromes are
+    all in here)."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.text import (
+        BPE_SEP,
+        bpe_initial_seq,
+        bpe_merge_expr,
+    )
+
+    def ref_merge(syms, x, y):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = [
+        "".join(w)
+        for n in range(1, 9)
+        for w in product("ab", repeat=n)
+    ]
+    assert len(words) == 510
+    df = spark.createDataFrame([(w,) for w in words], ["tok"]).select(
+        "tok", bpe_initial_seq(F.col("tok")).alias("seq")
+    )
+    for x, y in product("ab", repeat=2):
+        got = {
+            r.tok: r.m.split(BPE_SEP)
+            for r in df.select(
+                "tok", bpe_merge_expr(F.col("seq"), x, y).alias("m")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == ref_merge(list(w), x, y), (w, x, y, got[w])
