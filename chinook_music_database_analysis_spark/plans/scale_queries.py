@@ -1795,6 +1795,31 @@ def _pca(spark: SparkSession, sf_dir: str) -> dict:
     return _SCALAR_MEMO[key]
 
 
+def _spectrum_df(spark: SparkSession, model: dict, d: int) -> DataFrame:
+    """The (comp, dim, loading_e4, eigval_e6, explained_pct_e4) rows of
+    a PCA model — shared by the one-shot and the incrementally-folded
+    spectrum queries (both hash against the same batch oracle)."""
+    import math as _math
+
+    rows = []
+    for ci, (lam, v) in enumerate(model["comps"], start=1):
+        for i in range(d):
+            rows.append(
+                (
+                    ci,
+                    i + 1,
+                    _math.floor(v[i] * 1e4 + 5e-1),
+                    _math.floor(lam * 1e6 + 5e-1),
+                    _math.floor(lam / model["trace_q"] * 1e4 + 5e-1),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "comp int, dim int, loading_e4 long, eigval_e6 long,"
+        " explained_pct_e4 long",
+    ).orderBy("comp", "dim")
+
+
 def _register_pca() -> None:
     import math as _math
 
@@ -1818,24 +1843,7 @@ def _register_pca() -> None:
         rows.  The oracle replays the identical quantize-then-
         power-iterate algorithm as unrolled CTEs, so every fixed-point
         output hash-matches bit-for-bit."""
-        model = _pca(spark, sf_dir)
-        rows = []
-        for ci, (lam, v) in enumerate(model["comps"], start=1):
-            for i in range(EMB_DIM):
-                rows.append(
-                    (
-                        ci,
-                        i + 1,
-                        _math.floor(v[i] * 1e4 + 5e-1),
-                        _math.floor(lam * 1e6 + 5e-1),
-                        _math.floor(lam / model["trace_q"] * 1e4 + 5e-1),
-                    )
-                )
-        return spark.createDataFrame(
-            rows,
-            "comp int, dim int, loading_e4 long, eigval_e6 long,"
-            " explained_pct_e4 long",
-        ).orderBy("comp", "dim")
+        return _spectrum_df(spark, _pca(spark, sf_dir), EMB_DIM)
 
     @register(
         "sim_pca_outliers",
@@ -1942,6 +1950,57 @@ def _register_pca() -> None:
             " lam1_delta_e6 long, explained_delta_e4 long,"
             " mean_shift_e4 long",
         )
+
+    @register(
+        "sim_pca_incremental",
+        oracle=_pca_spectrum_oracle(EMB_DIM, PCA_ITERS),
+    )
+    def sim_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The STREAMING-MAINTAINED spectrum, driver-verified: the
+        corpus folds in through three micro-batches (vec_id % 3 — any
+        batching works: the moment sketch is mergeable), each appending
+        its O(d^2) Arrow partials to a batch_id-idempotent log
+        (streaming/moments.py — the foreachBatch + checkpoint
+        writeStream wiring is exercised against a real file stream in
+        tests/test_streaming.py), and the model rebuilt from the LOG
+        must hash-match the ONE-SHOT batch oracle — the mergeability
+        claim that makes continuous moment maintenance trustworthy is
+        itself under the correctness gate, exactly like
+        ev_scd2_incremental's fold-vs-rebuild equivalence.
+
+        The fold works in a private mkdtemp dir (0700, rmtree'd at
+        exit) and runs once per (session, corpus); at 100 TB the log
+        is one 4160-double row per Arrow batch per micro-batch —
+        re-model cost is log-sized, the raw stream is never re-read."""
+        import atexit
+        import os as _os_
+        import shutil as _shutil_
+        import tempfile
+
+        from ..operators.similarity import pca_power_model
+        from ..streaming.moments import apply_moments_batch, read_partials
+
+        key = (
+            "pca_inc",
+            spark.sparkContext.applicationId,
+            sf_dir,
+            _table_set_id(sf_dir),
+        )
+        if key not in _SCALAR_MEMO:
+            workdir = tempfile.mkdtemp(prefix="pca_inc_")
+            atexit.register(_shutil_.rmtree, workdir, ignore_errors=True)
+            log = _os_.path.join(workdir, "log")
+            emb = load_tables(spark, sf_dir)["embeddings"]
+            for i in range(3):
+                apply_moments_batch(
+                    emb.filter(F.col("vec_id") % 3 == i), i, log
+                )
+            parts = [
+                (r["n"], r["s"], r["ss"])
+                for r in read_partials(spark, log).collect()
+            ]
+            _SCALAR_MEMO[key] = pca_power_model(parts)
+        return _spectrum_df(spark, _SCALAR_MEMO[key], EMB_DIM)
 
 
 _register_pca()

@@ -223,6 +223,9 @@ QUERIES = {
     # two linear moment passes (full is shared/memoized; the base
     # slice's filter is pushed to the scan), one literal row out
     "sim_pca_drift": 1.3,
+    # three-batch streaming fold of the mergeable moment sketch —
+    # same linear scan split across micro-batches, log-sized re-model
+    "sim_pca_incremental": 1.3,
     # r8: bloom pruning — fixed 256-word build (map-side OR-combined)
     # inlined as a literal filter on the fact scan; linear, the probe
     # adds zero exchanges

@@ -936,3 +936,60 @@ def test_incremental_bloom_log_maintenance(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == probe.count()  # every seen key passes
+
+
+def test_moments_stream_fold_matches_batch_model(spark, tmp_path):
+    """Streaming PCA moment maintenance (streaming/moments.py): a real
+    file stream (maxFilesPerTrigger=1 -> multiple micro-batches) folds
+    Arrow moment partials into the batch_id-keyed log via foreachBatch;
+    the model rebuilt from the LOG must be bit-identical to the
+    one-shot batch model (mergeability), and re-applying a batch_id
+    must REPLACE its rows, not append (idempotency under checkpoint
+    replay)."""
+    import glob
+    import os
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        embedding_moment_partials,
+        pca_power_model,
+    )
+    from chinook_music_database_analysis_spark.streaming.moments import (
+        apply_moments_batch,
+        read_partials,
+        start_moments_sink,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    log, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    q = start_moments_sink(stream, log, ck)
+    q.awaitTermination()
+
+    assert len(glob.glob(os.path.join(log, "batch_id=*"))) >= 2
+
+    def model(parts_df):
+        return pca_power_model(
+            [(r["n"], r["s"], r["ss"]) for r in parts_df.collect()]
+        )
+
+    folded = model(read_partials(spark, log))
+    one = model(embedding_moment_partials(emb))
+    assert folded["m_q"] == one["m_q"]
+    assert folded["mu_q"] == one["mu_q"]
+    assert folded["comps"] == one["comps"]
+
+    # replay idempotency: writing the same batch_id twice REPLACES
+    first = spark.read.parquet(
+        sorted(glob.glob(os.path.join(src, "*.parquet")))[0]
+    )
+    apply_moments_batch(first, 99, log)
+    m1 = model(read_partials(spark, log))
+    apply_moments_batch(first, 99, log)
+    m2 = model(read_partials(spark, log))
+    assert m1["m_q"] == m2["m_q"] and m1["comps"] == m2["comps"]
