@@ -659,3 +659,36 @@ def test_pca_drift_stable_on_anisotropic_append(spark):
         )
     )
     assert shift < 0.5  # centroid essentially unmoved vs 10x-var axis
+
+
+def test_range_probe_stats_count_is_exact(spark):
+    """range_probe_stats' candidate_upper is documented as the EXACT
+    pre-distinct row count of the query-bucket x corpus-bucket probe
+    join — verify by building that join and counting, on both a
+    driver-shaped corpus and a one-cluster hot corpus (where the
+    router decision hinges on this number being right)."""
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        lsh_buckets,
+        range_probe_stats,
+    )
+
+    def check(emb, n_bits, n_q):
+        buckets = lsh_buckets(emb, n_bits)
+        n_corpus, cand_upper = range_probe_stats(buckets, n_q)
+        qb = buckets.filter(F.col("vec_id") < n_q).select(
+            F.col("vec_id").alias("query_id"), "tbl", "bucket"
+        )
+        joined = qb.join(buckets, ["tbl", "bucket"]).count()
+        assert cand_upper == joined, (cand_upper, joined)
+        assert n_corpus == emb.count()
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    check(emb, lsh_n_bits(emb.count()), 10)
+
+    hot = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> CAST(1.0 + id * 0.0001 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    check(hot, 4, 10)
