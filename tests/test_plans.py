@@ -473,3 +473,17 @@ def test_pca_outliers_zero_exchange_take_ordered(spark):
     )
     assert "MapInPandas" in mplan
     assert "Exchange" not in mplan
+
+
+def test_embedding_cosine_pair_sweep_is_equi_join(spark):
+    """dd_embedding_cosine's r9 occupancy cap must keep the candidate
+    stage an EQUI-join on (tbl, bucket, pos) — no nested-loop/cartesian
+    node anywhere (the uncapped form was a bucket self-join whose hot
+    buckets went occupancy^2; the windowed rewrite bounds it by
+    construction, and this locks the plan so a regression to a
+    non-equi pair join can't ship silently)."""
+    plan = _plan(spark, "dd_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the positional window runs per (tbl, bucket)
+    assert "row_number" in plan.lower() or "RunningWindowFunction" in plan
