@@ -1795,6 +1795,81 @@ def _pca(spark: SparkSession, sf_dir: str) -> dict:
     return _SCALAR_MEMO[key]
 
 
+@register(
+    "cur_bpe_length_buckets",
+    oracle=_bpe_cte_prefix(BPE_ENC_ROUNDS)
+    + f""", dt AS (
+      SELECT d.doc_id, t.tok FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+      ) d, unnest(d.toks) AS t(tok)
+    ), dict AS (
+      SELECT tok,
+             CAST(len(string_split(seq, {_BPE_SEP_SQL})) AS BIGINT) AS n_syms
+      FROM r{BPE_ENC_ROUNDS}
+    ), docs AS (
+      SELECT dt.doc_id, CAST(SUM(dict.n_syms) AS BIGINT) AS n_tokens
+      FROM dt JOIN dict ON dict.tok = dt.tok GROUP BY dt.doc_id
+    ), b AS (
+      SELECT n_tokens,
+             CAST(POWER(2, CEIL(LOG2(n_tokens))) AS BIGINT) AS bucket_cap
+      FROM docs
+    )
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(COUNT(*) * bucket_cap AS BIGINT) AS capacity,
+           CAST((COUNT(*) * bucket_cap - SUM(n_tokens)) * 10000
+                // (COUNT(*) * bucket_cap) AS BIGINT) AS padding_q
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def cur_bpe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cur_length_buckets measured in the unit that actually bounds a
+    training batch: BPE SUBWORD tokens from the learned merge table
+    (tx_bpe_encode), not whitespace words.  Power-of-2 bucket capacity,
+    doc count, real subword volume, allocated capacity and the 1e4
+    fixed-point padding fraction per bucket — whitespace-word buckets
+    MISBIN documents whose words fragment unevenly under the
+    tokenizer, so the packing decision should be made on these
+    numbers.
+
+    Plan shape: the same broadcast (tok -> n_syms) dictionary join as
+    tx_bpe_source_tokens (corpus NEVER replays merges), one doc-keyed
+    aggregate, then the bounded <= log2(max_len) bucket rollup; at
+    100 TB the corpus streams once past a dictionary-sized broadcast,
+    and the memoized merge table adds zero extra argmax collects
+    in-session."""
+    from ..operators.text import BPE_SEP, tokens_expr
+
+    final_seq = _bpe_seqs(spark, sf_dir)[-1][4]
+    dictionary = final_seq.select(
+        "tok",
+        F.size(F.split(F.col("seq"), BPE_SEP)).cast("bigint").alias("n_syms"),
+    )
+    dt = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.explode(tokens_expr()).alias("tok")
+    )
+    docs = (
+        dt.join(dictionary, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("bigint").alias("n_tokens"))
+    )
+    b = docs.withColumn(
+        "bucket_cap",
+        F.expr("CAST(POWER(2, CEIL(LOG2(n_tokens))) AS BIGINT)"),
+    )
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_bpe_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_cap")).cast("bigint").alias("capacity"),
+        F.expr(
+            "CAST((count(1) * bucket_cap - sum(n_tokens)) * 10000"
+            " DIV (count(1) * bucket_cap) AS BIGINT)"
+        ).alias("padding_q"),
+    )
+
+
 def _spectrum_df(spark: SparkSession, model: dict, d: int) -> DataFrame:
     """The (comp, dim, loading_e4, eigval_e6, explained_pct_e4) rows of
     a PCA model — shared by the one-shot and the incrementally-folded

@@ -226,6 +226,9 @@ QUERIES = {
     # three-batch streaming fold of the mergeable moment sketch —
     # same linear scan split across micro-batches, log-sized re-model
     "sim_pca_incremental": 1.3,
+    # BPE-token bucket rollup: one token explode past the broadcast
+    # dictionary, doc-keyed agg, <= log2(max_len) buckets
+    "cur_bpe_length_buckets": 1.3,
     # r8: bloom pruning — fixed 256-word build (map-side OR-combined)
     # inlined as a literal filter on the fact scan; linear, the probe
     # adds zero exchanges
