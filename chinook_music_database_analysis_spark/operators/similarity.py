@@ -1831,10 +1831,12 @@ def pca_power_model(
     """
     d = dim
     # deterministic combine order (partition/batch order is not part
-    # of the contract): sort by content
+    # of the contract): sort by FULL content — (n, s) alone could tie
+    # for two identical-sum batches and leave the fold order hanging
+    # on collect order
     parts = sorted(
         ((int(p[0]), list(p[1]), list(p[2])) for p in partials),
-        key=lambda p: (p[0], p[1]),
+        key=lambda p: (p[0], p[1], p[2]),
     )
     n = float(sum(p[0] for p in parts))
     if n < 2:
