@@ -1116,3 +1116,34 @@ def test_bpe_merge_fold_exhaustive_small_alphabet(spark):
         }
         for w in words:
             assert got[w] == ref_merge(list(w), x, y), (w, x, y, got[w])
+
+
+def test_bpe_consumers_agree_on_total_subword_volume(spark):
+    """tx_bpe_source_tokens (per-source rollup) and
+    cur_bpe_length_buckets (per-bucket rollup) both re-tokenize the
+    corpus through the same learned dictionary — their total BPE
+    subword counts must be identical, and must equal the final
+    corpus_syms of the training loop (tx_bpe_encode's last round),
+    which computes the same number WITHOUT touching the corpus (word
+    counts x per-word symbol counts)."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    by_source = (
+        QUERIES["tx_bpe_source_tokens"](spark, SF_TEST_DIR)
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .collect()[0]["t"]
+    )
+    by_bucket = (
+        QUERIES["cur_bpe_length_buckets"](spark, SF_TEST_DIR)
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .collect()[0]["t"]
+    )
+    final_round = (
+        QUERIES["tx_bpe_encode"](spark, SF_TEST_DIR)
+        .orderBy(F.col("rnd").desc())
+        .limit(1)
+        .collect()[0]["corpus_syms"]
+    )
+    assert by_source == by_bucket == final_round > 0
