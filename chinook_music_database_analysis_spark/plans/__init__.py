@@ -108,10 +108,10 @@ _rotate_window(_WINDOW_FIRST)
 # plus the never-driver-checked r9 registrations that did not fit
 # (tx_bpe_source_tokens — pytest- and sweep-green, sharing its CTE
 # machinery with the window's tx_bpe_encode; sim_pca_spectrum,
-# sim_pca_outliers, sim_dim_corr, sim_pca_drift, sim_pca_incremental
-# and cur_bpe_length_buckets — pytest-parity-green at sf0.001 AND
-# gate-checked at sf0.01 by hand this round; sim_mrl_topk — mutated
-# r9 by the
+# sim_pca_outliers, sim_dim_corr, sim_pca_drift, sim_pca_incremental,
+# cur_bpe_length_buckets and sim_label_drift — pytest-parity-green at
+# sf0.001 AND gate-checked at sf0.01 by hand this round; sim_mrl_topk
+# — mutated r9 by the
 # sqrt-scaled shortlist, byte-stable at driver scales but owed a
 # driver row), then the multiply-green
 # due-backs the parity cohort displaced:

@@ -1870,6 +1870,46 @@ def cur_bpe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_drift_oracle(d: int) -> str:
+    """Per-label centroid drift between the base slice and the full
+    corpus — plain grouped aggregates, no power iteration: per (label,
+    dim) sums -> 1e-6-quantized mean lists -> fixed-order fold of the
+    squared differences.  The base threshold is the same
+    floor(count * 0.8) integer the PCA drift uses."""
+    idx = f"range(1, {d + 1})"
+    thr = "(SELECT CAST(floor(COUNT(*) * 0.8e0) AS BIGINT) FROM embeddings)"
+
+    def means(name: str, where: str) -> str:
+        return f"""
+    {name}s AS (
+      SELECT e.label, di.i AS i,
+             SUM(CAST(e.embedding[di.i] AS DOUBLE)) AS s,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM embeddings e, (SELECT unnest({idx}) AS i) di
+      {where}
+      GROUP BY e.label, di.i
+    ),
+    {name} AS (
+      SELECT label, MAX(n) AS n,
+             list_transform(list(s ORDER BY i), x ->
+               floor(x / MAX(n) * 1e6 + 5e-1) / 1e6) AS mu
+      FROM {name}s GROUP BY label
+    )"""
+
+    return f"""
+    WITH {means("mb", f"WHERE e.vec_id < {thr}")[5:]},{means("mf", "")}
+    SELECT mf.label,
+           CAST(mb.n AS BIGINT) AS n_base,
+           CAST(mf.n AS BIGINT) AS n_full,
+           CAST(floor(sqrt(list_reduce(list_prepend(0.0e0,
+             list_transform({idx}, i ->
+               (mf.mu[i] - mb.mu[i]) * (mf.mu[i] - mb.mu[i]))),
+             (a,b) -> a + b)) * 1e4 + 5e-1) AS BIGINT) AS shift_e4
+    FROM mf JOIN mb ON mb.label = mf.label
+    ORDER BY mf.label
+    """
+
+
 def _spectrum_df(spark: SparkSession, model: dict, d: int) -> DataFrame:
     """The (comp, dim, loading_e4, eigval_e6, explained_pct_e4) rows of
     a PCA model — shared by the one-shot and the incrementally-folded
@@ -2078,4 +2118,141 @@ def _register_pca() -> None:
         return _spectrum_df(spark, _SCALAR_MEMO[key], EMB_DIM)
 
 
+    @register("sim_label_drift", oracle=_label_drift_oracle(EMB_DIM))
+    def sim_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-cluster centroid drift between the base slice (first
+        80% by vec_id) and the full corpus: the L2 shift of each
+        LABEL's mean embedding — where sim_pca_drift answers "did the
+        space move", this answers "WHICH cluster moved", the
+        actionable grain for re-clustering one cell instead of
+        re-indexing everything.
+
+        Unlike the spectrum family this is pure distributed grouped
+        aggregation — two linear passes (base filter pushed to the
+        scan), each one groupBy(label) with d sum columns (map-side
+        combined, |labels| x d state), a broadcast-sized label join,
+        and a fixed-order fold for the shift.  Means are
+        1e-6-quantized before differencing, so both engines emit
+        identical fixed-point shifts."""
+        import math as _math2
+
+        d = EMB_DIM
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        thr = int(_math2.floor(_pca(spark, sf_dir)["n"] * PCA_DRIFT_BASE_FRAC))
+
+        def means(df):
+            agg = df.groupBy("label").agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col("embedding"), i).cast("double")
+                    ).alias(f"s{i}")
+                    for i in range(1, d + 1)
+                ],
+            )
+            sums = F.array(*[F.col(f"s{i}") for i in range(1, d + 1)])
+            return agg.select(
+                "label",
+                "n",
+                F.transform(
+                    sums,
+                    lambda x: F.floor(x / F.col("n") * F.lit(1e6) + F.lit(5e-1))
+                    / F.lit(1e6),
+                ).alias("mu"),
+            )
+
+        mb = means(emb.filter(F.col("vec_id") < F.lit(thr))).select(
+            "label", F.col("n").alias("n_b"), F.col("mu").alias("mu_b")
+        )
+        mf = means(emb)
+        diff2 = F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at("mu", i) - F.element_at("mu_b", i))
+            * (F.element_at("mu", i) - F.element_at("mu_b", i)),
+        )
+        return (
+            mf.join(mb, "label")
+            .select(
+                "label",
+                F.col("n_b").cast("long").alias("n_base"),
+                F.col("n").cast("long").alias("n_full"),
+                F.floor(F.sqrt(diff2) * F.lit(1e4) + F.lit(5e-1))
+                .cast("long")
+                .alias("shift_e4"),
+            )
+            .orderBy("label")
+        )
+
+
+    @register("sim_label_drift", oracle=_label_drift_oracle(EMB_DIM))
+    def sim_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-cluster centroid drift between the base slice (first
+        80% by vec_id) and the full corpus: the L2 shift of each
+        LABEL's mean embedding — where sim_pca_drift answers "did the
+        space move", this answers "WHICH cluster moved", the
+        actionable grain for re-clustering one cell instead of
+        re-indexing everything.
+
+        Unlike the spectrum family this is pure distributed grouped
+        aggregation — two linear passes (base filter pushed to the
+        scan), each one groupBy(label) with d sum columns (map-side
+        combined, |labels| x d state), a broadcast-sized label join,
+        and a fixed-order fold for the shift.  Means are
+        1e-6-quantized before differencing, so both engines emit
+        identical fixed-point shifts."""
+        import math as _math2
+
+        d = EMB_DIM
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        thr = int(_math2.floor(_pca(spark, sf_dir)["n"] * PCA_DRIFT_BASE_FRAC))
+
+        def means(df):
+            agg = df.groupBy("label").agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col("embedding"), i).cast("double")
+                    ).alias(f"s{i}")
+                    for i in range(1, d + 1)
+                ],
+            )
+            sums = F.array(*[F.col(f"s{i}") for i in range(1, d + 1)])
+            return agg.select(
+                "label",
+                "n",
+                F.transform(
+                    sums,
+                    lambda x: F.floor(x / F.col("n") * F.lit(1e6) + F.lit(5e-1))
+                    / F.lit(1e6),
+                ).alias("mu"),
+            )
+
+        mb = means(emb.filter(F.col("vec_id") < F.lit(thr))).select(
+            "label", F.col("n").alias("n_b"), F.col("mu").alias("mu_b")
+        )
+        mf = means(emb)
+        diff2 = F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at("mu", i) - F.element_at("mu_b", i))
+            * (F.element_at("mu", i) - F.element_at("mu_b", i)),
+        )
+        return (
+            mf.join(mb, "label")
+            .select(
+                "label",
+                F.col("n_b").cast("long").alias("n_base"),
+                F.col("n").cast("long").alias("n_full"),
+                F.floor(F.sqrt(diff2) * F.lit(1e4) + F.lit(5e-1))
+                .cast("long")
+                .alias("shift_e4"),
+            )
+            .orderBy("label")
+        )
+
+
 _register_pca()
+

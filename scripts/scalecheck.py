@@ -229,6 +229,9 @@ QUERIES = {
     # BPE-token bucket rollup: one token explode past the broadcast
     # dictionary, doc-keyed agg, <= log2(max_len) buckets
     "cur_bpe_length_buckets": 1.3,
+    # per-label centroid drift: two linear grouped-agg passes
+    # (|labels| x d state, map-side combined) + broadcast label join
+    "sim_label_drift": 1.3,
     # r8: bloom pruning — fixed 256-word build (map-side OR-combined)
     # inlined as a literal filter on the fact scan; linear, the probe
     # adds zero exchanges
