@@ -692,3 +692,43 @@ def test_range_probe_stats_count_is_exact(spark):
         ).alias("embedding"),
     )
     check(hot, 4, 10)
+
+
+def test_lsh_topk_hot_route_is_exact_bruteforce(spark):
+    """lsh_topk's r9 hot-corpus route: when the stats pass measures the
+    probe at >= cutover x |q| x N, the router must answer with the
+    EXACT brute-force top-k (recall 1.0), not a degraded bucket probe —
+    verify row-for-row equality against cosine_topk on a one-cluster
+    corpus, and that the driver corpus stays on the pruned path."""
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        RANGE_DENSE_CUTOVER,
+        cosine_topk,
+        lsh_buckets,
+        lsh_topk,
+        range_probe_stats,
+    )
+
+    n, n_q = 120, 10
+    hot = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> CAST(1.0 + id * 0.0001 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    hb = lsh_buckets(hot, 4)
+    hn, hc = range_probe_stats(hb, n_q)
+    assert hc >= RANGE_DENSE_CUTOVER * n_q * hn  # dense route engages
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in lsh_topk(hot, n_queries=n_q, n_bits=4).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in cosine_topk(hot, n_queries=n_q).collect()
+    }
+    assert got == want and len(want) == n_q * 5
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    bk = lsh_buckets(emb, lsh_n_bits(emb.count()))
+    cn, cc = range_probe_stats(bk, n_q)
+    assert cc < RANGE_DENSE_CUTOVER * n_q * cn  # pruned path kept
