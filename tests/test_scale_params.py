@@ -158,3 +158,24 @@ def test_pq_structure_and_rerank_recall(spark):
     # right trade) is asserted in scripts/scalecheck.py instead.
     iv = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(emb, 10, 5).collect()}
     assert len(exact & iv) / len(exact) >= 0.3, len(exact & iv) / len(exact)
+
+
+def test_scalecheck_probe_names_exist_in_registry():
+    """Every name in scripts/scalecheck.py's bound table and WARM_FIRST
+    set must be a registered query — a typo'd probe name would silently
+    never run (the probe loop just skips unknown names), eroding the
+    'every family has a measured 10x bound' claim."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scalecheck_under_test", os.path.join(repo, "scripts", "scalecheck.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    assert [n for n in m.QUERIES if n not in QUERIES] == []
+    assert [n for n in m.WARM_FIRST if n not in m.QUERIES] == []
