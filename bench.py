@@ -151,38 +151,66 @@ def main() -> None:
             file=sys.stderr,
         )
 
-        # Streaming micro-bench: the applyInPandasWithState path over
-        # the events table (availableNow -> noop sink), so state-store
-        # / Arrow-state regressions are visible per round.
+        # Streaming micro-benches: end-to-end wall + sustained rows/sec
+        # for the three streaming paths whose regressions matter —
+        # the applyInPandasWithState stateful aggregation (state-store
+        # / Arrow-state), dropDuplicates-within-watermark dedup (state
+        # eviction), and the dual-watermark interval self-join (the
+        # two-sided state path).  Each drains the full sf events table
+        # (availableNow -> noop sink), so rows/sec is comparable
+        # round-over-round at a fixed sf like query wall time.
         streaming_sec = None
+        streaming_detail: dict = {}
         try:
             from chinook_music_database_analysis_spark.streaming.events import (
+                dedup_within_watermark_stream,
+                interval_join_stream,
                 read_events_stream,
             )
             from chinook_music_database_analysis_spark.streaming.stateful import (
                 user_running_totals_stream,
             )
 
+            n_events = spark.read.parquet(
+                os.path.join(sf_dir, "events.parquet")
+            ).count()
+            paths = {
+                "stateful_totals": (user_running_totals_stream, "update"),
+                "dedup_watermark": (dedup_within_watermark_stream, "append"),
+                "interval_join": (interval_join_stream, "append"),
+            }
             # Same min-of-reps methodology as the queries: the first
             # run pays Python-worker + checkpoint cold start (~8s even
             # in a fresh session), which is noise for regression
             # tracking — the warm number is the state-store signal.
-            for _rep in range(max(2, reps)):
-                t0 = time.perf_counter()
-                q = (
-                    user_running_totals_stream(read_events_stream(spark, sf_dir))
-                    .writeStream.format("noop")
-                    .outputMode("update")
-                    .trigger(availableNow=True)
-                    .start()
+            for name, (builder, mode) in paths.items():
+                best = None
+                for _rep in range(max(2, reps)):
+                    t0 = time.perf_counter()
+                    q = (
+                        builder(read_events_stream(spark, sf_dir))
+                        .writeStream.format("noop")
+                        .outputMode(mode)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+                    sec = round(time.perf_counter() - t0, 3)
+                    if best is None or sec < best:
+                        best = sec
+                streaming_detail[name] = {
+                    "sec": best,
+                    "input_rows": n_events,
+                    "rows_per_sec": round(n_events / best, 1),
+                }
+                print(
+                    f"# streaming {name}: {best:.3f}s"
+                    f" ({n_events / best:,.0f} rows/s)",
+                    file=sys.stderr,
                 )
-                q.awaitTermination()
-                sec = round(time.perf_counter() - t0, 3)
-                if streaming_sec is None or sec < streaming_sec:
-                    streaming_sec = sec
-            print(f"# streaming_stateful: {streaming_sec:.3f}s", file=sys.stderr)
+            streaming_sec = streaming_detail["stateful_totals"]["sec"]
         except Exception as ex:
-            print(f"# streaming_stateful: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
+            print(f"# streaming: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
 
         # Source-throughput micro-bench: the custom Python streaming
         # DataSource driven to completion (availableNow), so Python-
@@ -240,6 +268,8 @@ def main() -> None:
         }
         if streaming_sec is not None:
             detail["streaming_stateful_sec"] = streaming_sec
+        if streaming_detail:
+            detail["streaming"] = streaming_detail
         if source_rows_per_sec is not None:
             detail["source_rows_per_sec"] = source_rows_per_sec
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -267,6 +297,10 @@ def main() -> None:
         }
         if streaming_sec is not None:
             out["streaming_stateful_sec"] = streaming_sec
+        if streaming_detail:
+            out["stream_rps"] = {
+                k: v["rows_per_sec"] for k, v in streaming_detail.items()
+            }
         if source_rows_per_sec is not None:
             out["source_rows_per_sec"] = source_rows_per_sec
         if cache_after_warm:

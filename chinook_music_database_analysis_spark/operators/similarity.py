@@ -198,6 +198,7 @@ def mrl_topk(
     k: int = 5,
     prefix_dim: int = MRL_DIM,
     shortlist: int | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Two-stage matryoshka retrieval: coarse cosine over the first
     ``prefix_dim`` dimensions keeps a ``shortlist`` per query, then the
@@ -223,15 +224,18 @@ def mrl_topk(
 
     ``shortlist=None`` (the default) takes the corpus-scaled depth
     max(MRL_SHORTLIST, MRL_SHORTLIST_SQRT_MULT * ceil(sqrt(N))) — the
-    count is the one ANALYZE-pattern scalar of the operator (cheap on
-    the cached corpus relation; at 100 TB it is a catalog statistic).
+    count is the one ANALYZE-pattern scalar of the operator (at 100 TB
+    it is a catalog statistic).  Callers that already know N (the
+    registry memoizes it per session/corpus) pass ``n_corpus`` so the
+    default does not re-scan the corpus on every invocation.
     """
     if shortlist is None:
         import math as _math
 
+        n = emb.count() if n_corpus is None else n_corpus
         shortlist = max(
             MRL_SHORTLIST,
-            MRL_SHORTLIST_SQRT_MULT * _math.ceil(_math.sqrt(emb.count())),
+            MRL_SHORTLIST_SQRT_MULT * _math.ceil(_math.sqrt(n)),
         )
     pre = f"slice(embedding, 1, {prefix_dim})"
     q = emb.filter(F.col("vec_id") < n_queries).select(
@@ -573,6 +577,43 @@ def knn_graph(
 #: the dense radius scan GAINS recall, so auto-routing is honest.
 RANGE_DENSE_CUTOVER = 0.5
 
+#: op name -> stats of the LAST routing decision that op made in this
+#: process ({"route", "cand_upper", "bound", "n_queries", "n_corpus"}).
+#: The routers change result SEMANTICS past the cutover (exact superset
+#: / exact top-k), so a registered-oracle hash mismatch after a corpus
+#: revision must be attributable to a route flip at a glance — tests
+#: and the bench read this, and the dense engagement also logs a
+#: warning (it should never happen on a registered corpus, whose
+#: oracles replicate only the pruned path).
+ROUTER_LOG: dict[str, dict] = {}
+
+
+def _record_route(
+    op: str, dense: bool, cand_upper: int, n_queries: int, n_corpus: int
+) -> None:
+    bound = RANGE_DENSE_CUTOVER * n_queries * n_corpus
+    ROUTER_LOG[op] = {
+        "route": "dense_exact" if dense else "pruned_lsh",
+        "cand_upper": cand_upper,
+        "bound": bound,
+        "n_queries": n_queries,
+        "n_corpus": n_corpus,
+    }
+    if dense:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: stats-first router took the DENSE EXACT path "
+            "(candidate upper bound %d >= %.0f = %.0f%% of |q|xN) — "
+            "results are exact (a superset of / identical-or-better than "
+            "the pruned contract), so any oracle hash mismatch on a "
+            "registered corpus is this route flip, not a scoring bug",
+            op,
+            cand_upper,
+            bound,
+            100 * RANGE_DENSE_CUTOVER,
+        )
+
 
 def range_probe_stats(buckets: DataFrame, n_queries: int) -> tuple[int, int]:
     """(corpus_size, candidate_upper) for the radius-search router.
@@ -647,7 +688,9 @@ def range_search(
         buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
     wn = with_norms(emb) if norms is None else norms
     n_corpus, cand_upper = range_probe_stats(buckets, n_queries)
-    if cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus:
+    dense = cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus
+    _record_route("range_search", dense, cand_upper, n_queries, n_corpus)
+    if dense:
         q = wn.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -1106,7 +1149,9 @@ def lsh_topk(
         buckets = lsh_buckets(emb, b)
     bk = buckets
     n_corpus, cand_upper = range_probe_stats(bk, n_queries)
-    if cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus:
+    dense = cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus
+    _record_route("lsh_topk", dense, cand_upper, n_queries, n_corpus)
+    if dense:
         return cosine_topk(emb, n_queries=n_queries, k=k)
     q_bk = bk.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"

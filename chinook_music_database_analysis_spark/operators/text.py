@@ -776,10 +776,20 @@ BPE_SEP = "\x1f"
 
 def bpe_initial_seq(tok: Column) -> Column:
     """Character-level segmentation of one word: its chars joined by
-    :data:`BPE_SEP` (round 0 of BPE — every symbol is one char)."""
+    :data:`BPE_SEP` (round 0 of BPE — every symbol is one char).
+
+    Guarded for the empty token: Spark's ``sequence(1, 0)`` DESCENDS
+    to ``[1, 0]`` (two empty substrings -> a phantom 2-symbol
+    segmentation whose ('','') pair would skew the learned merge
+    table), while the oracle's ``range(1, len+1)`` is empty.  The
+    ``greatest`` clamp makes '' segment to one empty symbol on both
+    engines; dictionary builders additionally filter empty tokens out
+    (they are not words — a whitespace-only document contributes
+    nothing to BPE training)."""
     return F.array_join(
         F.transform(
-            F.sequence(F.lit(1), F.length(tok)), lambda i: F.substring(tok, i, 1)
+            F.sequence(F.lit(1), F.greatest(F.length(tok), F.lit(1))),
+            lambda i: F.substring(tok, i, 1),
         ),
         BPE_SEP,
     )

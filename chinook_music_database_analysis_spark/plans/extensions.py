@@ -1376,7 +1376,10 @@ def _register_sim_mrl_topk() -> None:
         scan: 0.92 / 0.96 at sf0.001 / sf0.01."""
         from ..operators.similarity import mrl_topk
 
-        return mrl_topk(load_tables(spark, sf_dir)["embeddings"])
+        return mrl_topk(
+            load_tables(spark, sf_dir)["embeddings"],
+            n_corpus=_emb_count(spark, sf_dir),
+        )
 
 
 _register_sim_mrl_topk()

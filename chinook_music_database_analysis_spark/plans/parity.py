@@ -951,6 +951,18 @@ def _pairs_selfjoin(t: dict[str, DataFrame], col: str) -> DataFrame:
     by a v-determining key makes any residual tie scramble harmless —
     on Spark AND on the DuckDB oracle, whose inlined CTE has the same
     double-evaluation hazard.
+
+    Skew note (measured, r10): AQE's skew-join split is STRUCTURALLY
+    unavailable on this plan — the rid window sits between the shuffle
+    and the SMJ (children are Window(Sort(ShuffleRead)), not the
+    Sort(ShuffleQueryStage) pattern OptimizeSkewedJoin matches), and
+    splitting a partition under row_number would break rank semantics
+    anyway.  A hot-order basket therefore serializes on one task here;
+    the registered scale path is the _scaled multiplicity-compressed
+    rewrite, and when the literal pair shape itself must run at scale,
+    materialize the rid relation first so the self-join owns its
+    shuffles — tests/test_skew_and_compat.py
+    test_s04_literal_skew_mitigation_story pins both behaviors.
     """
     rid = F.row_number().over(
         Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")

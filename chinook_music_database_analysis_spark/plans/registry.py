@@ -13,9 +13,20 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optionally its oracle SQL) to the registry."""
+    """Decorator: add a query (and optionally its oracle SQL) to the registry.
+
+    Raises on a duplicate name: ``QUERIES[name] = fn`` would silently
+    overwrite, so a copy-pasted registration block would ship as dead
+    code with no warning (this bit r9 — sim_label_drift was registered
+    twice, byte-identical; had the copies diverged, only the later one
+    would have taken effect)."""
 
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already in the "
+                f"registry (defined by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -1124,7 +1124,9 @@ def _bpe_cte_prefix(rounds: int) -> str:
         SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
       ), unnest(toks) AS t(tok)
     ), wc AS (
-      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+      -- len(tok) >= 1: empty tokens are not words (mirrors _bpe_wc)
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+      WHERE len(tok) >= 1 GROUP BY tok
     ), r0 AS (
       SELECT tok, cnt,
              array_to_string(list_transform(range(1, len(tok) + 1),
@@ -1172,50 +1174,38 @@ def _bpe_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = load_tables(spark, sf_dir)["documents"].select(
             F.explode(tokens_expr()).alias("tok")
         )
-        return toks.groupBy("tok").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        # Empty tokens (trim+split of a whitespace-only text yields [''])
+        # are not words: without this filter Spark's descending
+        # sequence(1,0) used to fabricate a 2-empty-symbol segmentation
+        # the oracle never sees, breaking the cross-engine hash on any
+        # corpus containing a blank document.  Mirrored in
+        # _bpe_cte_prefix's wc CTE.
+        return (
+            toks.filter(F.length("tok") >= 1)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
 
     return _cached("bpe_wc", spark, sf_dir, build)
 
 
-def _bpe_merge_table(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """Memoized learned merge table [(rnd, x, y, n_pair), ...]: the
-    BPE_ENC_ROUNDS argmax collects run once per (session, corpus);
-    every consumer rebuilds the lazy segmentations from it without
-    re-collecting (the merges deterministically define the folds)."""
-    key = ("bpe_table", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
+def _bpe_seqs(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """[(rnd, x, y, n_pair, seq_df), ...] — the learned merge table
+    plus the dictionary segmentation AFTER each merge, trained ONCE
+    per (session, corpus).  ``seq_df`` is exactly the relation
+    bpe_train persisted for that round — consumers reuse the training
+    chain's cached relations rather than rebuilding (and re-persisting)
+    an identical fold chain, so the session holds R dictionary-sized
+    cached relations total, not 2R (the r9 leak: _bpe_merge_table and
+    _bpe_seqs each built and persisted the chain)."""
+    key = ("bpe_seqs", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
         from ..operators.text import bpe_train
 
         _SCALAR_MEMO[key] = [
-            (m["rnd"], m["x"], m["y"], m["n_pair"])
+            (m["rnd"], m["x"], m["y"], m["n_pair"], m["seq_df"])
             for m in bpe_train(_bpe_wc(spark, sf_dir), BPE_ENC_ROUNDS)
         ]
-    return _SCALAR_MEMO[key]
-
-
-def _bpe_seqs(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """[(rnd, x, y, n_pair, seq_df), ...] — the dictionary segmentation
-    AFTER each learned merge, rebuilt lazily from the memoized table
-    (narrow folds over the cached dictionary, no collects).  Each
-    round's relation is persisted and the LIST memoized per (session,
-    corpus), so the 6 per-round consumers each compute one fold layer
-    over the cached predecessor instead of replaying the whole chain
-    (the same O(R) — not O(R^2) — argument as bpe_train)."""
-    key = ("bpe_seqs", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
-    if key not in _SCALAR_MEMO:
-        from ..operators.text import bpe_initial_seq, bpe_merge_expr
-
-        wc = _bpe_wc(spark, sf_dir)
-        seq = wc.select("tok", "cnt", bpe_initial_seq(F.col("tok")).alias("seq"))
-        out = []
-        for rnd, x, y, n_pair in _bpe_merge_table(spark, sf_dir):
-            seq = seq.select(
-                "tok", "cnt", bpe_merge_expr(F.col("seq"), x, y).alias("seq")
-            ).persist()
-            out.append((rnd, x, y, n_pair, seq))
-        _SCALAR_MEMO[key] = out
     return _SCALAR_MEMO[key]
 
 
@@ -2116,74 +2106,6 @@ def _register_pca() -> None:
             ]
             _SCALAR_MEMO[key] = pca_power_model(parts)
         return _spectrum_df(spark, _SCALAR_MEMO[key], EMB_DIM)
-
-
-    @register("sim_label_drift", oracle=_label_drift_oracle(EMB_DIM))
-    def sim_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Per-cluster centroid drift between the base slice (first
-        80% by vec_id) and the full corpus: the L2 shift of each
-        LABEL's mean embedding — where sim_pca_drift answers "did the
-        space move", this answers "WHICH cluster moved", the
-        actionable grain for re-clustering one cell instead of
-        re-indexing everything.
-
-        Unlike the spectrum family this is pure distributed grouped
-        aggregation — two linear passes (base filter pushed to the
-        scan), each one groupBy(label) with d sum columns (map-side
-        combined, |labels| x d state), a broadcast-sized label join,
-        and a fixed-order fold for the shift.  Means are
-        1e-6-quantized before differencing, so both engines emit
-        identical fixed-point shifts."""
-        import math as _math2
-
-        d = EMB_DIM
-        emb = load_tables(spark, sf_dir)["embeddings"]
-        thr = int(_math2.floor(_pca(spark, sf_dir)["n"] * PCA_DRIFT_BASE_FRAC))
-
-        def means(df):
-            agg = df.groupBy("label").agg(
-                F.count(F.lit(1)).cast("double").alias("n"),
-                *[
-                    F.sum(
-                        F.element_at(F.col("embedding"), i).cast("double")
-                    ).alias(f"s{i}")
-                    for i in range(1, d + 1)
-                ],
-            )
-            sums = F.array(*[F.col(f"s{i}") for i in range(1, d + 1)])
-            return agg.select(
-                "label",
-                "n",
-                F.transform(
-                    sums,
-                    lambda x: F.floor(x / F.col("n") * F.lit(1e6) + F.lit(5e-1))
-                    / F.lit(1e6),
-                ).alias("mu"),
-            )
-
-        mb = means(emb.filter(F.col("vec_id") < F.lit(thr))).select(
-            "label", F.col("n").alias("n_b"), F.col("mu").alias("mu_b")
-        )
-        mf = means(emb)
-        diff2 = F.aggregate(
-            F.sequence(F.lit(1), F.lit(d)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + (F.element_at("mu", i) - F.element_at("mu_b", i))
-            * (F.element_at("mu", i) - F.element_at("mu_b", i)),
-        )
-        return (
-            mf.join(mb, "label")
-            .select(
-                "label",
-                F.col("n_b").cast("long").alias("n_base"),
-                F.col("n").cast("long").alias("n_full"),
-                F.floor(F.sqrt(diff2) * F.lit(1e4) + F.lit(5e-1))
-                .cast("long")
-                .alias("shift_e4"),
-            )
-            .orderBy("label")
-        )
 
 
     @register("sim_label_drift", oracle=_label_drift_oracle(EMB_DIM))

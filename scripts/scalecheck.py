@@ -630,11 +630,117 @@ def main() -> int:
                 ("containment_router_base", join_rows, HOT_JOIN_FACTOR * n_rows)
             )
 
+    # --- PCA dimension probe (r10 verdict item): the registered
+    # fixtures are d=64, but 100 TB embedding corpora run d=1-4k; the
+    # moment pass is O(d^2) per Arrow batch and the driver eigensolve
+    # O(d^2 * iters).  Prove the machinery holds at d=512: every
+    # partial carries exactly d + d^2 state (the O(#batches * d^2)
+    # driver-collect bound), the exact-fold power iteration matches
+    # numpy's dense eigensolver on the SAME quantized covariance, and
+    # the projection map stays a zero-Exchange narrow plan.  Timings
+    # for d=64 vs d=512 at equal N are printed so the d^2 growth is
+    # measured, with a bound of (512/64)^2 x SLACK on the ratio.
+    pca_failures = pca_dim_probe(spark, out_dir)
+    failures.extend(pca_failures)
+
     if failures:
         print("SCALE REGRESSIONS:", failures, file=sys.stderr)
         return 1
     print("# all families within scaling bounds", file=sys.stderr)
     return 0
+
+
+def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> list:
+    """High-dimension PCA probe: generate an anisotropic Gaussian
+    corpus at each d (top axis variance 16x the bulk, second 6x — a
+    clean spectral gap, so 80 power iterations converge far past the
+    1e-6 quantization grid), run the full distributed pipeline
+    (mapInPandas moment partials -> driver power-iteration model ->
+    projection scores), and check state bounds, numpy agreement, plan
+    shape and the d^2 time ratio."""
+    import math
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        embedding_moment_partials,
+        pca_power_model,
+        pca_project_scores,
+    )
+
+    failures: list = []
+    rng = np.random.default_rng(11)
+    times: dict[int, float] = {}
+    for d in dims:
+        path = f"{out_dir}/embeddings_d{d}.parquet"
+        if not os.path.exists(path):
+            X = rng.normal(size=(n_vec, d))
+            X[:, 0] *= 4.0   # lam1 ~ 16
+            X[:, 1] *= 2.5   # lam2 ~ 6.25, gap >> quantization
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(range(n_vec), pa.int64()),
+                        "embedding": pa.array(
+                            [v.astype(np.float32).tolist() for v in X],
+                            pa.list_(pa.float32()),
+                        ),
+                        "label": pa.array(
+                            (np.arange(n_vec) % 4).astype(np.int32), pa.int32()
+                        ),
+                    }
+                ),
+                path,
+            )
+        emb = spark.read.parquet(path)
+        t0 = time.perf_counter()
+        rows = embedding_moment_partials(emb, dim=d).collect()
+        model = pca_power_model(
+            [(r["n"], r["s"], r["ss"]) for r in rows], dim=d
+        )
+        times[d] = time.perf_counter() - t0
+        # state bound: each partial is exactly d + d^2 doubles, and the
+        # batch total covers the corpus exactly once
+        assert all(len(r["s"]) == d and len(r["ss"]) == d * d for r in rows)
+        n_total = sum(r["n"] for r in rows)
+        if n_total != n_vec:
+            failures.append((f"pca_d{d}_partial_rows", n_total, n_vec))
+        # numpy agreement on the SAME quantized covariance the engine
+        # folded (the reference is eigh on model's m_q — this isolates
+        # the power iteration + deflation from float fold order)
+        M = np.array(model["m_q"], dtype=np.float64).reshape(d, d)
+        evals = np.linalg.eigvalsh(M)
+        lam_np = sorted(evals)[::-1][:2]
+        for i, (lam, _v) in enumerate(model["comps"]):
+            rel = abs(lam - lam_np[i]) / abs(lam_np[i])
+            print(
+                f"pca d={d} comp{i + 1}: power={lam:.9f} "
+                f"numpy={lam_np[i]:.9f} rel_err={rel:.2e} "
+                f"({times[d]:.2f}s, {len(rows)} partials)"
+            )
+            if rel > 1e-9:
+                failures.append((f"pca_d{d}_eig{i + 1}", lam, lam_np[i]))
+        # trace identity: sum of quantized diagonal == folded trace
+        tr = sum(M[i, i] for i in range(d))
+        if not math.isclose(tr, model["trace_q"], rel_tol=1e-12):
+            failures.append((f"pca_d{d}_trace", tr, model["trace_q"]))
+        # projection stays a zero-Exchange narrow map at any d
+        plan = (
+            pca_project_scores(emb, model, dim=d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "Exchange" in plan:
+            failures.append((f"pca_d{d}_projection_exchange", 1, 0))
+    d0, d1 = dims
+    ratio = max(times[d1], 1e-9) / max(times[d0], 1e-9)
+    bound = ((d1 / d0) ** 2) * SLACK
+    print(
+        f"pca moment+eigensolve d={d0}->{d1}: {times[d0]:.2f}s -> "
+        f"{times[d1]:.2f}s ratio {ratio:.1f} (bound {bound:.0f})"
+    )
+    if ratio > bound:
+        failures.append(("pca_dim_ratio", ratio, bound))
+    return failures
 
 
 if __name__ == "__main__":

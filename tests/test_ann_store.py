@@ -732,3 +732,48 @@ def test_lsh_topk_hot_route_is_exact_bruteforce(spark):
     bk = lsh_buckets(emb, lsh_n_bits(emb.count()))
     cn, cc = range_probe_stats(bk, n_q)
     assert cc < RANGE_DENSE_CUTOVER * n_q * cn  # pruned path kept
+
+
+def test_router_log_records_route_and_warns_on_dense(spark, caplog):
+    """The routers change result SEMANTICS past the cutover (exact
+    superset / exact top-k), so the decision must be observable:
+    ROUTER_LOG records every routing decision with the stats behind
+    it, and the dense engagement logs a WARNING — a registered-corpus
+    oracle mismatch after a corpus revision is then attributable to
+    the route flip at a glance (r9 advice)."""
+    import logging
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        ROUTER_LOG,
+        lsh_buckets,
+        lsh_topk,
+        range_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    range_search(emb)
+    lsh_topk(emb)
+    for op in ("range_search", "lsh_topk"):
+        rec = ROUTER_LOG[op]
+        assert rec["route"] == "pruned_lsh"  # driver corpus: pruned path
+        assert rec["cand_upper"] < rec["bound"]
+        assert rec["n_corpus"] == emb.count()
+
+    # hot corpus: dense route recorded + warned
+    hot = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8),"
+            " i -> CAST(1.0 + id * 0.0001 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    with caplog.at_level(
+        logging.WARNING,
+        logger="chinook_music_database_analysis_spark.operators.similarity",
+    ):
+        range_search(hot, tau=0.5, n_queries=10)
+    assert ROUTER_LOG["range_search"]["route"] == "dense_exact"
+    assert any("DENSE EXACT" in r.message for r in caplog.records)
+    # lsh_topk on the same hot corpus flips too (shared stats pass)
+    lsh_topk(hot, n_queries=10, buckets=lsh_buckets(hot, 4))
+    assert ROUTER_LOG["lsh_topk"]["route"] == "dense_exact"

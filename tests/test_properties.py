@@ -1147,3 +1147,85 @@ def test_bpe_consumers_agree_on_total_subword_volume(spark):
         .collect()[0]["corpus_syms"]
     )
     assert by_source == by_bucket == final_round > 0
+
+
+def test_bpe_empty_token_segments_as_one_symbol(spark):
+    """Regression (r10): Spark's sequence(1, 0) DESCENDS to [1, 0], so
+    an unguarded char segmentation turned the empty token into TWO
+    empty symbols — fabricating a ('','') pair count the DuckDB oracle
+    (ascending range(1, 1) = empty) never sees, silently skewing the
+    learned merge table on any corpus with a blank document.  The
+    greatest() clamp makes '' segment to exactly one empty symbol, so
+    it contributes no pairs."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.text import (
+        BPE_SEP,
+        bpe_initial_seq,
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame([("",), ("ab",)], ["tok"]).select(
+        "tok",
+        F.lit(1).cast("bigint").alias("cnt"),
+        bpe_initial_seq(F.col("tok")).alias("seq"),
+    )
+    seqs = {r.tok: r.seq for r in df.collect()}
+    assert seqs[""] == ""  # one empty symbol, not '' + SEP + ''
+    assert seqs["ab"] == "a" + BPE_SEP + "b"
+    pairs = {(r.x, r.y) for r in bpe_pair_counts(df).collect()}
+    assert ("", "") not in pairs
+    assert pairs == {("a", "b")}
+
+
+def test_bpe_blank_document_corpus_matches_oracle(spark, tmp_path):
+    """End-to-end parity on the exact corpus shape the r9 advice
+    flagged: documents whose text is empty or whitespace-only (trim +
+    split yields [''], the empty token).  All three BPE-consuming
+    registered queries must still hash-match their DuckDB oracles —
+    the dictionary filter (len >= 1, mirrored in the wc CTE) plus the
+    segmentation clamp make the blank docs invisible to training on
+    BOTH engines."""
+    import duckdb
+
+    from chinook_music_database_analysis_spark.plans import ORACLES, QUERIES
+    from chinook_music_database_analysis_spark.plans.extensions import reset_memo
+
+    from conftest import assert_frames_match
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "the cat sat on the mat",
+                "",
+                "   ",
+                "the dog sat on the log",
+                "\t\n ",
+                "cats and dogs and cats",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["web", "web", "books", "books", "web", "web"],
+            "n_chars": [22, 0, 3, 22, 3, 22],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    try:
+        for name in (
+            "tx_bpe_merges",
+            "tx_bpe_encode",
+            "tx_bpe_source_tokens",
+            "cur_bpe_length_buckets",
+        ):
+            spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+            oracle_pdf = con.sql(ORACLES[name]).df()
+            assert_frames_match(spark_pdf, oracle_pdf, f"{name}[blank-docs]")
+            assert len(spark_pdf) > 0, name
+    finally:
+        con.close()
+        reset_memo(sf_dir)
