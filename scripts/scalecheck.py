@@ -703,6 +703,19 @@ def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> lis
         n_total = sum(r["n"] for r in rows)
         if n_total != n_vec:
             failures.append((f"pca_d{d}_partial_rows", n_total, n_vec))
+        # batch independence AT THIS d: an 8-partition run produces
+        # >= 8 partials whose combine must land on the identical
+        # quantized model (the grid absorbs partial-sum association) —
+        # the d=64 fixture test proves the mechanism, this proves it
+        # where the per-batch state is 64x larger
+        multi = embedding_moment_partials(emb.repartition(8), dim=d).collect()
+        if len(multi) < 2:
+            failures.append((f"pca_d{d}_multibatch_count", len(multi), 2))
+        m2 = pca_power_model([(r["n"], r["s"], r["ss"]) for r in multi], dim=d)
+        if m2["m_q"] != model["m_q"] or [c[0] for c in m2["comps"]] != [
+            c[0] for c in model["comps"]
+        ]:
+            failures.append((f"pca_d{d}_batch_independence", 1, 0))
         # numpy agreement on the SAME quantized covariance the engine
         # folded (the reference is eigh on model's m_q — this isolates
         # the power iteration + deflation from float fold order)

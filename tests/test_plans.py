@@ -487,3 +487,29 @@ def test_embedding_cosine_pair_sweep_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     # the positional window runs per (tbl, bucket)
     assert "row_number" in plan.lower() or "RunningWindowFunction" in plan
+
+
+def test_core_tier_is_valid_subset():
+    """The core test tier (SPARK_GRAFT_TEST_TIER=core) must stay a
+    strict subset of the registry, contain EVERY SURVEY §2.12 parity
+    target (q*/s* cohort — the reference's own workload is never
+    skippable), and keep each named extension representative
+    registered — so registry renames can't silently hollow out the
+    fast gate."""
+    import re
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+
+    from test_oracle_parity import _CORE_EXTENSION_REPS
+
+    parity = {n for n in QUERIES if re.match(r"^[qs]\d", n)}
+    core = parity | _CORE_EXTENSION_REPS
+    assert _CORE_EXTENSION_REPS <= set(QUERIES), (
+        _CORE_EXTENSION_REPS - set(QUERIES)
+    )
+    assert parity and core < set(QUERIES)
+    # representative spread: every family prefix in the registry is
+    # exercised by at least one core entry
+    prefixes = {n.split("_")[0] for n in QUERIES}
+    core_prefixes = {n.split("_")[0] for n in core}
+    assert prefixes == core_prefixes, prefixes - core_prefixes
