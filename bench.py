@@ -174,16 +174,26 @@ def main() -> None:
             n_events = spark.read.parquet(
                 os.path.join(sf_dir, "events.parquet")
             ).count()
+            # (builder, output mode, input sides): the interval join
+            # consumes the events stream on BOTH sides, so its
+            # input_rows is 2x — without this the three paths'
+            # rows_per_sec would not be comparable to each other.
             paths = {
-                "stateful_totals": (user_running_totals_stream, "update"),
-                "dedup_watermark": (dedup_within_watermark_stream, "append"),
-                "interval_join": (interval_join_stream, "append"),
+                "stateful_totals": (user_running_totals_stream, "update", 1),
+                "dedup_watermark": (dedup_within_watermark_stream, "append", 1),
+                "interval_join": (interval_join_stream, "append", 2),
             }
-            # Same min-of-reps methodology as the queries: the first
-            # run pays Python-worker + checkpoint cold start (~8s even
-            # in a fresh session), which is noise for regression
-            # tracking — the warm number is the state-store signal.
-            for name, (builder, mode) in paths.items():
+        except Exception as ex:
+            paths = {}
+            print(f"# streaming setup: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
+        # Same min-of-reps methodology as the queries: the first run
+        # pays Python-worker + checkpoint cold start (~8s even in a
+        # fresh session), which is noise for regression tracking —
+        # the warm number is the state-store signal.  Each path gets
+        # its own try so one broken path can't discard the metrics
+        # already measured for the others.
+        for name, (builder, mode, sides) in paths.items():
+            try:
                 best = None
                 for _rep in range(max(2, reps)):
                     t0 = time.perf_counter()
@@ -198,19 +208,24 @@ def main() -> None:
                     sec = round(time.perf_counter() - t0, 3)
                     if best is None or sec < best:
                         best = sec
+                in_rows = n_events * sides
                 streaming_detail[name] = {
                     "sec": best,
-                    "input_rows": n_events,
-                    "rows_per_sec": round(n_events / best, 1),
+                    "input_rows": in_rows,
+                    "rows_per_sec": round(in_rows / best, 1),
                 }
+                if name == "stateful_totals":
+                    streaming_sec = best
                 print(
                     f"# streaming {name}: {best:.3f}s"
-                    f" ({n_events / best:,.0f} rows/s)",
+                    f" ({in_rows / best:,.0f} rows/s)",
                     file=sys.stderr,
                 )
-            streaming_sec = streaming_detail["stateful_totals"]["sec"]
-        except Exception as ex:
-            print(f"# streaming: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
+            except Exception as ex:
+                print(
+                    f"# streaming {name}: ERROR {type(ex).__name__}: {ex}"[:200],
+                    file=sys.stderr,
+                )
 
         # Source-throughput micro-bench: the custom Python streaming
         # DataSource driven to completion (availableNow), so Python-

@@ -353,7 +353,28 @@ def _persisted_index(
 
 
 #: memoized scalars (corpus counts / stats tuples) keyed like _MEMO.
-_SCALAR_MEMO: dict[tuple, "int | tuple[int, int] | dict[str, int]"] = {}
+#: scalar/statistic memo.  Mostly plain Python values, but the BPE
+#: fold chain (scale_queries._bpe_seqs) stores (rnd, x, y, n_pair,
+#: seq_df) tuples whose seq_df is a PERSISTED DataFrame — reset_memo
+#: must unpersist those too, so it walks values for DataFrames.
+_SCALAR_MEMO: dict[tuple, object] = {}
+
+
+def _unpersist_in(value) -> None:
+    """Unpersist any DataFrame reachable one level deep inside a memo
+    value (bare, or as an element of a list/tuple of tuples)."""
+    from pyspark.sql import DataFrame as _DF
+
+    stack = [value]
+    while stack:
+        v = stack.pop()
+        if isinstance(v, _DF):
+            try:
+                v.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+        elif isinstance(v, (list, tuple)):
+            stack.extend(v)
 
 
 def reset_memo(sf_dir: str | None = None) -> None:
@@ -367,6 +388,7 @@ def reset_memo(sf_dir: str | None = None) -> None:
             pass  # session already stopped — nothing to release
         del _MEMO[key]
     for key in [k for k in _SCALAR_MEMO if sf_dir is None or k[2] == sf_dir]:
+        _unpersist_in(_SCALAR_MEMO[key])
         del _SCALAR_MEMO[key]
 
 

@@ -698,8 +698,11 @@ def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> lis
         )
         times[d] = time.perf_counter() - t0
         # state bound: each partial is exactly d + d^2 doubles, and the
-        # batch total covers the corpus exactly once
-        assert all(len(r["s"]) == d and len(r["ss"]) == d * d for r in rows)
+        # batch total covers the corpus exactly once (reported through
+        # the failures channel like every other check — a bare assert
+        # would abort the sweep without the SCALE REGRESSIONS table)
+        if not all(len(r["s"]) == d and len(r["ss"]) == d * d for r in rows):
+            failures.append((f"pca_d{d}_partial_shape", 1, 0))
         n_total = sum(r["n"] for r in rows)
         if n_total != n_vec:
             failures.append((f"pca_d{d}_partial_rows", n_total, n_vec))
@@ -709,8 +712,12 @@ def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> lis
         # the d=64 fixture test proves the mechanism, this proves it
         # where the per-batch state is 64x larger
         multi = embedding_moment_partials(emb.repartition(8), dim=d).collect()
-        if len(multi) < 2:
-            failures.append((f"pca_d{d}_multibatch_count", len(multi), 2))
+        # repartition(8) round-robins n_vec rows into 8 non-empty
+        # partitions -> 8 partials; fewer means the multi-way combine
+        # this guard exists for quietly collapsed (e.g. Arrow batching
+        # merged partitions), so flag it rather than pass a weaker test
+        if len(multi) < 8:
+            failures.append((f"pca_d{d}_multibatch_count", len(multi), 8))
         m2 = pca_power_model([(r["n"], r["s"], r["ss"]) for r in multi], dim=d)
         if m2["m_q"] != model["m_q"] or [c[0] for c in m2["comps"]] != [
             c[0] for c in model["comps"]

@@ -513,3 +513,15 @@ def test_core_tier_is_valid_subset():
     prefixes = {n.split("_")[0] for n in QUERIES}
     core_prefixes = {n.split("_")[0] for n in core}
     assert prefixes == core_prefixes, prefixes - core_prefixes
+
+
+def test_bpe_retokenization_broadcasts_dictionary(spark):
+    """The BPE consumers' scale claim is that corpus re-tokenization is
+    ONE pass past a broadcast (tok -> n_syms) dictionary — never a
+    shuffle join against the corpus and never a per-document merge
+    replay.  Pin the physical plan: both consumers join the dictionary
+    via BroadcastHashJoin, with no SortMergeJoin on the tok key."""
+    for name in ("tx_bpe_source_tokens", "cur_bpe_length_buckets"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, (name, p[:1500])
+        assert "SortMergeJoin [tok" not in p, (name, p[:1500])
