@@ -1229,3 +1229,22 @@ def test_bpe_blank_document_corpus_matches_oracle(spark, tmp_path):
     finally:
         con.close()
         reset_memo(sf_dir)
+
+
+def test_reset_memo_unpersists_bpe_fold_chain(spark):
+    """reset_memo promises to RELEASE executor storage, and since r10
+    the BPE fold chain's persisted relations live inside _SCALAR_MEMO
+    values (tuples) rather than _MEMO — the reset must walk values and
+    unpersist the DataFrames it finds, not just drop the dict keys."""
+    from chinook_music_database_analysis_spark.plans.extensions import reset_memo
+    from chinook_music_database_analysis_spark.plans.scale_queries import _bpe_seqs
+
+    seqs = _bpe_seqs(spark, SF_TEST_DIR)
+    dfs = [s[4] for s in seqs]
+    assert dfs and all(df.storageLevel.useMemory for df in dfs)
+    try:
+        reset_memo(SF_TEST_DIR)
+        assert all(not df.storageLevel.useMemory for df in dfs)
+    finally:
+        # leave the session memo in a clean state for later tests
+        reset_memo(SF_TEST_DIR)
