@@ -643,6 +643,13 @@ def main() -> int:
     pca_failures = pca_dim_probe(spark, out_dir)
     failures.extend(pca_failures)
 
+    # --- streaming scale probe (r10): the three benched streaming
+    # paths drained over the base vs the generated {factor}x events
+    # table.  All state is watermark- or key-bounded, so wall time
+    # must scale ~linearly in the input (bound factor^1.3 x slack,
+    # same as the batch hash/shuffle families).
+    failures.extend(streaming_scale_probe(spark, out_dir, args.factor))
+
     if failures:
         print("SCALE REGRESSIONS:", failures, file=sys.stderr)
         return 1
@@ -765,3 +772,67 @@ def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> lis
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def streaming_scale_probe(spark, out_dir: str, factor: int) -> list:
+    """Drain the three benched streaming paths (stateful running
+    totals, watermark dedup, dual-watermark interval join) over the
+    base and the generated {factor}x events tables and bound the
+    wall-time ratio at factor^1.3 x SLACK.
+
+    Why linear is the right bound: the stateful path's state is one
+    row per user (and users scale with the corpus, but each row is
+    O(1) work); dedup's state is watermark-bounded; the interval
+    join's per-key state holds exactly watermark + band of rows, so
+    its join output — the only superlinear temptation — is bounded by
+    input x (band occupancy), which this generator holds constant by
+    scaling users WITH events (hot keys would show up here as a
+    blown ratio).  Each side is drained twice and the min taken
+    (micro-batch scheduling noise is the dominant variance at these
+    sizes; the FIRST base drain also absorbs the Python-worker /
+    checkpoint cold start the bench methodology documents)."""
+    from chinook_music_database_analysis_spark.streaming.events import (
+        dedup_within_watermark_stream,
+        interval_join_stream,
+        read_events_stream,
+    )
+    from chinook_music_database_analysis_spark.streaming.stateful import (
+        user_running_totals_stream,
+    )
+
+    paths = {
+        "stream_stateful": (user_running_totals_stream, "update"),
+        "stream_dedup": (dedup_within_watermark_stream, "append"),
+        "stream_interval_join": (interval_join_stream, "append"),
+    }
+    failures: list = []
+    bound = (factor ** 1.3) * SLACK
+    for name, (builder, mode) in paths.items():
+        times = {}
+        for tag, d in (("base", BASE), ("scaled", out_dir)):
+            best = None
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                q = (
+                    builder(read_events_stream(spark, d))
+                    .writeStream.format("noop")
+                    .outputMode(mode)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                sec = time.perf_counter() - t0
+                if best is None or sec < best:
+                    best = sec
+            times[tag] = best
+        eff_base = max(times["base"] - OVERHEAD_SEC, 0.05)
+        eff_scaled = max(times["scaled"] - OVERHEAD_SEC, 0.05)
+        ratio = eff_scaled / eff_base
+        ok = ratio <= bound
+        if not ok:
+            failures.append((name, ratio, bound))
+        print(
+            f"{name:26s} {times['base']:8.2f} {times['scaled']:9.2f} "
+            f"{ratio:7.1f} {bound:7.1f} {'ok' if ok else 'FAIL'}"
+        )
+    return failures
