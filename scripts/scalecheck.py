@@ -770,8 +770,6 @@ def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> lis
     return failures
 
 
-if __name__ == "__main__":
-    sys.exit(main())
 
 
 def streaming_scale_probe(spark, out_dir: str, factor: int) -> list:
@@ -836,3 +834,7 @@ def streaming_scale_probe(spark, out_dir: str, factor: int) -> list:
             f"{ratio:7.1f} {bound:7.1f} {'ok' if ok else 'FAIL'}"
         )
     return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())
