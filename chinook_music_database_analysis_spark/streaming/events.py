@@ -75,9 +75,15 @@ def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    a memory sink and return the materialized result table."""
+    a memory sink and return the materialized result table.
+
+    The default is ``append`` because 5 of this module's 7 builders
+    (dedup, both interval joins, enrichment, any update-mode stateful
+    operator) reject ``complete`` at query start; the two windowed
+    aggregations that want their full result pass
+    ``output_mode="complete"`` explicitly."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -87,6 +93,39 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def _error_click_interval_join(events: DataFrame, how: str) -> DataFrame:
+    """Shared builder for the error->click interval joins: the band
+    (10 minutes), watermarks (1 hour both sides), aliases, and join
+    condition are the STATE-SIZING CONTRACT both public operators
+    document — stated once so they cannot desynchronize (r10 review:
+    the two bodies had drifted into 30 duplicated lines)."""
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        how,
+    ).select("err_id", "user_id", "err_ts", "click_ts", "click_value")
 
 
 def interval_join_stream(events: DataFrame) -> DataFrame:
@@ -101,31 +140,7 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
     Without the time bound this join would be unbounded-state (Spark
     rejects it in append mode) — the band IS the scale contract.
     """
-    errors = (
-        events.filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("err_id"),
-            "user_id",
-            F.col("ts").alias("err_ts"),
-        )
-        .withWatermark("err_ts", "1 hour")
-    )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-            F.col("value").alias("click_value"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    return errors.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("click_ts") > F.col("err_ts"))
-        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
-        "inner",
-    ).select("err_id", "user_id", "err_ts", "click_ts", "click_value")
+    return _error_click_interval_join(events, "inner")
 
 
 def interval_left_join_stream(events: DataFrame) -> DataFrame:
@@ -134,7 +149,8 @@ def interval_left_join_stream(events: DataFrame) -> DataFrame:
     none arrived — the unmatched-left rows are emitted only once the
     watermark passes the end of the error's band (Spark must prove no
     future click can still match before it can emit the NULL row).
-    Same state-sizing contract as :func:`interval_join_stream`; outer
+    Same state-sizing contract as :func:`interval_join_stream` (the
+    shared builder IS the contract); outer
     results trail the inner ones by the watermark delay, and errors
     inside the final watermark horizon stay in state with their NULL
     row unemitted — even under availableNow, because the final global
@@ -143,31 +159,7 @@ def interval_left_join_stream(events: DataFrame) -> DataFrame:
     This is the streaming form of a left range join (batch oracle:
     LEFT JOIN with the same band, verified in tests modulo that
     horizon)."""
-    errors = (
-        events.filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("err_id"),
-            "user_id",
-            F.col("ts").alias("err_ts"),
-        )
-        .withWatermark("err_ts", "1 hour")
-    )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-            F.col("value").alias("click_value"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    return errors.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("click_ts") > F.col("err_ts"))
-        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
-        "leftOuter",
-    ).select("err_id", "user_id", "err_ts", "click_ts", "click_value")
+    return _error_click_interval_join(events, "leftOuter")
 
 
 def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:

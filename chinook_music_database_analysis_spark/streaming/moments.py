@@ -28,16 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.similarity import embedding_moment_partials
+from .sinks import write_batch
 
 
 def apply_moments_batch(batch: DataFrame, batch_id: int, log_dir: str) -> None:
     """Fold one micro-batch into the moment log: the batch's Arrow
     moment partials land in their OWN ``batch_id=N`` subdir with
     overwrite semantics, so a checkpoint-replayed batch replaces itself
-    and can never double-count (the scd2.write_batch idempotency
-    contract)."""
-    out = os.path.join(log_dir, f"batch_id={int(batch_id)}")
-    embedding_moment_partials(batch).write.mode("overwrite").parquet(out)
+    and can never double-count.  Delegates to sinks.write_batch — the
+    ONE place the idempotent-dir recipe lives, so a change to the sink
+    discipline (e.g. staged writes) reaches every log uniformly."""
+    write_batch(embedding_moment_partials(batch), int(batch_id), log_dir)
 
 
 def read_partials(spark: SparkSession, log_dir: str) -> DataFrame:

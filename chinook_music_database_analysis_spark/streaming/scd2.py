@@ -16,12 +16,23 @@ events (at their original (ts, event_id) sort positions — that is what
 batch and re-compressed yields EXACTLY the history a full rebuild over
 all events would produce: continuations in the new batch dissolve into
 the current run, real changes close it, and version numbers renumber
-identically because the skeleton is complete.  The same argument makes
-replay idempotent: re-merging an already-applied batch adds only
-events that are now either change points already present (dropped as
-same-state duplicates) or continuations (dropped), converging to the
-same rows — which is what lets the sink keep the streaming/sinks.py
-exactly-once contract (idempotent ``batch_id=N`` overwrite dirs).
+identically because the skeleton is complete.
+
+Replay idempotence comes from DETERMINISM over prior state: batch N's
+apply consults only ``batch_id < N`` rows (a partition-pruned literal
+filter, so the scan never lists batch N's own directory), so
+re-running batch N recomputes exactly the rows it wrote the first
+time and the ``batch_id=N`` overwrite converges — the
+streaming/sinks.py exactly-once contract.  Excluding batch N from its
+own prior read is load-bearing twice over (r10 review): reading it
+would race the overwrite that deletes the directory mid-job (a
+FAILED_READ_FILE crash whenever no shuffle boundary happens to
+materialize the scan before the delete — an AQE implementation
+accident, not a guarantee), and after a crash MID job-commit the
+partially-written batch N dir would replay as authoritative prior
+state, silently truncating affected users' histories.  With the
+filter, a partial batch N is ignored and the replay rebuilds it from
+clean ``< N`` state.
 
 Read side is latest-wins per user over the batch log (a user's newest
 batch dir holds their complete current history); compaction folds the
@@ -39,7 +50,6 @@ late-arriving event belongs to the watermark/backfill path
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -74,7 +84,10 @@ def _log_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _latest_rows(
-    spark: SparkSession, path: str, users: DataFrame | None = None
+    spark: SparkSession,
+    path: str,
+    users: DataFrame | None = None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Latest-wins rows per user from the batch log, all columns
     (HIST_COLS + the fold watermarks last_ts / last_eid).
@@ -84,8 +97,16 @@ def _latest_rows(
     shuffles only the affected users' rows — never the whole log.  With
     user-bucketed log storage the semi-join additionally prunes at the
     scan (DynamicPruning); without it the filter still bounds the
-    window's shuffle to the affected sliver."""
+    window's shuffle to the affected sliver.
+
+    ``before_batch`` restricts the read to ``batch_id < before_batch``
+    — a literal partition filter, pruned at planning, so the excluded
+    directory is never even listed.  apply_scd2_batch passes its own
+    batch id here: a replayed (or partially-committed) batch must
+    never consult itself as prior state (see the module docstring)."""
     log = spark.read.parquet(path)
+    if before_batch is not None:
+        log = log.filter(F.col("batch_id") < F.lit(before_batch))
     if users is not None:
         log = log.join(F.broadcast(users.select("user_id")), "user_id", "left_semi")
     w = Window.partitionBy("user_id")
@@ -128,63 +149,79 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     This relies on source event_ids being assigned in arrival order
     (the changelog contract that also makes the tie-break total)."""
     spark = batch.sparkSession
-    batch = batch.select("user_id", "event_type", "ts", "event_id")
-    if _log_exists(spark, path):
-        # Restrict the log consult to this batch's users up front: the
-        # latest-wins window shuffles only the affected sliver, and the
-        # late-event marks broadcast is bounded by the batch's distinct
-        # users — never the whole user dimension (which at 100 TB would
-        # not fit a broadcast).
-        affected = batch.select("user_id").distinct()
-        prior = _latest_rows(spark, path, users=affected)
-        marks = prior.filter(F.col("is_current")).select(
-            "user_id", "last_ts", "last_eid"
-        )
-        n_late = (
-            batch.join(F.broadcast(marks), "user_id")
-            .filter(
-                (F.col("ts") < F.col("last_ts"))
-                & (F.col("event_id") > F.col("last_eid"))
+    # Persist the micro-batch sliver and the prior consult: both feed
+    # several jobs (late-event count, pseudo-event replay, mark
+    # rollups, the history write) and would otherwise re-evaluate per
+    # job — at the module's 100 TB framing that doubles the log-consult
+    # I/O and re-reads the source sliver 4x (r10 review).
+    batch = batch.select("user_id", "event_type", "ts", "event_id").persist()
+    prior = None
+    try:
+        if _log_exists(spark, path):
+            # Restrict the log consult to this batch's users up front:
+            # the latest-wins window shuffles only the affected sliver,
+            # and the late-event marks broadcast is bounded by the
+            # batch's distinct users — never the whole user dimension
+            # (which at 100 TB would not fit a broadcast).  The
+            # before_batch filter excludes this batch's OWN directory:
+            # required for replay correctness, not just hygiene (see
+            # module docstring).
+            affected = batch.select("user_id").distinct()
+            prior = _latest_rows(
+                spark, path, users=affected, before_batch=batch_id
+            ).persist()
+            marks = prior.filter(F.col("is_current")).select(
+                "user_id", "last_ts", "last_eid"
             )
-            .count()
-        )
-        if n_late:
-            raise LateEventError(
-                f"batch {batch_id}: {n_late} event(s) behind their user's "
-                "fold watermark with new event_ids — backfill required"
+            n_late = (
+                batch.join(F.broadcast(marks), "user_id")
+                .filter(
+                    (F.col("ts") < F.col("last_ts"))
+                    & (F.col("event_id") > F.col("last_eid"))
+                )
+                .count()
             )
-        pseudo = prior.select(
-            "user_id",
-            F.col("state").alias("event_type"),
-            F.col("valid_from").alias("ts"),
-            F.col("src_event_id").alias("event_id"),
-        )
-        merged = pseudo.unionByName(batch)
-        prior_marks = marks
-        batch_marks = batch.groupBy("user_id").agg(
-            F.max("ts").alias("b_ts"), F.max("event_id").alias("b_eid")
-        )
-        new_marks = (
-            batch_marks.join(prior_marks, "user_id", "left")
-            .select(
+            if n_late:
+                raise LateEventError(
+                    f"batch {batch_id}: {n_late} event(s) behind their user's "
+                    "fold watermark with new event_ids — backfill required"
+                )
+            pseudo = prior.select(
                 "user_id",
-                F.greatest(F.col("b_ts"), F.coalesce("last_ts", "b_ts")).alias(
-                    "last_ts"
-                ),
-                F.greatest(F.col("b_eid"), F.coalesce("last_eid", "b_eid")).alias(
-                    "last_eid"
-                ),
+                F.col("state").alias("event_type"),
+                F.col("valid_from").alias("ts"),
+                F.col("src_event_id").alias("event_id"),
             )
+            merged = pseudo.unionByName(batch)
+            prior_marks = marks
+            batch_marks = batch.groupBy("user_id").agg(
+                F.max("ts").alias("b_ts"), F.max("event_id").alias("b_eid")
+            )
+            new_marks = (
+                batch_marks.join(prior_marks, "user_id", "left")
+                .select(
+                    "user_id",
+                    F.greatest(F.col("b_ts"), F.coalesce("last_ts", "b_ts")).alias(
+                        "last_ts"
+                    ),
+                    F.greatest(F.col("b_eid"), F.coalesce("last_eid", "b_eid")).alias(
+                        "last_eid"
+                    ),
+                )
+            )
+        else:
+            merged = batch
+            new_marks = batch.groupBy("user_id").agg(
+                F.max("ts").alias("last_ts"), F.max("event_id").alias("last_eid")
+            )
+        new_hist = scd2_history(merged, keep_tiebreak=True).join(
+            F.broadcast(new_marks), "user_id"
         )
-    else:
-        merged = batch
-        new_marks = batch.groupBy("user_id").agg(
-            F.max("ts").alias("last_ts"), F.max("event_id").alias("last_eid")
-        )
-    new_hist = scd2_history(merged, keep_tiebreak=True).join(
-        F.broadcast(new_marks), "user_id"
-    )
-    write_batch(new_hist, batch_id, path)
+        write_batch(new_hist, batch_id, path)
+    finally:
+        batch.unpersist()
+        if prior is not None:
+            prior.unpersist()
 
 
 def start_scd2_sink(

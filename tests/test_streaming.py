@@ -17,14 +17,14 @@ from conftest import SF_TEST_DIR, assert_frames_match
 
 def test_tumbling_stream_matches_batch(spark):
     stream = tumbling_counts_stream(read_events_stream(spark, SF_TEST_DIR))
-    got = run_to_memory(stream, "t_tumbling").toPandas()
+    got = run_to_memory(stream, "t_tumbling", output_mode="complete").toPandas()
     want = QUERIES["ev_tumbling_1h"](spark, SF_TEST_DIR).toPandas()
     assert_frames_match(got, want, "tumbling_stream_vs_batch")
 
 
 def test_session_stream_matches_batch(spark):
     stream = sessionized_stream(read_events_stream(spark, SF_TEST_DIR))
-    got = run_to_memory(stream, "t_sessions").toPandas()
+    got = run_to_memory(stream, "t_sessions", output_mode="complete").toPandas()
     want = QUERIES["ev_sessionized"](spark, SF_TEST_DIR).toPandas()
     assert_frames_match(got, want, "session_stream_vs_batch")
 
@@ -993,3 +993,70 @@ def test_moments_stream_fold_matches_batch_model(spark, tmp_path):
     apply_moments_batch(first, 99, log)
     m2 = model(read_partials(spark, log))
     assert m1["m_q"] == m2["m_q"] and m1["comps"] == m2["comps"]
+
+
+def test_scd2_replay_without_aqe_and_after_partial_commit(spark, tmp_path):
+    """r10 review regressions.  (1) Replay must not depend on AQE
+    accidentally materializing the prior read before the overwrite
+    deletes the replayed batch's own directory: with adaptive
+    execution OFF, re-applying a batch used to crash with
+    FAILED_READ_FILE (the scan listed the batch_id=N dir its own
+    write then removed).  (2) A crash mid job-commit leaves a PARTIAL
+    batch_id=N dir; replay must ignore it as prior state (the
+    before_batch filter) and rebuild from clean < N state — reading
+    it as authoritative silently truncated affected users' histories.
+    Both now hold because batch N's apply consults only batch_id < N."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.temporal import scd2_history
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.streaming.scd2 import (
+        apply_scd2_batch,
+        read_history,
+    )
+
+    ev = load_tables(spark, SF_TEST_DIR)["events"].select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    t1 = ev.selectExpr("percentile(unix_micros(ts), 0.5)").first()[0]
+    us = F.unix_micros("ts")
+    slices = [ev.filter(us <= t1), ev.filter(us > t1)]
+    want = {
+        _hist_key(r): _hist_tuple(r)
+        for r in scd2_history(ev, keep_tiebreak=True).collect()
+    }
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # (1) build + replay the last batch with AQE off
+        log = str(tmp_path / "scd2_log_noaqe")
+        for i, b in enumerate(slices):
+            apply_scd2_batch(b, i, log)
+        apply_scd2_batch(slices[1], 1, log)  # crashed pre-fix
+        got = {
+            _hist_key(r): _hist_tuple(r) for r in read_history(spark, log).collect()
+        }
+        assert got == want and want
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    # (2) partial-commit poisoning: simulate a crash mid job-commit by
+    # truncating batch 1's dir to a subset of its rows (as if only some
+    # task files had been moved), then replay batch 1 — the truncated
+    # dir must be IGNORED as prior state and the rebuilt history must
+    # equal the full rebuild.
+    log2 = str(tmp_path / "scd2_log_partial")
+    for i, b in enumerate(slices):
+        apply_scd2_batch(b, i, log2)
+    full_b1 = spark.read.parquet(f"{log2}/batch_id=1").toPandas()
+    truncated = full_b1[full_b1.user_id % 2 == 0]
+    assert 0 < len(truncated) < len(full_b1), "fixture must really truncate"
+    spark.createDataFrame(truncated).write.mode("overwrite").parquet(
+        f"{log2}/batch_id=1"
+    )
+    apply_scd2_batch(slices[1], 1, log2)
+    got2 = {
+        _hist_key(r): _hist_tuple(r) for r in read_history(spark, log2).collect()
+    }
+    assert got2 == want
