@@ -109,6 +109,12 @@ def write_zordered(
         F.min(x).alias("x_lo"), F.max(x).alias("x_hi"),
         F.min(y).alias("y_lo"), F.max(y).alias("y_hi"),
     ).collect()[0]
+    if bounds["x_lo"] is None or bounds["y_lo"] is None:
+        # Empty input (or an all-NULL key): there is nothing to
+        # cluster — write the empty/degenerate table instead of
+        # crashing on int(None), matching write_sorted_by (r10 review).
+        df.write.mode(mode).parquet(path)
+        return
     zed = df.withColumn(
         "_z",
         morton_code(
@@ -150,6 +156,11 @@ def write_zordered_partitioned(
         F.min(x).alias("x_lo"), F.max(x).alias("x_hi"),
         F.min(y).alias("y_lo"), F.max(y).alias("y_hi"),
     ).collect()[0]
+    if bounds["x_lo"] is None or bounds["y_lo"] is None:
+        # Empty input / all-NULL key: write without clustering rather
+        # than crash on int(None) (r10 review).
+        df.write.mode(mode).partitionBy(part_col).parquet(path)
+        return
     zed = df.withColumn(
         "_z",
         morton_code(
@@ -187,8 +198,23 @@ def quantile_rank16(
     locality needs file counts, not bit depth, so 256 ranks per
     dimension is far finder than any realistic layout granularity.
     """
-    cuts = df.approxQuantile(col_name, [i / n_buckets for i in range(1, n_buckets)], rel_err)
-    bounds = sorted(set(cuts))
+    import math as _math
+
+    # NaN guard (r10 review): approxQuantile itself throws
+    # NumberFormatException on a NaN-bearing double column, and a NaN
+    # cut would render as the bare token `nan` in the SQL below (an
+    # unresolved column reference).  Drop NaN rows from the SAMPLE
+    # pass and non-finite cuts from the boundaries; NaN compares
+    # greatest in Spark SQL, so NaN rows deterministically land in the
+    # top bucket of the fold.
+    finite = df.filter(
+        ~F.isnan(F.col(col_name).cast("double"))
+        & F.col(col_name).isNotNull()
+    )
+    cuts = finite.approxQuantile(
+        col_name, [i / n_buckets for i in range(1, n_buckets)], rel_err
+    )
+    bounds = sorted({c for c in cuts if _math.isfinite(c)})
     if not bounds:
         return F.lit(0).cast("bigint")
     arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds)

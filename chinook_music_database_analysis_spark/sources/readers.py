@@ -41,6 +41,14 @@ def read_jdbc(
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC relation as the literal
+            # 'None' and die deep in Java number parsing at load();
+            # fail fast with the actual mistake instead (r10 review).
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
@@ -99,7 +107,10 @@ def read_json_quarantine(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructType as ST
 
-    base = spark.read.schema(schema).json(path).schema if isinstance(schema, str) else schema
+    # fromDDL turns the DDL string into a StructType with no I/O; the
+    # old spark.read.schema(...).json(path).schema round-trip built a
+    # whole reader (path listing included) just to parse the string.
+    base = ST.fromDDL(schema) if isinstance(schema, str) else schema
     with_corrupt = ST(list(base.fields)).add("_corrupt_record", StringType())
     df = (
         spark.read.schema(with_corrupt)

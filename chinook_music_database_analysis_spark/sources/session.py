@@ -140,9 +140,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     per consuming query.  A mounted override handle (TABLE_OVERRIDES)
     returns that table set instead.
     """
+    ensure_session_confs(spark)
     if sf_dir in TABLE_OVERRIDES:
         return TABLE_OVERRIDES[sf_dir]
-    ensure_session_confs(spark)
     return _Tables(spark, sf_dir)
 
 
@@ -156,11 +156,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     dfs = load_tables(spark, sf_dir)
     # Iterate TABLES (not dfs.items()) — the lazy map materializes a
-    # table only on access, so .items() would be empty here.
+    # table only on access, so .items() would be empty here.  A mounted
+    # override set may be PARTIAL (the Chinook adapter maps 7 of the 10
+    # driver tables): register what it has rather than KeyError on the
+    # absent ones — queries over missing tables fail at their own call,
+    # with a clear missing-view message, not at mount time (r10 review).
     for name in TABLES:
+        if sf_dir in TABLE_OVERRIDES and name not in TABLE_OVERRIDES[sf_dir]:
+            continue
         dfs[name].createOrReplaceTempView(name)
     # Deferred import: plans depends on functions only.
     from ..plans.views import nation0_type_sales
 
-    nation0_type_sales(spark, sf_dir).createOrReplaceTempView("nation0_type_sales")
+    view_base = {"customer", "orders", "lineitem", "part", "nation"}
+    if sf_dir not in TABLE_OVERRIDES or view_base <= set(TABLE_OVERRIDES[sf_dir]):
+        nation0_type_sales(spark, sf_dir).createOrReplaceTempView(
+            "nation0_type_sales"
+        )
     return dfs

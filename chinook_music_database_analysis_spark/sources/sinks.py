@@ -185,9 +185,12 @@ def delete_rows(spark, path: str, predicate) -> int:
     from pyspark.sql import functions as F
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # One scan instead of three: count only the MATCHING rows (the
+    # filter prunes at the scan), and let _swap_in's rewrite be the
+    # single full read.  The old shape paid count-before + count-after
+    # + rewrite = 3 full table scans per delete (r10 review).
     target = spark.read.parquet(path)
-    n_before = target.count()
-    remaining = target.filter(~pred | pred.isNull())
-    n_after = remaining.count()
-    _swap_in(spark, remaining, path)
-    return n_before - n_after
+    n_removed = target.filter(pred).count()
+    if n_removed:
+        _swap_in(spark, target.filter(~pred | pred.isNull()), path)
+    return n_removed

@@ -15,9 +15,11 @@ load-generation and connector smoke tests on a 1000-executor cluster:
 data volume scales with the partition count while the driver holds
 one integer per partition.
 
-Determinism: row i of partition p is a pure function of (seed, p, i)
-via blake2b — re-reads, repartitions, and re-runs see identical rows,
-which is what makes the source usable in correctness tests.
+Determinism: a row's content is a pure function of (seed, event_id)
+via blake2b — re-reads, repartition-option changes, re-runs, and the
+STREAM reader all see identical rows for the same seed, which is what
+makes the source usable in correctness tests (batch and stream share
+one generator, so batch-vs-stream parity is checkable).
 """
 
 from __future__ import annotations
@@ -93,9 +95,15 @@ class SyntheticEventsReader(DataSourceReader):
         return parts
 
     def read(self, partition: _Part) -> Iterator[tuple]:
+        # Hash the GLOBAL row id (partition 0 in the hash), exactly
+        # like the stream reader: a row's content is then a function of
+        # (seed, event_id) alone, so batch reads are identical whatever
+        # n_partitions says, and batch-vs-stream parity holds for the
+        # same seed (r10 review: per-partition hashing made the same
+        # event_id carry different payloads across layouts and modes).
         for i in range(partition.count):
-            d = _h(self.seed, partition.index, i)
             event_id = partition.start + i
+            d = _h(self.seed, 0, event_id)
             user_id = int.from_bytes(d[0:4], "big") % self.n_users
             etype = _EVENT_TYPES[d[4] % len(_EVENT_TYPES)]
             value = round(int.from_bytes(d[5:9], "big") % 10_000_00 / 100.0, 2)
@@ -132,9 +140,25 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         self._cursor = min(self._cursor + self.rows_per_batch, self.max_rows)
         return {"row": self._cursor}
 
+    def _ratchet(self, *rows: int) -> None:
+        # Restart resilience: a restarted process constructs a FRESH
+        # reader whose cursor is 0, but Spark replays the checkpointed
+        # offsets through partitions()/commit() — ratcheting the cursor
+        # to every offset Spark hands back fast-forwards a fresh reader
+        # to the committed position, so progress resumes instead of
+        # stalling at the first batch forever (measured r10: without
+        # this, six availableNow restarts never got past row
+        # rows_per_batch, and the offset WAL could regress).
+        for r in rows:
+            if r > self._cursor:
+                self._cursor = r
+
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
-        n = hi - lo
+        self._ratchet(lo, hi)
+        # A stale post-restart latestOffset can plan end < start; clamp
+        # to an empty range so no row is ever emitted twice.
+        n = max(0, hi - lo)
         base, rem = divmod(n, self.n_parts)
         parts, s = [], lo
         for p in range(self.n_parts):
@@ -156,6 +180,6 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             yield (rid, user_id, etype, value, ts)
 
     def commit(self, end: dict) -> None:
-        pass  # counters need no cleanup
+        self._ratchet(end["row"])  # counters need no cleanup beyond this
 
 

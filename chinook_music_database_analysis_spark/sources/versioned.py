@@ -96,8 +96,27 @@ def _check_evolution(df: DataFrame, table_dir: str, published: int) -> None:
         )
 
 
+#: per-version marker recording which streaming batch produced it —
+#: written INSIDE the version directory before the pointer swap, so
+#: the marker and the data publish atomically together.
+_BATCH_MARKER = "_BATCH_ID"
+
+
+def version_batch_id(table_dir: str, version: int) -> int | None:
+    """The streaming batch id recorded for ``version``, or None for
+    snapshots not produced by the streaming sink."""
+    try:
+        with open(os.path.join(_version_dir(table_dir, version), _BATCH_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def write_snapshot(
-    df: DataFrame, table_dir: str, enforce_schema: bool = True
+    df: DataFrame,
+    table_dir: str,
+    enforce_schema: bool = True,
+    batch_marker: int | None = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and publish it
     atomically; returns the new version number.
@@ -110,7 +129,11 @@ def write_snapshot(
     The data write is the expensive distributed part and happens into
     an unpublished directory — any failure there leaves the current
     snapshot untouched.  Publish is a single driver-side atomic
-    rename of the pointer."""
+    rename of the pointer.  ``batch_marker`` (the streaming sink's
+    batch id) lands inside the version directory BEFORE the pointer
+    swap, so "which batch produced the published version" is exactly
+    as atomic as the publish itself — the idempotence handle
+    start_snapshot_sink replays against."""
     os.makedirs(table_dir, exist_ok=True)
     versions = _existing_versions(table_dir)
     published = current_version(table_dir)
@@ -118,6 +141,13 @@ def write_snapshot(
         _check_evolution(df, table_dir, published)
     version = (versions[-1] + 1) if versions else 1
     df.write.mode("errorifexists").parquet(_version_dir(table_dir, version))
+    if batch_marker is not None:
+        with open(
+            os.path.join(_version_dir(table_dir, version), _BATCH_MARKER), "w"
+        ) as fh:
+            fh.write(str(int(batch_marker)))
+            fh.flush()
+            os.fsync(fh.fileno())
     tmp = _pointer_path(table_dir) + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(str(version))
@@ -205,7 +235,11 @@ def delete_snapshot_rows(
 
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     target = read_snapshot(spark, table_dir)
-    return write_snapshot(target.filter(~cond), table_dir)
+    # SQL DELETE keeps rows where the predicate is NULL (only
+    # predicate-TRUE rows go); plain ~cond drops NULL-predicate rows
+    # too — silent data loss on any nullable column (r10 review; the
+    # sibling sinks.delete_rows already had the guard).
+    return write_snapshot(target.filter(~cond | cond.isNull()), table_dir)
 
 
 def start_snapshot_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
@@ -213,17 +247,33 @@ def start_snapshot_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
     publishes one snapshot version (append semantics: batch rows union
     the previous snapshot).  Readers always see a complete, committed
     prefix of the stream — never a half-written batch — and can time-
-    travel to any retained batch boundary.  Batch replay after a
-    failure re-runs write_snapshot; the orphan version directory from
-    the interrupted attempt is skipped past (crash-safety test shape)
-    and the pointer only ever moves to fully-written versions."""
+    travel to any retained batch boundary.
+
+    Replay idempotence (r10 review): foreachBatch is at-least-once, and
+    a crash AFTER the pointer swap but BEFORE Spark commits the batch
+    to its checkpoint re-delivers the same batch — blindly unioning it
+    onto a snapshot that already contains it would double every row.
+    Each version therefore records the batch id that produced it (a
+    marker inside the version dir, atomic with the publish); a replay
+    whose batch id matches the CURRENT version's marker is a no-op.  A
+    crash BEFORE the pointer swap leaves an orphan version directory —
+    garbage, not corruption — and the replay publishes a fresh one."""
 
     def _deliver(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        if current_version(table_dir) is None:
-            write_snapshot(df, table_dir)
+        current = current_version(table_dir)
+        if current is not None and version_batch_id(table_dir, current) == int(
+            batch_id
+        ):
+            return  # replay of the batch that produced the current version
+        if current is None:
+            write_snapshot(df, table_dir, batch_marker=int(batch_id))
         else:
-            write_snapshot(read_snapshot(spark, table_dir).unionByName(df), table_dir)
+            write_snapshot(
+                read_snapshot(spark, table_dir).unionByName(df),
+                table_dir,
+                batch_marker=int(batch_id),
+            )
 
     return (
         stream.writeStream.foreachBatch(_deliver)

@@ -507,3 +507,48 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_register_views_with_partial_override(spark):
+    """A mounted TABLE_OVERRIDES set may be partial (the Chinook
+    adapter maps 7 of the 10 driver tables): register_views must
+    register what exists instead of KeyError-ing at mount time, and
+    the session confs (UTC timezone) must apply on the override path
+    too (r10 review)."""
+    from chinook_music_database_analysis_spark.sources.session import (
+        TABLE_OVERRIDES,
+        register_views,
+    )
+
+    handle = "mem://partial-override"
+    TABLE_OVERRIDES[handle] = {
+        "region": spark.createDataFrame(
+            [(0, "AMERICA", "")], "r_regionkey long, r_name string, r_comment string"
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "US", 0, "")],
+            "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+        ),
+    }
+    try:
+        register_views(spark, handle)
+        assert spark.table("region").count() == 1
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        del TABLE_OVERRIDES[handle]
+        spark.catalog.dropTempView("region")
+        spark.catalog.dropTempView("nation")
+
+
+def test_read_jdbc_requires_bounds_with_partition_column(spark):
+    """Forgotten lowerBound/upperBound must fail fast with a clear
+    ValueError, not reach the JDBC relation as the literal string
+    'None' and die in Java number parsing (r10 review)."""
+    import pytest
+
+    from chinook_music_database_analysis_spark.sources.readers import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(
+            spark, "jdbc:h2:mem:x", "t", partition_column="id", num_partitions=4
+        )

@@ -268,3 +268,42 @@ def test_layout_rebuild_prunes(spark, tmp_path, monkeypatch):
         assert fact.count() == li.count()
     finally:
         ext.reset_memo(SF_TEST_DIR)
+
+
+def test_zorder_writers_handle_empty_input(spark, tmp_path):
+    """An upstream filter matching zero rows must yield an empty table,
+    not an int(None) TypeError from the bounds aggregate (r10 review);
+    same for the partitioned variant."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.layout import (
+        write_zordered,
+        write_zordered_partitioned,
+    )
+
+    empty = spark.range(0).selectExpr(
+        "id AS x", "id AS y", "CAST(id % 3 AS INT) AS p"
+    )
+    p1 = str(tmp_path / "z_empty")
+    write_zordered(empty, p1, "x", "y")
+    # an empty write emits no data files, so read back schema-pinned
+    assert spark.read.schema(empty.schema).parquet(p1).count() == 0
+    p2 = str(tmp_path / "zp_empty")
+    write_zordered_partitioned(empty, p2, "p", "x", "y")
+    assert spark.read.schema(empty.schema).parquet(p2).count() == 0
+
+
+def test_quantile_rank_tolerates_nan_column(spark):
+    """A double key containing NaN used to render a bare `nan` token
+    into the bucket SQL (unresolved column -> AnalysisException); NaN
+    cuts are now dropped, NaN rows land in the top bucket."""
+    from chinook_music_database_analysis_spark.operators.layout import (
+        quantile_rank16,
+    )
+
+    df = spark.range(100).selectExpr(
+        "CASE WHEN id % 4 = 0 THEN double('NaN')"
+        " ELSE CAST(id AS DOUBLE) END AS v"
+    )
+    out = df.select(quantile_rank16(df, "v").alias("r")).collect()
+    assert len(out) == 100 and all(r.r is not None for r in out)

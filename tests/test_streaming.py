@@ -1060,3 +1060,76 @@ def test_scd2_replay_without_aqe_and_after_partial_commit(spark, tmp_path):
         _hist_key(r): _hist_tuple(r) for r in read_history(spark, log2).collect()
     }
     assert got2 == want
+
+
+def test_synthetic_stream_restart_resumes_exactly(spark, tmp_path):
+    """A restarted process constructs a FRESH stream reader whose
+    cursor starts at 0; without the offset ratchet six restarts never
+    progressed past the first batch and the offset WAL could regress
+    (r10 review).  Now each availableNow restart advances exactly one
+    batch from the committed offset, drains at max_rows, and never
+    emits a duplicate row."""
+    from chinook_music_database_analysis_spark.sources.synthetic import register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("synthevents")
+            .option("rows_per_batch", 100)
+            .option("max_rows", 300)
+            .option("n_partitions", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    seen = []
+    for _ in range(4):
+        run()
+        df = spark.read.parquet(out)
+        n = df.count()
+        assert df.select("event_id").distinct().count() == n  # no dupes
+        seen.append(n)
+    assert seen == [100, 200, 300, 300], seen
+
+
+def test_synthetic_batch_equals_stream_and_layout_independent(spark):
+    """One deterministic generator for both modes: a batch read's rows
+    must equal the stream reader's for the same seed, and batch
+    content must not change with the n_partitions option (r10 review:
+    per-partition hashing broke both properties)."""
+    from chinook_music_database_analysis_spark.sources.synthetic import (
+        SyntheticEventsStreamReader,
+        _Part,
+        register,
+    )
+
+    register(spark)
+
+    def batch(parts):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("synthevents")
+                .option("n_rows", 400)
+                .option("n_partitions", parts)
+                .option("n_users", 20)
+                .load()
+                .collect(),
+            )
+        )
+
+    a, b = batch(4), batch(7)
+    assert a == b  # layout-independent
+    want = sorted(
+        SyntheticEventsStreamReader(
+            {"n_users": "20", "max_rows": "400"}
+        ).read(_Part(0, 0, 400))
+    )
+    assert a == want  # batch == stream generator

@@ -162,3 +162,59 @@ def test_streaming_snapshot_sink_appends_versions(spark, tmp_path):
     q2.awaitTermination()
     assert current_version(t) == v_before
     assert read_snapshot(spark, t).count() == n_src
+
+
+def test_delete_snapshot_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: only predicate-TRUE rows go; rows where
+    the predicate is NULL stay (r10 review — ~cond alone silently
+    deleted NULL-predicate rows along with the matches)."""
+    from chinook_music_database_analysis_spark.sources.versioned import (
+        delete_snapshot_rows,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "DE"), (2, None), (3, "US"), (4, None)], "id int, country string"
+    )
+    write_snapshot(df, t)
+    delete_snapshot_rows(spark, t, "country = 'DE'")
+    left = {r.id for r in read_snapshot(spark, t).collect()}
+    assert left == {2, 3, 4}  # NULL-country rows survive
+
+
+def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the pointer swap
+    but before Spark's checkpoint commit re-delivers the same batch.
+    The version's recorded batch id must make that replay a no-op —
+    blindly unioning doubled every row of the batch (r10 review)."""
+    from chinook_music_database_analysis_spark.sources.versioned import (
+        current_version,
+        read_snapshot,
+        version_batch_id,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1,), (2,)], "id int")
+    b1 = spark.createDataFrame([(3,), (4,)], "id int")
+
+    # simulate the sink's _deliver for batches 0, 1, then a replay of 1
+    def deliver(df, batch_id):
+        cur = current_version(t)
+        if cur is not None and version_batch_id(t, cur) == batch_id:
+            return
+        if cur is None:
+            write_snapshot(df, t, batch_marker=batch_id)
+        else:
+            write_snapshot(
+                read_snapshot(spark, t).unionByName(df), t, batch_marker=batch_id
+            )
+
+    deliver(b0, 0)
+    deliver(b1, 1)
+    v = current_version(t)
+    deliver(b1, 1)  # replay: must change nothing
+    assert current_version(t) == v
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [1, 2, 3, 4]
