@@ -89,17 +89,13 @@ class Engine:
         t0 = time.perf_counter()
         n_rows = df.count()
         wall = time.perf_counter() - t0
-        import contextlib
-        import io
-
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain(mode="simple")
         return {
             "query": name,
             "wall_sec": round(wall, 3),
             "n_rows": n_rows,
-            "plan": buf.getvalue(),
+            # one capture implementation: explain() owns the
+            # stdout-redirect quirks (Spark Connect etc.)
+            "plan": self.explain(name, "simple"),
         }
 
     def validate(self, name: str) -> dict:

@@ -54,18 +54,29 @@ def with_media(docs: DataFrame) -> DataFrame:
     Here the payload is the utf-8 text bytes standing in for an encoded
     image; in production this column comes straight from the source
     (parquet binary / object-store fetch)."""
+    # NULL text maps to an EMPTY payload (not a NULL one): every
+    # downstream kernel already handles zero-byte payloads (stub
+    # decode (0,0,0,3), empty crop, zero frames), whereas a None
+    # crossing the Arrow boundary crashed the whole job inside
+    # mapInPandas (None.startswith / len(None) — r10 review).
     return docs.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("media_bytes"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+            "media_bytes"
+        ),
         F.lit("image/fake").alias("media_type"),
     )
 
 
-def _parse_ppm(payload: bytes) -> tuple[int, int] | None:
+def _parse_ppm(payload: bytes) -> tuple[int, int, int] | None:
     """Parse a binary-netpbm (``P6``) header — a REAL image decode that
-    needs no third-party library.  Returns (width, height) only when
-    the header is well-formed AND the raster length matches exactly
-    (so arbitrary text bytes can never be misparsed as an image)."""
+    needs no third-party library.  Returns (width, height,
+    raster_offset) only when the header is well-formed AND the raster
+    length matches exactly (so arbitrary text bytes can never be
+    misparsed as an image).  The raster offset rides along because the
+    tokenizer already has it in hand — a second scanner that must stay
+    byte-for-byte identical to this one was the r10 review's
+    duplication finding."""
     if not payload.startswith(b"P6"):
         return None
     try:
@@ -87,25 +98,9 @@ def _parse_ppm(payload: bytes) -> tuple[int, int] | None:
         w, h, maxval = toks
         if maxval > 255 or i + 1 + w * h * 3 != len(payload):
             return None
-        return w, h
+        return w, h, i + 1
     except (ValueError, IndexError):
         return None
-
-
-def _ppm_raster_offset(payload: bytes) -> int | None:
-    """Byte offset of the P6 raster (one whitespace after the maxval
-    token).  Assumes ``_parse_ppm`` already validated the payload."""
-    toks, i = 0, 2
-    while toks < 3 and i < len(payload):
-        while payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            i = payload.index(b"\n", i) + 1
-            continue
-        while payload[i : i + 1].isdigit():
-            i += 1
-        toks += 1
-    return i + 1 if toks == 3 else None
 
 
 def resize_ppm(payload: bytes, width: int, height: int) -> bytes | None:
@@ -121,14 +116,13 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes | None:
         return None
     import numpy as np
 
-    w0, h0 = parsed
+    w0, h0, off = parsed
     # Degenerate-but-well-formed headers (e.g. b"P6\n0 2\n255\n") pass
     # the exact-length check with an empty raster; resampling from a
     # zero-sized axis would raise inside mapInPandas and fail the whole
     # job, so degrade to the caller's stub path instead.
     if w0 == 0 or h0 == 0:
         return None
-    off = _ppm_raster_offset(payload)
     arr = np.frombuffer(payload, dtype=np.uint8, offset=off).reshape(h0, w0, 3)
     ys = np.arange(height) * h0 // height
     xs = np.arange(width) * w0 // width
@@ -376,6 +370,9 @@ def media_phash(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             hashes = []
             for text in pdf["text"]:
+                if text is None:  # NULL text == empty payload (hash 0)
+                    hashes.append(0)
+                    continue
                 cs = np.fromiter((ord(c) for c in text), dtype=np.int64)
                 n = int(cs.size)
                 if n == 0:
@@ -411,7 +408,19 @@ def phash_near_dup_pairs(
     within equal (band, nib) buckets, then the exact
     ``bit_count(a XOR b)`` verify.  Pass a cached/stored ``sig`` so
     the kernel runs once, not once per join side.
+
+    The banding guarantee is a pigeonhole over PHASH_BANDS blocks: a
+    pair at distance d shares an equal band only when d < PHASH_BANDS.
+    A ``max_hamming`` at or past that bound would SILENTLY lose recall
+    (two hashes differing one bit per band never collide), so it is
+    refused loudly — the heavy_keys support_k guard's pattern.
     """
+    if max_hamming >= PHASH_BANDS:
+        raise ValueError(
+            f"phash_near_dup_pairs: max_hamming={max_hamming} exceeds the "
+            f"{PHASH_BANDS}-band pigeonhole recall guarantee (distance must "
+            f"be < {PHASH_BANDS}); raise PHASH_BANDS or use an exact scan"
+        )
     s = sig if sig is not None else media_phash(docs)
     mask = (1 << PHASH_BAND_BITS) - 1
     bands = s.select(

@@ -208,6 +208,12 @@ def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
+    # COUNT(DISTINCT) semantics: NULL keys are not counted.  Unfiltered,
+    # md5(concat(.., NULL)) is NULL, yielding a (group, NULL, NULL)
+    # register row that hll_estimate's F.count counts but whose m_j the
+    # F.sum skips — biasing both the harmonic sum and the empty-register
+    # count (r10 review).
+    df = df.filter(F.col(key).isNotNull())
     rows = df.select(
         F.col(group),
         F.pmod(h, F.lit(HLL_M)).alias("j"),
@@ -282,13 +288,33 @@ def hll_overlap(
             "m_j"
         ),
     )
-    ea = hll_estimate(
-        regs.filter(F.col(group) == a).withColumn("_g", F.lit("a")), "_g"
-    ).select(F.col("hll_est").alias("est_a"))
-    eb = hll_estimate(
-        regs.filter(F.col(group) == b).withColumn("_g", F.lit("b")), "_g"
-    ).select(F.col("hll_est").alias("est_b"))
-    eu = hll_estimate(ru, "_g").select(F.col("hll_est").alias("est_union"))
+    spark = df.sparkSession
+
+    def _est_or_zero(est: DataFrame, name: str) -> DataFrame:
+        # An EMPTY group has no register rows, so its estimate relation
+        # is 0-row — which would empty the whole crossJoin composition
+        # (r10 review; the docstring promises exactly one row).  Union
+        # a literal 0 and keep the larger: estimates are >= 0, so the
+        # real row wins whenever one exists.
+        zero = spark.range(1).select(F.lit(0).cast("bigint").alias(name))
+        return est.unionByName(zero).orderBy(F.col(name).desc()).limit(1)
+
+    ea = _est_or_zero(
+        hll_estimate(
+            regs.filter(F.col(group) == a).withColumn("_g", F.lit("a")), "_g"
+        ).select(F.col("hll_est").alias("est_a")),
+        "est_a",
+    )
+    eb = _est_or_zero(
+        hll_estimate(
+            regs.filter(F.col(group) == b).withColumn("_g", F.lit("b")), "_g"
+        ).select(F.col("hll_est").alias("est_b")),
+        "est_b",
+    )
+    eu = _est_or_zero(
+        hll_estimate(ru, "_g").select(F.col("hll_est").alias("est_union")),
+        "est_union",
+    )
     # 1-row x 1-row composition: broadcast the right sides so the plan
     # is the scalar-anchor BroadcastNestedLoopJoin, never a
     # CartesianProduct (the global plan gate forbids the latter).
@@ -338,6 +364,12 @@ def histogram_quantiles(
     Returns (group, n_rows, min_<col>, max_<col>, p<..> per requested
     quantile).
     """
+    # percentile/quantile_cont ignore NULLs; unfiltered they would be
+    # counted in `total` AND sort first in the cumulative window
+    # (NULLS FIRST), shifting every target rank while the bracket
+    # lookups skip them — a group with enough NULLs reported its
+    # minimum as the median (r10 review).
+    df = df.filter(F.col(col).isNotNull())
     hist = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy(group).orderBy(col)
     wall = Window.partitionBy(group)
@@ -425,7 +457,12 @@ def cms_registers(df: DataFrame, key: str) -> DataFrame:
     answers "how many distinct", the CMS answers "how often is this
     one", both from bounded mergeable state.
     """
-    pairs = df.select(
+    # NULL keys hash to NULL buckets — unreachable by any probe's
+    # equi-join, so their counts would silently vanish from lookups
+    # while inflating the register relation (r10 review).  The sketch
+    # counts NON-NULL keys, like COUNT/GROUP BY; cms_lookup documents
+    # that a NULL probe reads 0 accordingly.
+    pairs = df.filter(F.col(key).isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -454,7 +491,11 @@ def cms_lookup(regs: DataFrame, probes: DataFrame, key: str) -> DataFrame:
 
     The register side is broadcast — it is <= 4096 rows by
     construction, so the probe lookup is shuffle-free regardless of
-    corpus size.  Extra probe columns ride through unchanged.
+    corpus size.  Extra probe columns ride through unchanged.  A NULL
+    probe key reads 0: the sketch counts non-NULL keys only
+    (cms_registers filters them), so 0 IS that key's true count in the
+    sketched population — the never-underestimate guarantee is stated
+    relative to the counted stream.
     """
     pb = probes.select(
         "*",
@@ -540,30 +581,45 @@ def bloom_build(keys: DataFrame, key: str) -> DataFrame:
 def bloom_prune(fact: DataFrame, key: str, words: DataFrame) -> DataFrame:
     """Rows of ``fact`` whose ``key`` PASSES the Bloom filter — a
     superset of the true semi-join result (no false negatives; false
-    positives at the filter's load-factor rate).
+    positives at the filter's load-factor rate; NULL keys never pass,
+    matching semi-join semantics).
 
-    The word relation is materialized once (it is <= 256 rows BY
-    CONSTRUCTION — the same O(1)-relation class as the ANALYZE scalar
-    memos, never data-sized) and inlined as a literal map, so the
-    probe is a single codegen'd Filter on the fact scan: no joins, no
-    exchanges, no per-hash rebuild of the build side.  That is how a
-    runtime filter actually ships at 100 TB — the VALUE travels to the
-    tasks (Spark's AQE bloom pushdown does the same JVM-internally via
-    a subquery result); joining the word relation K times would plan K
-    broadcast builds of the dim subtree instead.  The fact table is
-    pruned BEFORE any exchange, so the exact semi-join that follows
-    shuffles only the surviving fraction."""
-    wmap = {int(r["word"]): int(r["bits"]) for r in words.collect()}
-    if not wmap:
-        # empty build side: a bloom over nothing rejects everything
-        return fact.filter(F.lit(False))
-    entries = ", ".join(f"{w}L, {b}L" for w, b in sorted(wmap.items()))
-    tests = []
+    The word relation (<= 256 rows BY CONSTRUCTION — the same
+    O(1)-relation class as the ANALYZE scalar memos, never data-sized)
+    folds into ONE map row that broadcasts to the tasks: the probe is
+    then a codegen'd Filter over the fact scan with no shuffles, and
+    the whole plan stays LAZY — the r10 review caught the previous
+    literal-inlining shape running ``words.collect()`` at DataFrame
+    CONSTRUCTION time, which made Engine.query/explain (documented
+    plan-only) silently execute the build job.  Each of the BLOOM_K
+    hash positions is projected ONCE and reused for its word index and
+    bit offset (the inlined SQL evaluated every md5 twice).  The fact
+    table is pruned BEFORE any exchange, so the exact semi-join that
+    follows shuffles only the surviving fraction."""
+    wmap = words.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("_bloom_map")
+    )
+    pos_cols = [
+        F.expr(_bloom_pos_sql(key, i)).alias(f"_bp{i}") for i in range(BLOOM_K)
+    ]
+    probe = fact.crossJoin(F.broadcast(wmap)).select("*", *pos_cols)
+    test = None
     for i in range(BLOOM_K):
-        pos = _bloom_pos_sql(key, i)
-        tests.append(
-            f"(coalesce(element_at(map({entries}),"
-            f" CAST(({pos}) DIV 32 AS BIGINT)), 0L)"
-            f" & shiftleft(1L, CAST(({pos}) % 32 AS INT))) != 0L"
+        # empty build side => empty map => element_at NULL => coalesce 0
+        # => every row rejected (a bloom over nothing rejects all);
+        # NULL key => NULL position => same rejection path.
+        t = (
+            F.coalesce(
+                F.element_at(
+                    F.col("_bloom_map"),
+                    F.expr(f"CAST(_bp{i} DIV 32 AS BIGINT)"),
+                ),
+                F.lit(0).cast("bigint"),
+            ).bitwiseAND(F.expr(f"shiftleft(1L, CAST(_bp{i} % 32 AS INT))"))
+            != 0
         )
-    return fact.filter(F.expr(" AND ".join(tests)))
+        test = t if test is None else (test & t)
+    drop_cols = ["_bloom_map"] + [f"_bp{i}" for i in range(BLOOM_K)]
+    return probe.filter(test).drop(*drop_cols)

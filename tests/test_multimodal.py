@@ -22,14 +22,16 @@ def _ppm(w: int, h: int, fill: bytes = b"A") -> bytes:
 
 def test_ppm_parse_real_decode():
     payload = _ppm(8, 6)
-    assert _parse_ppm(payload) == (8, 6)
+    w, h, off = _parse_ppm(payload)
+    assert (w, h) == (8, 6) and payload[off:].startswith(b"A")
     n, w, h, c = _decode_media(payload)
     assert (n, w, h, c) == (len(payload), 8, 6, 3)
 
 
 def test_ppm_comment_header():
     payload = b"P6\n# a comment\n4 3 255\n" + b"B" * 36
-    assert _parse_ppm(payload) == (4, 3)
+    w, h, _off = _parse_ppm(payload)
+    assert (w, h) == (4, 3)
 
 
 def test_ppm_misparse_guards():
@@ -70,7 +72,7 @@ def test_resize_ppm_real_kernel():
     src[:, 2:] = [0, 0, 255]
     payload = b"P6\n4 2\n255\n" + src.tobytes()
     out = resize_ppm(payload, 2, 1)
-    assert out is not None and _parse_ppm(out) == (2, 1)
+    assert out is not None and _parse_ppm(out)[:2] == (2, 1)
     raster = np.frombuffer(out, dtype=np.uint8, offset=len(b"P6\n2 1\n255\n")).reshape(
         1, 2, 3
     )
@@ -158,3 +160,44 @@ def test_media_phash_kernel_and_pair_detection(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in phash_near_dup_pairs(docs).collect()}
     assert pairs.get((1, 2)) == 0, "identical payloads must pair at hamming 0"
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_multimodal_kernels_tolerate_null_text(spark):
+    """A NULL text row used to crash the whole job inside mapInPandas
+    (None.startswith / len(None) / ord over None — r10 review); NULL
+    now maps to an empty payload every kernel already handles."""
+    from chinook_music_database_analysis_spark.operators.multimodal import (
+        media_features,
+        media_phash,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    feats = {r["doc_id"]: r for r in media_features(docs).collect()}
+    assert feats[2]["n_bytes"] == 0 and feats[3]["n_bytes"] == 0
+    rs = {r["doc_id"]: r for r in resize_media(docs).collect()}
+    assert rs[2]["n_bytes"] == 0 and not rs[2]["cropped"]
+    frames = sample_frames(docs).collect()
+    assert all(r["doc_id"] == 1 for r in frames)  # empty payloads: 0 frames
+    ph = {r["doc_id"]: r["phash"] for r in media_phash(docs).collect()}
+    assert ph[2] == 0 and ph[3] == 0
+
+
+def test_phash_pairs_refuse_out_of_guarantee_radius(spark):
+    """max_hamming at or past the band count would silently lose
+    recall (pigeonhole: d >= PHASH_BANDS pairs may share no band) —
+    refused loudly instead (r10 review)."""
+    import pytest
+
+    from chinook_music_database_analysis_spark.operators.multimodal import (
+        PHASH_BANDS,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(docs, max_hamming=PHASH_BANDS)

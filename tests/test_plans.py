@@ -174,6 +174,10 @@ BNLJ_ALLOWED = {
     # salt replication: dimension x broadcast DEFAULT_SALTS-row range
     # (skew.salted_join) — fixed-size build side by construction
     "s15_skew_salted",
+    # r10: the bloom word relation folds to ONE broadcast map row
+    # (<= 256 words by construction) so the probe stays lazy — the
+    # former literal-inlining ran the build job at plan time
+    "ev_bloom_prune",
 }
 
 

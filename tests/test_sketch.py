@@ -294,3 +294,131 @@ def test_bloom_survivors_superset_of_semijoin(spark):
         ).collect()
     }
     assert want <= got, "bloom dropped true matches"
+
+
+def test_hll_ignores_null_keys(spark):
+    """COUNT(DISTINCT) semantics: NULL keys contribute nothing — the
+    r10 review found a NULL key emitting a (group, NULL, NULL) register
+    row that biased the harmonic sum and the empty-register count."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    base = spark.range(500).selectExpr("'g' AS g", "CAST(id AS STRING) AS k")
+    with_nulls = base.unionByName(
+        spark.range(50).selectExpr("'g' AS g", "CAST(NULL AS STRING) AS k")
+    )
+    est_clean = hll_estimate(hll_registers(base, "k", "g"), "g").collect()[0]
+    est_nulls = hll_estimate(hll_registers(with_nulls, "k", "g"), "g").collect()[0]
+    assert est_clean["hll_est"] == est_nulls["hll_est"]
+
+
+def test_hll_overlap_empty_group_yields_zero_row(spark):
+    """One (est_a, est_b, est_union, est_inter) row even when a group
+    has no rows — the r10 review found the empty side emptying the
+    whole crossJoin composition (docstring promises one row)."""
+    from chinook_music_database_analysis_spark.operators.sketch import hll_overlap
+
+    df = spark.range(300).selectExpr("'a' AS g", "CAST(id AS STRING) AS k")
+    out = hll_overlap(df, "k", "g", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["est_b"] == 0 and r["est_inter"] == 0 and r["est_a"] > 0
+    assert r["est_union"] == r["est_a"]
+
+
+def test_histogram_quantiles_ignore_nulls(spark):
+    """percentile/quantile_cont ignore NULLs; the r10 review found NULL
+    rows shifting every target rank (NULLS FIRST in the cumulative
+    window) so a half-NULL group reported its minimum as the median."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    vals = spark.range(1, 101).selectExpr("'g' AS g", "CAST(id AS INT) AS v")
+    nulls = spark.range(100).selectExpr("'g' AS g", "CAST(NULL AS INT) AS v")
+    got = histogram_quantiles(vals.unionByName(nulls), "v", "g").collect()[0]
+    want = vals.selectExpr("percentile(v, 0.5) AS p50").collect()[0]["p50"]
+    assert abs(got["p50"] - want) < 1e-6
+    assert got["n_rows"] == 100  # NULLs not counted
+
+
+def test_cms_null_keys_consistent(spark):
+    """The CMS counts non-NULL keys only (NULL buckets are unreachable
+    by any probe's equi-join); a NULL probe reads 0, which IS its true
+    count in the sketched population — the never-underestimate
+    guarantee holds relative to what the sketch counts (r10 review)."""
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        cms_lookup,
+        cms_registers,
+    )
+
+    stream = spark.range(400).selectExpr(
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE CAST(id % 7 AS STRING) END AS k"
+    )
+    regs = cms_registers(stream, "k")
+    assert regs.filter("bucket IS NULL").count() == 0
+    probes = spark.createDataFrame([("3",), (None,)], "k string")
+    got = {r["k"]: r["cms_est"] for r in cms_lookup(regs, probes, "k").collect()}
+    true_3 = stream.filter("k = '3'").count()
+    assert got["3"] >= true_3  # CMS may only overestimate counted keys
+    assert got[None] == 0
+
+
+def test_bloom_prune_is_lazy(spark):
+    """Engine.query/explain are documented plan-only: constructing the
+    pruned DataFrame must not execute the bloom build (the r10 review
+    caught a words.collect() at construction time).  A words relation
+    that CANNOT be evaluated (nonexistent path) proves it: construction
+    and explain succeed; only an action fails."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import bloom_prune
+
+    def _boom():
+        raise RuntimeError("bloom words were evaluated")
+
+    boom = F.udf(_boom, "long")
+    fact = spark.range(10).selectExpr("CAST(id AS STRING) AS k")
+    words = spark.range(1).select(
+        boom().alias("word"), F.lit(1).cast("bigint").alias("bits")
+    )
+    pruned = bloom_prune(fact, "k", words)  # must not evaluate words
+    assert "bloom" not in pruned.columns[0]  # constructed fine
+    with pytest.raises(Exception, match="evaluated|PythonException|RuntimeError"):
+        pruned.count()  # the action is where evaluation happens
+
+
+def test_bloom_prune_matches_semi_join_superset(spark):
+    """Soundness after the lazy rewrite: every true semi-join match
+    passes the filter (no false negatives), NULL keys never pass, and
+    an empty build side rejects everything."""
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    keys = spark.range(50).selectExpr("CAST(id * 3 AS STRING) AS k")
+    fact = spark.range(300).selectExpr(
+        "CASE WHEN id % 29 = 0 THEN NULL ELSE CAST(id AS STRING) END AS k",
+        "id AS payload",
+    )
+    words = bloom_build(keys, "k")
+    passed = {r["k"] for r in bloom_prune(fact, "k", words).collect()}
+    true_matches = {
+        r["k"]
+        for r in fact.join(keys.withColumnRenamed("k", "kk"),
+                           F.col("k") == F.col("kk"), "left_semi").collect()
+    }
+    assert true_matches <= passed  # no false negatives
+    assert None not in passed  # NULL keys rejected
+    empty = bloom_build(keys.filter(F.lit(False)), "k")
+    assert bloom_prune(fact, "k", empty).count() == 0
