@@ -41,10 +41,13 @@ def fill_missing(df: DataFrame, numeric_default: float = 0, string_default: str 
 
 def null_report(df: DataFrame) -> DataFrame:
     """Per-column null counts — the generalized q01_nulls probe.
-    Single pass, one row out."""
+    Single pass, one row out.  Counts coalesce to 0 on an empty input
+    (SUM over zero rows is NULL — r10 review)."""
     return df.agg(
         *[
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(c)
             for c in df.columns
         ]
     )
@@ -60,12 +63,26 @@ def expectation_report(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
     scan: a single global aggregate computes every violation count
     plus the row total, then ``stack`` unpivots the scalar row —
     no shuffle beyond the tiny partial->final agg, however many rules.
+
+    Guards (r10 review): an empty rules dict would render invalid SQL
+    (``stack(0, )``) — refused explicitly; rule names are escaped for
+    the string literal, so a name containing a quote cannot break (or
+    inject into) the stack expression; violation counts coalesce to 0
+    on an empty input.
     """
+    if not rules:
+        raise ValueError("expectation_report: rules must be non-empty")
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)).alias(f"_v_{i}")
+        F.coalesce(
+            F.sum(F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
+        ).alias(f"_v_{i}")
         for i, rule in enumerate(rules.values())
     ]
-    pairs = ", ".join(f"'{name}', _v_{i}" for i, name in enumerate(rules))
+    pairs = ", ".join(
+        "'{}', _v_{}".format(name.replace("\\", "\\\\").replace("'", "\\'"), i)
+        for i, name in enumerate(rules)
+    )
     return (
         df.agg(*aggs)
         .select(
@@ -76,7 +93,14 @@ def expectation_report(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
             "rule",
             F.col("_n").alias("n_rows"),
             "n_violations",
-            F.round(F.col("n_violations") / F.col("_n"), 6).alias("violation_rate"),
+            # guarded: ANSI mode makes x/0 an ERROR, so an empty input
+            # used to crash the report instead of rating 0
+            F.when(
+                F.col("_n") > 0,
+                F.round(F.col("n_violations") / F.col("_n"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("violation_rate"),
         )
     )
 
@@ -95,10 +119,16 @@ def fk_violation_report(
     The anti-join shuffles on the key (or broadcasts the deduped
     parent-key set if it fits — left to AQE); the two scalar aggregates
     cross-join into a single row.
+
+    NULL child keys are NOT violations (r10 review): SQL FK semantics
+    — and this report's DuckDB oracle's ``NOT IN`` — never flag a NULL
+    foreign key (that is the null_report/fill_missing remediation's
+    domain), while a bare left_anti would count every NULL-keyed row.
     """
     total = child.agg(F.count(F.lit(1)).alias("n_rows"))
     viol = (
-        child.join(
+        child.filter(F.col(child_key).isNotNull())
+        .join(
             parent.select(F.col(parent_key).alias(child_key)).distinct(),
             child_key,
             "left_anti",
@@ -109,7 +139,12 @@ def fk_violation_report(
         F.lit(rule_name).alias("rule"),
         "n_rows",
         "n_violations",
-        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(F.col("n_violations") / F.col("n_rows"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("violation_rate"),
     )
 
 

@@ -47,8 +47,10 @@ def salted_agg(
     phase 2 re-combines with SUM, so pass decomposable aggregates
     (sum/count as sums).
     """
-    salted = df.withColumn("_salt", _row_salt(n_salts))
-    p1 = salted.groupBy(*keys, "_salt").agg(
+    if "__salt" in df.columns:  # internal name must not clobber caller data
+        raise ValueError("salted_agg: df already has a __salt column")
+    salted = df.withColumn("__salt", _row_salt(n_salts))
+    p1 = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
     return p1.groupBy(*keys).agg(
@@ -81,11 +83,15 @@ def salted_join(
             f"salted_join: how={how!r} unsupported — small-side replication "
             "duplicates unmatched small-side rows under right/full outer joins"
         )
-    big_s = big.withColumn("_salt", _row_salt(n_salts))
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("salted_join: inputs already have a __salt column")
+    big_s = big.withColumn("__salt", _row_salt(n_salts))
     small_r = small.crossJoin(
         F.broadcast(
-            big.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+            big.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("__salt")
+            )
         )
     )
-    out = big_s.join(small_r, on=[key, "_salt"], how=how)
-    return out.drop("_salt")
+    out = big_s.join(small_r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

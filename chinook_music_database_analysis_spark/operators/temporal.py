@@ -49,41 +49,58 @@ def asof_join(
     Ties on (key, ts) between right rows resolve to the row latest in
     the union sort order — supply pre-deduped right input when exact
     tie policy matters.
+
+    The right side carries forward as ONE struct, not per-column
+    ``last(ignorenulls)`` (r10 review): per-column fill skips a NULL
+    inside the matched right row and substitutes a stale value from an
+    older row — a mixed row that never existed, which the tolerance
+    gate then wrongly passes because the carried r_ts came from the
+    newer row.  A struct is non-null whenever the right ROW exists, so
+    the whole matched row travels together, NULL fields included.
     """
     rcols = [c for c in right.columns if c != key]
+    clash = {"__asof_ts", "__asof_side", "__asof_r"} & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: left columns collide with internals: {clash}")
     r = right.select(
         key,
-        F.col(ts).alias("_ats"),
-        F.lit(0).alias("_side"),
-        *[F.col(c).alias(right_prefix + c) for c in rcols],
+        F.col(ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        F.struct(
+            *[F.col(c).alias(right_prefix + c) for c in rcols]
+        ).alias("__asof_r"),
     )
-    l_ = left.select("*", F.col(ts).alias("_ats"), F.lit(1).alias("_side"))
+    l_ = left.select(
+        "*", F.col(ts).alias("__asof_ts"), F.lit(1).alias("__asof_side")
+    )
     u = l_.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy("_ats", "_side")
+        .orderBy("__asof_ts", "__asof_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(right_prefix + c, ignorenulls=True).over(w).alias(right_prefix + c)
-        for c in rcols
-    ]
-    out = u.select(*left.columns, "_side", "_ats", *carried).filter(
-        F.col("_side") == 1
+    carried = F.last("__asof_r", ignorenulls=True).over(w).alias("__asof_r")
+    out = u.select(*left.columns, "__asof_side", "__asof_ts", carried).filter(
+        F.col("__asof_side") == 1
     )
+    fields = [
+        F.col(f"__asof_r.{right_prefix}{c}").alias(right_prefix + c) for c in rcols
+    ]
     if tolerance_us is not None:
         fresh = (
-            F.unix_micros(F.col("_ats")) - F.unix_micros(F.col(right_prefix + ts))
+            F.unix_micros(F.col("__asof_ts"))
+            - F.unix_micros(F.col(f"__asof_r.{right_prefix}{ts}"))
         ) <= F.lit(tolerance_us)
-        out = out.select(
+        return out.select(
             *left.columns,
             *[
-                F.when(fresh, F.col(right_prefix + c)).alias(right_prefix + c)
+                F.when(fresh, F.col(f"__asof_r.{right_prefix}{c}")).alias(
+                    right_prefix + c
+                )
                 for c in rcols
             ],
         )
-        return out
-    return out.drop("_side", "_ats")
+    return out.select(*left.columns, *fields)
 
 
 def _bucket(ts_col: str, width_us: int) -> Column:
@@ -108,18 +125,23 @@ def range_join(
     exactly one (key, bucket) task, so the plan is a shuffled
     equi-join with a residual filter — never a nested loop.
     """
+    if "__rj_b" in left.columns:  # internal name must not clobber caller data
+        raise ValueError("range_join: left already has a __rj_b column")
     lb = left.withColumn(
-        "_b", F.explode(F.array(_bucket(left_ts, width_us), _bucket(left_ts, width_us) + 1))
+        "__rj_b",
+        F.explode(
+            F.array(_bucket(left_ts, width_us), _bucket(left_ts, width_us) + 1)
+        ),
     )
     rb = right.select(
         key, *[F.col(c).alias(c + "_r") for c in right.columns if c != key]
-    ).withColumn("_b", _bucket(right_ts + "_r", width_us))
+    ).withColumn("__rj_b", _bucket(right_ts + "_r", width_us))
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts + "_r"))
     return (
-        lb.join(rb, [key, "_b"])
+        lb.join(rb, [key, "__rj_b"])
         .filter((r_us > l_us) & (r_us <= l_us + F.lit(width_us)))
-        .drop("_b")
+        .drop("__rj_b")
     )
 
 
@@ -150,7 +172,20 @@ def resample_ffill(
     horizon at 100 TB (a years-long span at 1-second step would
     explode; this is inherent to densification, not to the plan).
     """
-    unit = step.split()[-1]  # "1 hour" -> date_trunc('hour'); sequence steps by `step`
+    # Only single-unit steps are expressible with this bucket scheme:
+    # date_trunc has no "30 minutes" grain, and an N>1 step would
+    # truncate buckets to the 1-unit grain while the grid steps N —
+    # odd-grain events silently vanish from the left join (r10 review).
+    # Refuse loudly instead of returning a wrong/empty relation.
+    parts = step.strip().split()
+    unit = parts[-1].rstrip("s").lower() if parts else ""
+    valid_units = {"second", "minute", "hour", "day", "week", "month", "year"}
+    if len(parts) != 2 or parts[0] != "1" or unit not in valid_units:
+        raise ValueError(
+            f"resample_ffill: step must be '1 <unit>' with unit in "
+            f"{sorted(valid_units)}; got {step!r} — for N-unit grids use an "
+            f"arithmetic bucket (floor((ts - origin) / step))"
+        )
     bucket = F.date_trunc(unit, F.col(ts_col))
     b = (
         events.select(F.col(key), bucket.alias("bucket"), F.col(value_col))

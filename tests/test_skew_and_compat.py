@@ -347,3 +347,40 @@ def test_s04_literal_skew_mitigation_story(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_report_null_and_empty_edges(spark):
+    """r10 review: fk_violation_report counted NULL child keys as FK
+    violations (SQL FK semantics and the NOT IN oracle never do);
+    null_report/expectation_report returned NULL counts on empty
+    input; expectation_report crashed on an empty rules dict and was
+    breakable by a quoted rule name."""
+    import pytest
+
+    from chinook_music_database_analysis_spark.operators.quality import (
+        expectation_report,
+        fk_violation_report,
+        null_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,)], "pk int")
+    r = fk_violation_report(child, parent, "fk", "pk", "fk_ok").collect()[0]
+    assert r["n_violations"] == 1  # only fk=99; the NULL is not a violation
+    assert r["n_rows"] == 3
+
+    empty = spark.createDataFrame([], "a int, b string")
+    nr = null_report(empty).collect()[0]
+    assert nr["a"] == 0 and nr["b"] == 0
+
+    with pytest.raises(ValueError, match="non-empty"):
+        expectation_report(empty, {})
+    rep = {
+        row["rule"]: row
+        for row in expectation_report(
+            empty, {"a > 0 ('usd')": F.col("a") > 0}
+        ).collect()
+    }
+    assert rep["a > 0 ('usd')"]["n_violations"] == 0

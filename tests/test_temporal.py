@@ -197,3 +197,65 @@ def test_scd2_intervals_partition_each_users_timeline(spark):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from, uid
             assert a.state != b.state, uid
+
+
+def test_asof_join_carries_whole_row_not_mixed_columns(spark):
+    """r10 review: per-column last(ignorenulls) substituted a STALE
+    value for a NULL inside the matched right row — fabricating a row
+    that never existed and wrongly passing the tolerance gate.  The
+    right side now travels as one struct: the matched row's NULL stays
+    NULL."""
+    import datetime as dt
+
+    from chinook_music_database_analysis_spark.operators.temporal import asof_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    right = spark.createDataFrame(
+        [(1, t(9), 10.0), (1, t(10), None)], "user_id long, ts timestamp, price double"
+    )
+    left = spark.createDataFrame([(1, t(11))], "user_id long, ts timestamp")
+    row = asof_join(left, right, key="user_id").collect()[0]
+    assert row["r_ts"] == t(10)
+    assert row["r_price"] is None  # NOT the stale 10.0
+    # tolerance path: the matched row is fresh, its NULL still carries
+    row2 = asof_join(
+        left, right, key="user_id", tolerance_us=2 * 3600 * 1_000_000
+    ).collect()[0]
+    assert row2["r_price"] is None and row2["r_ts"] == t(10)
+    # a genuinely stale match is voided entirely
+    row3 = asof_join(
+        left, right, key="user_id", tolerance_us=30 * 60 * 1_000_000
+    ).collect()[0]
+    assert row3["r_ts"] is None and row3["r_price"] is None
+
+
+def test_resample_ffill_refuses_multi_unit_steps(spark):
+    """r10 review: '30 minutes' returned silently-empty output and
+    '2 hour' dropped odd-grain buckets — both now refuse loudly; the
+    plural form of a valid single-unit step normalizes."""
+    import pytest
+
+    from chinook_music_database_analysis_spark.operators.temporal import (
+        resample_ffill,
+    )
+    from chinook_music_database_analysis_spark.sources import load_tables
+
+    from conftest import SF_TEST_DIR
+
+    ev = load_tables(spark, SF_TEST_DIR)["events"]
+    for bad in ("30 minutes", "2 hour", "fortnight"):
+        with pytest.raises(ValueError, match="step"):
+            resample_ffill(ev, step=bad)
+    assert resample_ffill(ev.limit(50), step="1 hours").count() > 0
+
+
+def test_range_join_guards_internal_column(spark):
+    import pytest
+
+    from chinook_music_database_analysis_spark.operators.temporal import range_join
+
+    left = spark.range(1).selectExpr(
+        "id AS user_id", "current_timestamp() AS ts", "id AS __rj_b"
+    )
+    with pytest.raises(ValueError, match="__rj_b"):
+        range_join(left, left.drop("__rj_b"), key="user_id", width_us=1)
