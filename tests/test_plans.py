@@ -286,9 +286,9 @@ def test_s15_salted_join_spreads_hot_key(spark):
         df = QUERIES["s15_skew_salted"](spark, SF_TEST_DIR)
         p = df._jdf.queryExecution().executedPlan().toString()
         assert re.search(
-            r"(SortMergeJoin|ShuffledHashJoin) \[skew_key#\d+L?, _salt#\d+", p
+            r"(SortMergeJoin|ShuffledHashJoin) \[skew_key#\d+L?, __salt#\d+", p
         ), p
-        assert "_salt" not in df.columns
+        assert "__salt" not in df.columns
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
