@@ -140,6 +140,69 @@ def minhash_candidate_pairs(
     )
 
 
+def _candidate_intersections(
+    sh: DataFrame, cand: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate/verify scaffolding: semi-restrict the shingle
+    relation to candidate docs, then count per-pair shared shingles.
+
+    Returns ``(inter, sizes)`` — per-pair ``n_inter`` counts and
+    per-doc set sizes, both computed over the semi-filtered relation so
+    the wide shuffle scales with the candidate set, not the corpus (the
+    candidate set is orders of magnitude smaller by construction of the
+    LSH band / probe filters).  Callers should pass a persisted ``cand``
+    relation — it is referenced three times here (the sa/sb semi-filter
+    + the join spine) and Spark re-executes unpersisted subtrees per
+    reference.
+    """
+    sh_cand = sh.join(
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
+        "doc_id",
+        "leftsemi",
+    )
+    # only candidate docs reach the score join, so set sizes come from
+    # the semi-filtered relation, not a full-corpus aggregate
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter, sizes
+
+
+def _pair_set_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach both endpoints' set sizes (``n_a``, ``n_b``) to each
+    (doc_a, doc_b, n_inter) pair.  ``sizes`` is per-doc — broadcastable
+    at test SF but not at 100 TB, so the join strategy is left to AQE
+    (it picks broadcast when small)."""
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return inter.join(na, "doc_a").join(nb, "doc_b")
+
+
+def _containment_scores(with_sizes: DataFrame, threshold: float) -> DataFrame:
+    """Directional containment scores over a sized pair relation
+    (output contract shared by :func:`containment_pairs` and
+    :func:`containment_pairs_exact`): c_a_in_b = |A∩B|/|A|, c_b_in_a =
+    |A∩B|/|B|, plus their max, filtered at ``threshold`` on the max."""
+    c_a = F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 4)
+    c_b = F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 4)
+    return (
+        with_sizes.select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("c_a_in_b"),
+            c_b.alias("c_b_in_a"),
+            F.greatest(c_a, c_b).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.2,
@@ -160,39 +223,14 @@ def ngram_jaccard_pairs(
         if candidates is not None
         else minhash_candidate_pairs(docs, bands=bands)
     )
-    # Semi-restrict the shingle relation to candidate docs BEFORE the
-    # (doc, s) intersection joins: the wide shuffle then scales with
-    # the candidate set, not the corpus (the candidate set is orders
-    # of magnitude smaller by construction of the LSH band filter).
-    # Callers should pass a persisted ``candidates`` relation — it is
-    # referenced three times here (sa/sb semi-filters + the join spine)
-    # and Spark re-executes unpersisted subtrees per reference.
-    sh_cand = sh.join(
-        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
-        "doc_id",
-        "leftsemi",
-    )
-    # only candidate docs reach the score join, so set sizes come from
-    # the semi-filtered relation, not a full-corpus aggregate
-    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    inter, sizes = _candidate_intersections(sh, cand)
     jac = F.round(
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
         4,
     )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        _pair_set_sizes(inter, sizes)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -689,38 +727,8 @@ def containment_pairs(
         if candidates is not None
         else minhash_candidate_pairs(docs, bands=bands)
     )
-    sh_cand = sh.join(
-        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
-        "doc_id",
-        "leftsemi",
-    )
-    # only candidate docs ever reach the score join, so their set sizes
-    # come from the semi-filtered relation, not a full-corpus aggregate
-    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    c_a = F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 4)
-    c_b = F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 4)
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            c_a.alias("c_a_in_b"),
-            c_b.alias("c_b_in_a"),
-            F.greatest(c_a, c_b).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
-    )
+    inter, sizes = _candidate_intersections(sh, cand)
+    return _containment_scores(_pair_set_sizes(inter, sizes), threshold)
 
 
 #: routing bound for the exact inverted-file containment join: when the
@@ -822,24 +830,7 @@ def containment_pairs_exact(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    c_a = F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 4)
-    c_b = F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 4)
-    # sizes is per-doc — broadcastable at test SF but not at 100 TB, so
-    # the join strategy is left to AQE (it picks broadcast when small).
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            c_a.alias("c_a_in_b"),
-            c_b.alias("c_b_in_a"),
-            F.greatest(c_a, c_b).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
-    )
+    return _containment_scores(_pair_set_sizes(inter, sizes), threshold)
 
 
 # ---------------------------------------------------------------------------
