@@ -588,6 +588,37 @@ RANGE_DENSE_CUTOVER = 0.5
 ROUTER_LOG: dict[str, dict] = {}
 
 
+def _resolve_route(op: str, route: str, n_queries: int) -> bool | None:
+    """Validate a caller-forced route and record it; returns the
+    ``dense`` flag for a forced route, or None when ``route='auto'``
+    (the caller must then run the stats pass and
+    :func:`_record_route` the measured decision).
+
+    Forcing exists for oracle attributability (r10 verdict): the
+    registered sim_lsh_topk / sim_range_search plans pin
+    ``route='pruned'`` so a driver-corpus revision can never flip the
+    registered result away from the pruned-path oracle; the dense
+    route is oracle-gated separately on a synthetic cutover-crossing
+    corpus (tests/test_ann_store.py dual-route gate).  A forced route
+    skips the stats collect entirely — there is no decision to make —
+    and is logged with ``forced=True`` and null stats.
+    """
+    if route not in ("auto", "pruned", "dense"):
+        raise ValueError(f"{op}: route must be auto|pruned|dense, got {route!r}")
+    if route == "auto":
+        return None
+    dense = route == "dense"
+    ROUTER_LOG[op] = {
+        "route": "dense_exact" if dense else "pruned_lsh",
+        "forced": True,
+        "cand_upper": None,
+        "bound": None,
+        "n_queries": n_queries,
+        "n_corpus": None,
+    }
+    return dense
+
+
 def _record_route(
     op: str, dense: bool, cand_upper: int, n_queries: int, n_corpus: int
 ) -> None:
@@ -654,6 +685,7 @@ def range_search(
     n_queries: int = 10,
     buckets: DataFrame | None = None,
     norms: DataFrame | None = None,
+    route: str = "auto",
 ) -> DataFrame:
     """Radius (range) similarity search: for each query vector, EVERY
     corpus neighbor with cosine >= ``tau`` — the unbounded-k companion
@@ -683,13 +715,21 @@ def range_search(
     silent degradation in either direction.  Driver-shaped corpora
     (near-orthogonal, corpus-scaled bits) stay on the pruned path,
     which is what the registered oracle replicates.
+
+    r11: ``route`` pins the path explicitly ('pruned' | 'dense';
+    default 'auto' keeps the stats-first router).  The registered plan
+    pins 'pruned' so its oracle can never be flipped off by a corpus
+    revision; forced routes skip the stats collect (see
+    :func:`_resolve_route`).
     """
-    if buckets is None:
+    dense = _resolve_route("range_search", route, n_queries)
+    if buckets is None and dense is not True:
         buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
     wn = with_norms(emb) if norms is None else norms
-    n_corpus, cand_upper = range_probe_stats(buckets, n_queries)
-    dense = cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus
-    _record_route("range_search", dense, cand_upper, n_queries, n_corpus)
+    if dense is None:
+        n_corpus, cand_upper = range_probe_stats(buckets, n_queries)
+        dense = cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus
+        _record_route("range_search", dense, cand_upper, n_queries, n_corpus)
     if dense:
         q = wn.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),
@@ -1124,6 +1164,7 @@ def lsh_topk(
     n_bits: int | None = None,
     buckets: DataFrame | None = None,
     norms: DataFrame | None = None,
+    route: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to candidates sharing
     an LSH bucket with the query in ANY of the N_TABLES tables (bucket
@@ -1143,14 +1184,24 @@ def lsh_topk(
     approximate contract's candidate set was about to be ~the whole
     corpus anyway).  Driver-shaped corpora stay on the pruned path
     the registered oracle replicates.
+
+    r11: ``route`` pins the path explicitly ('pruned' | 'dense';
+    default 'auto' keeps the stats-first router).  The registered plan
+    pins 'pruned' so its oracle can never be flipped off by a corpus
+    revision; forced routes skip the stats collect (see
+    :func:`_resolve_route`).
     """
+    dense = _resolve_route("lsh_topk", route, n_queries)
+    if dense is True:
+        return cosine_topk(emb, n_queries=n_queries, k=k)
     if buckets is None:
         b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
         buckets = lsh_buckets(emb, b)
     bk = buckets
-    n_corpus, cand_upper = range_probe_stats(bk, n_queries)
-    dense = cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus
-    _record_route("lsh_topk", dense, cand_upper, n_queries, n_corpus)
+    if dense is None:
+        n_corpus, cand_upper = range_probe_stats(bk, n_queries)
+        dense = cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus
+        _record_route("lsh_topk", dense, cand_upper, n_queries, n_corpus)
     if dense:
         return cosine_topk(emb, n_queries=n_queries, k=k)
     q_bk = bk.filter(F.col("vec_id") < n_queries).select(

@@ -2007,11 +2007,18 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-bucket corpus the probe would score ~the whole corpus through
     a join, so it answers with the exact broadcast scan instead
     (recall 1.0); driver corpora stay on the pruned path this oracle
-    replicates."""
+    replicates.  r11: the registered plan PINS route='pruned' — this
+    oracle replicates only that path, so auto-routing here would let
+    a corpus revision silently flip the registered result off its
+    gate; the dense route keeps its own oracle gate on a synthetic
+    cutover-crossing corpus (tests/test_ann_store.py dual-route
+    gate), and production callers get the auto router through the
+    operator API default."""
     return lsh_topk(
         load_tables(spark, sf_dir)["embeddings"],
         buckets=_emb_buckets(spark, sf_dir),
         norms=_emb_norms(spark, sf_dir),
+        route="pruned",
     )
 
 
@@ -2151,13 +2158,18 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-distinct candidate count and switches to the broadcast dense
     scan (exact, linear, a SUPERSET of the banded contract) when the
     query vectors land in hot buckets — driver-shaped corpora stay on
-    the pruned path this oracle replicates."""
+    the pruned path this oracle replicates.  r11: the registered plan
+    PINS route='pruned' for oracle attributability (see sim_lsh_topk);
+    the dense route is oracle-gated separately on a synthetic
+    cutover-crossing corpus (tests/test_ann_store.py dual-route
+    gate)."""
     from ..operators.similarity import range_search
 
     return range_search(
         load_tables(spark, sf_dir)["embeddings"],
         buckets=_emb_buckets(spark, sf_dir),
         norms=_emb_norms(spark, sf_dir),
+        route="pruned",
     )
 
 

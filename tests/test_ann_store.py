@@ -777,3 +777,91 @@ def test_router_log_records_route_and_warns_on_dense(spark, caplog):
     # lsh_topk on the same hot corpus flips too (shared stats pass)
     lsh_topk(hot, n_queries=10, buckets=lsh_buckets(hot, 4))
     assert ROUTER_LOG["lsh_topk"]["route"] == "dense_exact"
+
+
+def test_router_dual_route_oracle_gate(spark, tmp_path):
+    """r10 verdict item 3 — dual-route oracle attributability.  The
+    routers change result SEMANTICS past the cutover, so BOTH routes
+    must pass the full DuckDB hash gate on a corpus that actually
+    CROSSES RANGE_DENSE_CUTOVER: the registered plans pin
+    route='pruned' (their oracles replicate only that path, so a
+    driver-corpus revision can never flip them off their gate), and
+    this test covers what the registry then can't — on a synthetic
+    one-cluster corpus, the forced pruned result matches the
+    REGISTERED oracle SQL verbatim and the forced dense result matches
+    a brute-force oracle, row/schema/value-exact through the same
+    compare the driver runs."""
+    import duckdb
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        RANGE_DENSE_CUTOVER,
+        lsh_buckets,
+        range_probe_stats,
+        range_search,
+    )
+    from chinook_music_database_analysis_spark.plans import ORACLES
+    from chinook_music_database_analysis_spark.plans.extensions import _sql_cos
+
+    from conftest import assert_frames_match
+
+    n, n_q = 150, 10
+    hot = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> CAST("
+        " 1.0 + 0.0005 * sin(CAST(id * 64 + j AS DOUBLE)) AS FLOAT)) AS embedding",
+        "CAST(id % 3 AS INT) AS label",
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    hot.coalesce(1).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path)
+    # the corpus must actually cross the cutover, or this gate proves
+    # nothing about the route the registry can't reach
+    n_corpus, cand_upper = range_probe_stats(
+        lsh_buckets(emb, lsh_n_bits(n)), n_q
+    )
+    assert cand_upper >= RANGE_DENSE_CUTOVER * n_q * n_corpus, (
+        cand_upper,
+        n_corpus,
+    )
+
+    dense_topk_sql = f"""
+    WITH p AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_cos('q.embedding', 'e.embedding')} AS cos_sim
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_q}
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS INTEGER) AS rnk
+    FROM p QUALIFY rnk <= 5
+    """
+    dense_range_sql = f"""
+    WITH p AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_cos('q.embedding', 'e.embedding')} AS cos_sim
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_q}
+    )
+    SELECT * FROM p WHERE cos_sim >= 0.2
+    """
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'"
+        )
+        cases = [
+            ("lsh_topk_pruned", lsh_topk(emb, route="pruned"), ORACLES["sim_lsh_topk"]),
+            ("lsh_topk_dense", lsh_topk(emb, route="dense"), dense_topk_sql),
+            (
+                "range_search_pruned",
+                range_search(emb, route="pruned"),
+                ORACLES["sim_range_search"],
+            ),
+            ("range_search_dense", range_search(emb, route="dense"), dense_range_sql),
+        ]
+        for name, df, sql in cases:
+            assert_frames_match(df.toPandas(), con.sql(sql).df(), name)
+    finally:
+        con.close()
