@@ -1857,6 +1857,20 @@ PCA_COMPONENTS = 2
 #: headroom.
 PCA_QUANT = 1e6
 
+#: largest dimension the exact-fold driver eigensolve runs at.  The
+#: pure-Python fold path exists for one reason — its association order
+#: is the cross-engine oracle contract, and every oracle-paired PCA
+#: query runs at EMB_DIM (64) — but it is O(d^2) Python-interpreted
+#: work per matvec: measured 62 s at d=2048 vs ~4 s at 512 (r11).
+#: Above this cap :func:`pca_power_model` auto-routes to the numpy
+#: solver: the SAME power-iteration-with-deflation on the SAME
+#: 1e-6-quantized covariance, BLAS-accumulated — bit-divergent from
+#: the fold contract only through summation association (absorbed by
+#: the quantization grid's ~1e5 headroom), at dims where no oracle
+#: exists to compare bits against.  LLM embedding corpora run d=1-4k;
+#: scalecheck's pca_dim_probe gates d=2048 through this route.
+PCA_FOLD_MAX_DIM = 512
+
 
 def embedding_moment_partials(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """Per-Arrow-batch second-moment partials of the embedding corpus:
@@ -1910,6 +1924,7 @@ def pca_power_model(
     dim: int = EMB_DIM,
     iters: int = PCA_ITERS,
     components: int = PCA_COMPONENTS,
+    method: str = "auto",
 ) -> dict:
     """Combine the collected moment partials and extract the leading
     ``components`` eigenpairs by power iteration with deflation —
@@ -1924,7 +1939,20 @@ def pca_power_model(
     Returns ``{"n", "mu_q", "m_q", "trace_q", "comps": [(lam, v),...]}``
     with ``mu_q``/``m_q`` snapped to the 1e-6 grid and lam/v raw
     doubles (bit-identical across engines by construction).
+
+    ``method``: 'fold' is the exact-fold contract path above; 'numpy'
+    runs the IDENTICAL algorithm (same sort, same quantization grid,
+    same iteration count and deflation) BLAS-accumulated for large
+    dims — see :data:`PCA_FOLD_MAX_DIM` for why and when the 'auto'
+    default switches (the fold contract covers every oracle dim; at
+    d=1-4k the interpreted folds cost minutes for no gate).
     """
+    if method not in ("auto", "fold", "numpy"):
+        raise ValueError(f"pca_power_model: unknown method {method!r}")
+    if method == "auto":
+        method = "fold" if dim <= PCA_FOLD_MAX_DIM else "numpy"
+    if method == "numpy":
+        return _pca_power_model_np(partials, dim, iters, components)
     d = dim
     # deterministic combine order (partition/batch order is not part
     # of the contract): sort by FULL content — (n, s) alone could tie
@@ -1969,6 +1997,59 @@ def pca_power_model(
             for j in range(d)
         ]
     return {"n": n, "mu_q": mu_q, "m_q": m_q, "trace_q": trace_q, "comps": comps}
+
+
+def _pca_power_model_np(
+    partials: list, dim: int, iters: int, components: int
+) -> dict:
+    """BLAS-accumulated twin of the fold path in
+    :func:`pca_power_model` — same deterministic combine order, same
+    1e-6 quantization, same power steps and deflation, with numpy
+    doing the d^2 work (measured 62 s -> <1 s at d=2048, r11).  Bits
+    may differ from the fold contract only through summation
+    association, which the quantization grid absorbs; keep every
+    constant and step in lockstep with the fold path."""
+    import numpy as np
+
+    d = dim
+    parts = sorted(
+        ((int(p[0]), list(p[1]), list(p[2])) for p in partials),
+        key=lambda p: (p[0], p[1], p[2]),
+    )
+    n = float(sum(p[0] for p in parts))
+    if n < 2:
+        raise ValueError(f"PCA needs >= 2 vectors, got {n}")
+    s = np.sum([np.asarray(p[1], dtype=np.float64) for p in parts], axis=0)
+    ss = np.sum(
+        [np.asarray(p[2], dtype=np.float64) for p in parts], axis=0
+    ).reshape(d, d)
+
+    def q(x):
+        return np.floor(x * PCA_QUANT + 5e-1) / PCA_QUANT
+
+    mu_q = q(s / n)
+    raw = (ss - np.outer(s, s) / n) / n
+    m_q = q((raw + raw.T) * 0.5)
+    trace_q = float(np.trace(m_q))
+
+    comps: list[tuple[float, list[float]]] = []
+    m = m_q.copy()
+    for _ in range(components):
+        v = np.ones(d)
+        for _ in range(iters):
+            w = m @ v
+            v = w / math.sqrt(float(w @ w))
+        w = m @ v
+        lam = float(v @ w)
+        comps.append((lam, v.tolist()))
+        m = m - lam * np.outer(v, v)
+    return {
+        "n": n,
+        "mu_q": mu_q.tolist(),
+        "m_q": m_q.reshape(-1).tolist(),
+        "trace_q": trace_q,
+        "comps": comps,
+    }
 
 
 def pca_project_scores(

@@ -657,17 +657,26 @@ def main() -> int:
     return 0
 
 
-def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> list:
+def pca_dim_probe(spark, out_dir: str, dims=(64, 512, 2048), n_vec: int = 8000) -> list:
     """High-dimension PCA probe: generate an anisotropic Gaussian
     corpus at each d (top axis variance 16x the bulk, second 6x — a
     clean spectral gap, so 80 power iterations converge far past the
     1e-6 quantization grid), run the full distributed pipeline
     (mapInPandas moment partials -> driver power-iteration model ->
     projection scores), and check state bounds, numpy agreement, plan
-    shape and the d^2 time ratio."""
+    shape and the d^2 time ratio between consecutive dims.
+
+    r11: d=2048 added (LLM embedding dims run 1-4k).  Above
+    PCA_FOLD_MAX_DIM the model auto-routes to the BLAS eigensolve
+    (same algorithm/grid; the exact-fold contract only matters at
+    oracle dims), so this probe ALSO verifies that routing: d<=512
+    exercises the fold path, d=2048 the numpy path.  Collect volume
+    (#partials x (d + d^2) doubles) and the moment-pass vs eigensolve
+    split are reported per dim, per the r10 verdict ask."""
     import math
 
     from chinook_music_database_analysis_spark.operators.similarity import (
+        PCA_FOLD_MAX_DIM,
         embedding_moment_partials,
         pca_power_model,
         pca_project_scores,
@@ -700,10 +709,19 @@ def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> lis
         emb = spark.read.parquet(path)
         t0 = time.perf_counter()
         rows = embedding_moment_partials(emb, dim=d).collect()
+        t_moments = time.perf_counter() - t0
+        t0 = time.perf_counter()
         model = pca_power_model(
             [(r["n"], r["s"], r["ss"]) for r in rows], dim=d
         )
-        times[d] = time.perf_counter() - t0
+        t_eig = time.perf_counter() - t0
+        times[d] = t_moments + t_eig
+        collect_mb = len(rows) * (d + d * d) * 8 / 1e6
+        print(
+            f"pca d={d}: {len(rows)} partials, collect {collect_mb:.1f} MB, "
+            f"moments {t_moments:.2f}s, eigensolve {t_eig:.2f}s "
+            f"({'fold' if d <= PCA_FOLD_MAX_DIM else 'numpy'} path)"
+        )
         # state bound: each partial is exactly d + d^2 doubles, and the
         # batch total covers the corpus exactly once (reported through
         # the failures channel like every other check — a bare assert
@@ -758,15 +776,15 @@ def pca_dim_probe(spark, out_dir: str, dims=(64, 512), n_vec: int = 8000) -> lis
         )
         if "Exchange" in plan:
             failures.append((f"pca_d{d}_projection_exchange", 1, 0))
-    d0, d1 = dims
-    ratio = max(times[d1], 1e-9) / max(times[d0], 1e-9)
-    bound = ((d1 / d0) ** 2) * SLACK
-    print(
-        f"pca moment+eigensolve d={d0}->{d1}: {times[d0]:.2f}s -> "
-        f"{times[d1]:.2f}s ratio {ratio:.1f} (bound {bound:.0f})"
-    )
-    if ratio > bound:
-        failures.append(("pca_dim_ratio", ratio, bound))
+    for d0, d1 in zip(dims, dims[1:]):
+        ratio = max(times[d1], 1e-9) / max(times[d0], 1e-9)
+        bound = ((d1 / d0) ** 2) * SLACK
+        print(
+            f"pca moment+eigensolve d={d0}->{d1}: {times[d0]:.2f}s -> "
+            f"{times[d1]:.2f}s ratio {ratio:.1f} (bound {bound:.0f})"
+        )
+        if ratio > bound:
+            failures.append((f"pca_dim_ratio_{d0}_{d1}", ratio, bound))
     return failures
 
 

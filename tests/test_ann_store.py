@@ -865,3 +865,37 @@ def test_router_dual_route_oracle_gate(spark, tmp_path):
             assert_frames_match(df.toPandas(), con.sql(sql).df(), name)
     finally:
         con.close()
+
+
+def test_pca_power_model_method_routing():
+    """r11: dims above PCA_FOLD_MAX_DIM auto-route to the BLAS
+    eigensolve (the exact-fold contract path costs minutes of
+    interpreted Python at d=2048 and no oracle exists there); at
+    oracle dims the two paths must agree on the quantized covariance
+    BIT-FOR-BIT and on eigenvalues to float precision, so the routing
+    can never move a registered query's result."""
+    import numpy as np
+    import pytest as _pytest
+
+    from chinook_music_database_analysis_spark.operators.similarity import (
+        PCA_FOLD_MAX_DIM,
+        pca_power_model,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 64
+    parts = []
+    for _ in range(3):
+        X = rng.normal(size=(200, d))
+        X[:, 0] *= 4.0
+        parts.append((200, X.sum(axis=0).tolist(), (X.T @ X).ravel().tolist()))
+    fold = pca_power_model(parts, dim=d, method="fold")
+    blas = pca_power_model(parts, dim=d, method="numpy")
+    auto = pca_power_model(parts, dim=d)  # d=64 <= cap -> fold path
+    assert fold["m_q"] == blas["m_q"] == auto["m_q"]
+    assert fold["comps"][0][0] == auto["comps"][0][0]
+    for (lf, _), (lb, _) in zip(fold["comps"], blas["comps"]):
+        assert abs(lf - lb) <= 1e-12 * abs(lf)
+    assert PCA_FOLD_MAX_DIM == 512  # doc'd cap; probe covers 2048 via numpy
+    with _pytest.raises(ValueError, match="unknown method"):
+        pca_power_model(parts, dim=d, method="exact")
