@@ -171,17 +171,48 @@ def main() -> None:
                 user_running_totals_stream,
             )
 
-            n_events = spark.read.parquet(
-                os.path.join(sf_dir, "events.parquet")
+            from pyspark.sql.functions import col as F_col
+
+            from chinook_music_database_analysis_spark.streaming.events import (
+                scoped_streaming_conf,
+                state_partitions_for,
+            )
+
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            n_events = ev.count()
+            # State-store right-sizing (r11): the pinned state
+            # partition count is the one knob AQE can't adapt, and at
+            # bench scale per-store fixed commit cost dominates — size
+            # it to each path's actual state volume (cheap exact
+            # counts on the corpus).  The stateful path is
+            # Python-compute-bound, not commit-bound (measured FLAT
+            # 1.26-1.33 s across 8-32 partitions, and SLOWER at 4),
+            # so it keeps the session default.
+            ij_state = ev.filter(
+                F_col("event_type").isin("error", "click")
             ).count()
-            # (builder, output mode, input sides): the interval join
+            dedup_state = ev.select("user_id", "event_type").distinct().count()
+            # (builder, output mode, input sides, state partitions,
+            # run the trailing no-data batch): the interval join
             # consumes the events stream on BOTH sides, so its
             # input_rows is 2x — without this the three paths'
             # rows_per_sec would not be comparable to each other.
+            # The INNER interval join emits eagerly during addBatch,
+            # so the no-data cleanup batch is a pure second commit
+            # cycle under an availableNow drain — skipped, with
+            # output equality gated in tests/test_streaming.py.
             paths = {
-                "stateful_totals": (user_running_totals_stream, "update", 1),
-                "dedup_watermark": (dedup_within_watermark_stream, "append", 1),
-                "interval_join": (interval_join_stream, "append", 2),
+                "stateful_totals": (
+                    user_running_totals_stream, "update", 1, None, True,
+                ),
+                "dedup_watermark": (
+                    dedup_within_watermark_stream, "append", 1,
+                    state_partitions_for(dedup_state), True,
+                ),
+                "interval_join": (
+                    interval_join_stream, "append", 2,
+                    state_partitions_for(ij_state), False,
+                ),
             }
         except Exception as ex:
             paths = {}
@@ -192,19 +223,25 @@ def main() -> None:
         # the warm number is the state-store signal.  Each path gets
         # its own try so one broken path can't discard the metrics
         # already measured for the others.
-        for name, (builder, mode, sides) in paths.items():
+        for name, (builder, mode, sides, parts, nodata) in paths.items():
             try:
                 best = None
                 for _rep in range(max(2, reps)):
                     t0 = time.perf_counter()
-                    q = (
-                        builder(read_events_stream(spark, sf_dir))
-                        .writeStream.format("noop")
-                        .outputMode(mode)
-                        .trigger(availableNow=True)
-                        .start()
-                    )
-                    q.awaitTermination()
+                    with scoped_streaming_conf(
+                        spark,
+                        parts
+                        or int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        no_data_batch=nodata,
+                    ):
+                        q = (
+                            builder(read_events_stream(spark, sf_dir))
+                            .writeStream.format("noop")
+                            .outputMode(mode)
+                            .trigger(availableNow=True)
+                            .start()
+                        )
+                        q.awaitTermination()
                     sec = round(time.perf_counter() - t0, 3)
                     if best is None or sec < best:
                         best = sec
@@ -213,6 +250,8 @@ def main() -> None:
                     "sec": best,
                     "input_rows": in_rows,
                     "rows_per_sec": round(in_rows / best, 1),
+                    "state_partitions": parts,
+                    "no_data_batch": nodata,
                 }
                 if name == "stateful_totals":
                     streaming_sec = best

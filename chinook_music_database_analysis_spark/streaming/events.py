@@ -75,6 +75,80 @@ def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
     )
 
 
+#: state rows a single streaming state-store partition comfortably
+#: owns before per-store FIXED cost stops dominating (open/commit/
+#: fsync of the delta file, ~tens of ms each).  Measured on the
+#: r11 interval-join profile at sf0.1: 40k state rows over the
+#: default 32 partitions x 4 join stores x 2 batches = 256 store
+#: commits costing 36-43 s summed (~0.3 s each) against ~3 s of
+#: actual join work — dropping to 8 partitions was 2.7x end-to-end
+#: with bit-identical output.  12.5k rows/partition puts that
+#: corpus at 4-8 partitions while a 10^9-row state still gets the
+#: parallelism cap.
+STATE_ROWS_PER_PARTITION = 12_500
+
+
+def state_partitions_for(n_state_rows: int, lo: int = 4, hi: int = 200) -> int:
+    """Right-size the streaming state partition count to expected
+    state volume.
+
+    Spark pins ``spark.sql.shuffle.partitions`` into the checkpoint at
+    FIRST query start and AQE never touches stateful plans, so this is
+    the one knob the engine cannot adapt at runtime — a 32-partition
+    default on a 40k-row state pays 128+ fixed store-commit costs per
+    micro-batch for no parallelism win, while the same default on a
+    10^9-row state under-partitions it.  Size it like a shuffle:
+    ~:data:`STATE_ROWS_PER_PARTITION` rows per store, clamped to
+    [lo, hi].  At 100 TB the ceiling governs (hundreds of
+    partitions); at bench scale the floor does.  The watermark/band
+    semantics are untouched — this only changes how state is sharded.
+    """
+    import math
+
+    return max(lo, min(hi, math.ceil(max(n_state_rows, 1) / STATE_ROWS_PER_PARTITION)))
+
+
+class scoped_streaming_conf:
+    """Context manager pinning streaming-only session confs around a
+    drain and restoring them after (the partition count binds at query
+    start, so it must be set BEFORE ``.start()``).
+
+    ``no_data_batch=False`` additionally skips the trailing no-data
+    micro-batch.  That batch exists to advance the watermark so
+    WATERMARK-GATED output can flush (outer-join NULL rows, final
+    windowed aggregates) and state can evict; an INNER stream-stream
+    join emits every row eagerly during ``addBatch`` and an
+    availableNow drain tears state down at termination anyway, so for
+    that shape the cleanup batch is a pure second commit cycle —
+    measured 1.8x end-to-end on the r11 profile, output
+    bit-identical (gated in tests/test_streaming.py).  Leave it True
+    for outer joins, windowed aggregations, and timeout-driven
+    stateful ops, where the extra batch IS the flush."""
+
+    def __init__(self, spark: SparkSession, partitions: int, no_data_batch: bool = True):
+        self.spark = spark
+        self.partitions = partitions
+        self.no_data_batch = no_data_batch
+
+    def __enter__(self):
+        c = self.spark.conf
+        self._parts = c.get("spark.sql.shuffle.partitions")
+        self._nodata = c.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        c.set("spark.sql.shuffle.partitions", str(self.partitions))
+        c.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+            "true" if self.no_data_batch else "false",
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._parts)
+        self.spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", self._nodata
+        )
+        return False
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink and return the materialized result table.

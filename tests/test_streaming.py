@@ -1133,3 +1133,49 @@ def test_synthetic_batch_equals_stream_and_layout_independent(spark):
         ).read(_Part(0, 0, 400))
     )
     assert a == want  # batch == stream generator
+
+
+def test_interval_join_drain_conf_is_output_invariant(spark):
+    """The r11 bench drains the INNER interval join with right-sized
+    state partitions and the trailing no-data micro-batch disabled
+    (streaming.events.scoped_streaming_conf) — both are pure
+    state-sharding / commit-cycle knobs for this shape: the inner
+    symmetric hash join emits every match eagerly during addBatch and
+    the availableNow drain tears state down at termination, so the
+    result set must be IDENTICAL to the default-config drain.  This
+    gate is what lets the bench skip the cleanup batch honestly; the
+    left-outer variant is excluded by design (its NULL rows flush on
+    the watermark the no-data batch advances)."""
+    from chinook_music_database_analysis_spark.streaming.events import (
+        interval_join_stream,
+        scoped_streaming_conf,
+        state_partitions_for,
+    )
+
+    base = run_to_memory(
+        interval_join_stream(read_events_stream(spark, SF_TEST_DIR)),
+        "ij_conf_base",
+    ).toPandas()
+    with scoped_streaming_conf(spark, state_partitions_for(1), no_data_batch=False):
+        tuned = run_to_memory(
+            interval_join_stream(read_events_stream(spark, SF_TEST_DIR)),
+            "ij_conf_tuned",
+        ).toPandas()
+    # conf restored after the scope
+    assert spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "true"
+    key = ["err_id", "user_id", "err_ts", "click_ts", "click_value"]
+    a = set(map(tuple, base[key].astype(str).itertuples(index=False)))
+    b = set(map(tuple, tuned[key].astype(str).itertuples(index=False)))
+    assert a == b and a
+
+
+def test_state_partitions_for_bounds():
+    from chinook_music_database_analysis_spark.streaming.events import (
+        STATE_ROWS_PER_PARTITION,
+        state_partitions_for,
+    )
+
+    assert state_partitions_for(0) == 4
+    assert state_partitions_for(STATE_ROWS_PER_PARTITION * 6) == 6
+    assert state_partitions_for(10**9) == 200  # the 100 TB ceiling governs
+    assert state_partitions_for(10**9, hi=400) == 400
