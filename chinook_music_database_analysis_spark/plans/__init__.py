@@ -35,60 +35,67 @@ from . import scale_queries  # noqa: E402,F401
 # tx_repetition, tx_tfidf) plus the r6 cohort lead the r11 window.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # (0) never driver-checked r9 additions (8)
+    # (0) MUTATED in r11 (11): route pinning (sim_lsh_topk /
+    # sim_range_search now force route='pruned'), the shared
+    # candidate/verify scaffolding refactor (dd_ngram_jaccard /
+    # dd_containment / dd_containment_scale), and the pca_power_model
+    # method-dispatch (all six _pca consumers — the fold path is
+    # bit-identical at d=64 by test, but the code path was touched,
+    # so the driver re-verifies)
+    "sim_lsh_topk",
+    "sim_range_search",
+    "dd_ngram_jaccard",
+    "dd_containment",
+    "dd_containment_scale",
     "sim_pca_spectrum",
     "sim_pca_outliers",
-    "sim_dim_corr",
     "sim_pca_drift",
     "sim_pca_incremental",
+    "sim_dim_corr",
     "sim_label_drift",
-    "tx_bpe_source_tokens",
-    "cur_bpe_length_buckets",
-    # (1) mutated in r10 (5)
-    "tx_bpe_merges",
-    "tx_bpe_encode",
-    "sim_mrl_topk",
-    "sim_range_search",
-    "sim_lsh_topk",
-    # (2) r3-stale streaming + multimodal cohort (7)
-    "ev_dedup_first",
-    "ev_sessionized",
-    "ev_sliding_1h_30m",
-    "ev_tumbling_1h",
-    "mm_frame_sample",
-    "mm_media_features",
-    "mm_resize",
-    # (3) r5-stale cohort, 30 of 36 (rest lead r11)
-    "cur_cluster_sample",
-    "cur_contamination_report",
-    "cur_decontam",
-    "cur_mix",
-    "cur_pack",
-    "cur_pii_redact",
-    "cur_sample",
-    "cur_split",
-    "cur_stats_approx",
-    "cur_stats_rollup",
-    "cur_stratified_eval",
-    "cur_temperature_mix",
-    "cur_winsorize",
-    "dd_canonical",
-    "dd_cross_simhash",
-    "dd_fuzzy_dictionary",
-    "dd_incremental",
-    "dd_semantic",
-    "ev_anomaly_hours",
-    "ev_asof_error_before_click",
-    "ev_enriched_segments",
-    "ev_gapfill_hourly",
-    "ev_hll_week_rollup",
-    "ev_json_extract",
-    "ev_json_variant",
-    "ev_range_clicks_after_error",
-    "ev_retention_cohorts",
-    "ev_session_funnel_windows",
-    "ev_unpivot_user_types",
-    "ev_user_funnel",
+    # (1) the six r5-stale leftovers the r10 window could not fit
+    "pipe_training_set",
+    "sim_sq8_topk",
+    "tx_gopher_quality",
+    "tx_keyphrases",
+    "tx_repetition",
+    "tx_tfidf",
+    # (2) r6 cohort (9; dd_ngram_jaccard already above)
+    "dd_exact",
+    "dd_minhash_pairs",
+    "dd_simhash",
+    "dq_order_expectations",
+    "ev_pivot_user_types",
+    "pipe_clean_corpus",
+    "tx_fingerprint",
+    "tx_langid",
+    "tx_stats",
+    # (3) r7 cohort (10; dd_containment_scale already above)
+    "cur_boilerplate",
+    "cur_chunk",
+    "dd_dup_clusters",
+    "dd_minhash_estimate",
+    "dq_documents_expectations",
+    "ev_cdc_latest_state",
+    "ev_watermark_audit",
+    "pipe_filter_funnel",
+    "pipe_layout_rebuild",
+    "tx_bm25_topk",
+    # (4) oldest r8 greens, 14 of 44 (the other 30 lead r12)
+    "cur_corpus_health",
+    "cur_curriculum_sample",
+    "cur_diverse_sample",
+    "cur_domain_cap",
+    "cur_epoch_batches",
+    "cur_leakage_safe_split",
+    "cur_length_buckets",
+    "cur_line_dedup",
+    "cur_soft_quality_sample",
+    "dd_cdc_chunks",
+    "dd_cdc_incremental",
+    "dd_dup_ngrams",
+    "dd_simhash_pairs",
+    "ev_bloom_prune",
 ]
 
 
@@ -104,16 +111,19 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r10 NOTE: 50/50 slots.  r11 should lead with anything r11 mutates,
-# then the 6 r5-stale leftovers this window could not fit
-# (pipe_training_set, sim_sq8_topk, tx_gopher_quality, tx_keyphrases,
-# tx_repetition, tx_tfidf), then the r6 cohort (dd_exact,
-# dd_minhash_pairs, dd_ngram_jaccard, dd_simhash, dq_order_expectations,
-# ev_pivot_user_types, pipe_clean_corpus, tx_fingerprint, tx_langid,
-# tx_stats), then the r7 store family (cur_boilerplate, cur_chunk,
-# dd_containment_scale, dd_dup_clusters, dd_minhash_estimate,
-# dq_documents_expectations, ...), and fill with the oldest r8 greens.
-# After r10 lands, every registry entry should be driver-green at
-# least once and nothing older than r5.
+# r11 NOTE: 50/50 slots.  After r11 lands, the stalest cohort is the
+# 30 r8 greens this window could not fit (cur_soft_quality_sample's
+# siblings: dd_containment, ev_heavy_keys, ev_hll_overlap,
+# ev_hll_users, ev_scd2_*, ev_state_durations, mm_phash*,
+# pipe_contrastive_negatives, pipe_corpus_diff, pipe_rag_index,
+# sim_bruteforce_topk, sim_filtered_topk, sim_ivf_append,
+# sim_knn_graph, sim_outlier_audit, sim_pq_topk, tx_bm25_batch,
+# tx_cms_tokens, tx_hll_vocab, tx_hybrid_*, tx_lang_confusion,
+# tx_length_quantiles, tx_quality_classifier, tx_surprisal...).
+# r12 should lead with anything r12 mutates, then those 30, and fill
+# with the r9 parity cohort (q01..s15 — the driver re-ran all of it
+# in r9, so it ages next).  Recompute exact last-green rounds by
+# scanning CORRECTNESS_r*.json (script in the r11 transcript /
+# memory) rather than trusting this comment.
 
 __all__ = ["QUERIES", "ORACLES", "register"]
