@@ -179,7 +179,6 @@ def main() -> None:
             )
 
             ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-            n_events = ev.count()
             # State-store right-sizing (r11): the pinned state
             # partition count is the one knob AQE can't adapt, and at
             # bench scale per-store fixed commit cost dominates — size
@@ -188,10 +187,27 @@ def main() -> None:
             # Python-compute-bound, not commit-bound (measured FLAT
             # 1.26-1.33 s across 8-32 partitions, and SLOWER at 4),
             # so it keeps the session default.
-            ij_state = ev.filter(
-                F_col("event_type").isin("error", "click")
-            ).count()
-            dedup_state = ev.select("user_id", "event_type").distinct().count()
+            from pyspark.sql.functions import (
+                count as F_count,
+                count_distinct as F_count_distinct,
+                lit as F_lit,
+                when as F_when,
+            )
+
+            stats = ev.agg(
+                F_count(F_lit(1)).alias("n"),
+                F_count(
+                    F_when(
+                        F_col("event_type").isin("error", "click"), F_lit(1)
+                    )
+                ).alias("ij"),
+                F_count_distinct("user_id", "event_type").alias("dd"),
+            ).collect()[0]
+            n_events, ij_state, dedup_state = (
+                int(stats["n"]),
+                int(stats["ij"]),
+                int(stats["dd"]),
+            )
             # (builder, output mode, input sides, state partitions,
             # run the trailing no-data batch): the interval join
             # consumes the events stream on BOTH sides, so its

@@ -2030,7 +2030,11 @@ def _pca_power_model_np(
     mu_q = q(s / n)
     raw = (ss - np.outer(s, s) / n) / n
     m_q = q((raw + raw.T) * 0.5)
-    trace_q = float(np.trace(m_q))
+    # sequential left-fold, NOT np.trace: scalecheck's trace-identity
+    # check folds the diagonal sequentially, and pairwise summation's
+    # deviation grows with d — keep the trace in lockstep with the
+    # fold path even on the BLAS route
+    trace_q = _fold([float(m_q[i, i]) for i in range(d)])
 
     comps: list[tuple[float, list[float]]] = []
     m = m_q.copy()

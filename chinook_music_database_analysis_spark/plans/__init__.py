@@ -112,14 +112,15 @@ def _rotate_window(first: list[str]) -> None:
 _rotate_window(_WINDOW_FIRST)
 
 # r11 NOTE: 50/50 slots.  After r11 lands, the stalest cohort is the
-# 30 r8 greens this window could not fit (cur_soft_quality_sample's
-# siblings: dd_containment, ev_heavy_keys, ev_hll_overlap,
-# ev_hll_users, ev_scd2_*, ev_state_durations, mm_phash*,
-# pipe_contrastive_negatives, pipe_corpus_diff, pipe_rag_index,
-# sim_bruteforce_topk, sim_filtered_topk, sim_ivf_append,
-# sim_knn_graph, sim_outlier_audit, sim_pq_topk, tx_bm25_batch,
-# tx_cms_tokens, tx_hll_vocab, tx_hybrid_*, tx_lang_confusion,
-# tx_length_quantiles, tx_quality_classifier, tx_surprisal...).
+# 30 r8 greens this window could not fit (ev_heavy_keys,
+# ev_hll_overlap, ev_hll_users, ev_scd2_*, ev_state_durations,
+# mm_phash*, pipe_contrastive_negatives, pipe_corpus_diff,
+# pipe_rag_index, sim_bruteforce_topk, sim_filtered_topk,
+# sim_ivf_append, sim_knn_graph, sim_outlier_audit, sim_pq_topk,
+# tx_bm25_batch, tx_cms_tokens, tx_hll_vocab, tx_hybrid_*,
+# tx_lang_confusion, tx_length_quantiles, tx_quality_classifier,
+# tx_surprisal... — NOT dd_containment, which sits in this window's
+# mutated section).
 # r12 should lead with anything r12 mutates, then those 30, and fill
 # with the r9 parity cohort (q01..s15 — the driver re-ran all of it
 # in r9, so it ages next).  Recompute exact last-green rounds by
