@@ -59,8 +59,15 @@ def _hash_bucket(key: Column, salt: str) -> Column:
 
 def pct_threshold(pct: float) -> str:
     """Hex threshold h such that P[bucket < h] ~= pct/100 (exact to
-    1/65536)."""
-    return format(int(round(pct / 100.0 * 0x10000)), "04x")
+    1/65536).  Fractions that round to 100% map to a 5-char sentinel
+    that sorts AFTER every 4-char hex bucket ('ffff' < 'fffff' by the
+    string prefix rule) — the naive format of 0x10000 is '10000',
+    which sorts lexicographically BELOW all buckets >= '1000' and
+    silently kept ~6% of rows instead of all of them (r11 review).
+    Both engines compare against the literal this one helper emits,
+    so the fix cannot drift the dialects."""
+    n = int(round(pct / 100.0 * 0x10000))
+    return "fffff" if n >= 0x10000 else format(n, "04x")
 
 
 def hash_sample(df: DataFrame, key: str, pct: float, salt: str = "sample") -> DataFrame:
@@ -122,8 +129,6 @@ def domain_cap(
     instead of flooding one reducer.
     """
     pri = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
-    from pyspark.sql import Window
-
     w = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(key).asc())
     return (
         df.withColumn("cap_rank", F.row_number().over(w))
@@ -204,18 +209,21 @@ PII_RULES: tuple[tuple[str, str], ...] = (
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / phone numbers / IPv4s from ``text_col``.
 
-    Adds ``clean_text`` (redacted) and ``n_redacted`` (total matches
-    removed).  Pure narrow map — a chain of JVM-side regexp_replace
-    calls inside one codegen stage; nothing leaves the executor.  The
-    match count is taken before replacement so overlapping rule order
-    cannot double-count (IP runs after phone; the phone pattern's
-    dashes keep the two disjoint).
+    Adds ``clean_text`` (redacted) and ``n_redacted`` (replacements
+    actually performed).  Pure narrow map — a chain of JVM-side
+    regexp_replace calls inside one codegen stage; nothing leaves the
+    executor.  Each rule's matches are counted on the text AFTER the
+    earlier rules ran (r11 review: counting every rule against the
+    ORIGINAL text double-counted spans matched by two rules — e.g. an
+    IP embedded in an email's domain — while only one replacement
+    happened, overstating the audit count; the replacement tokens
+    contain no digits or '@', so they can never feed a later rule's
+    count).  The DuckDB oracle stages its counts identically.
     """
     n = F.lit(0)
-    for pat, _ in PII_RULES:
-        n = n + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
     clean = F.col(text_col)
     for pat, rep in PII_RULES:
+        n = n + F.size(F.regexp_extract_all(clean, F.lit(pat), 0))
         clean = F.regexp_replace(clean, pat, rep)
     return df.withColumn("n_redacted", n).withColumn("clean_text", clean)
 
@@ -469,12 +477,10 @@ def pack_sequences(
     The only corpus-scale shuffles are the per-group agg and the
     within-group window; both are keyed by the block id, so partition
     counts stay balanced regardless of doc length skew."""
-    from pyspark.sql import Window
-
     counted = docs.select(
         F.col(key),
         F.expr(f"{key} div {block}").alias("grp"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.size(tokens_expr(text_col)).cast("bigint").alias("n_tokens"),
     )
     grp_offsets = (
         counted.groupBy("grp")
@@ -609,8 +615,6 @@ def stratified_take(
     every stratum keeps >= n survivors (expected survivors =
     pct/100 x stratum size; size the pct from the smallest stratum).
     """
-    from pyspark.sql import Window
-
     h = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
     if prefilter_pct is not None:
         df = df.filter(
@@ -653,8 +657,12 @@ def chunk_documents(
     partitioning, and the fan-out is bounded by document length over
     stride (the same fan-out the downstream tokenizer pays anyway).
     """
-    from .text import tokens_expr
-
+    if stride > window:
+        raise ValueError(
+            f"chunk_documents: stride={stride} > window={window} would "
+            "silently drop the tokens between consecutive chunks — the "
+            "'every token is covered' contract needs stride <= window"
+        )
     toks = docs.select("doc_id", tokens_expr(text_col).alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n")
     )

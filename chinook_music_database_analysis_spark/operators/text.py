@@ -72,8 +72,11 @@ def shingles_expr(col: str = "text", k: int = SHINGLE_K) -> Column:
 
 
 def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
-    inlist = ", ".join(f"'{w}'" for w in words)
-    return F.expr(f"size(filter(toks, t -> t IN ({inlist})))")
+    # Built on the passed Column (r11 review: the old F.expr form
+    # hardcoded the name 'toks' and silently ignored the parameter —
+    # correct only because every caller happened to alias its token
+    # array 'toks').
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
 def lang_pred_expr(c: dict[str, Column]) -> Column:
@@ -295,7 +298,13 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, n_docs: int, top_k: int = 3, idf_scale: int = 1_000_000) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame,
+    n_docs: int,
+    top_k: int = 3,
+    idf_scale: int = 1_000_000,
+    max_tf: int | None = None,
+) -> DataFrame:
     """Top ``top_k`` characteristic terms per document by TF-IDF — the
     keyword-extraction pass feeding corpus exploration and topic
     labeling.
@@ -319,9 +328,24 @@ def tfidf_top_terms(docs: DataFrame, n_docs: int, top_k: int = 3, idf_scale: int
     partition — AQE's skew-join split handles it (the idf side is
     1 row per term, freely replicable), or pre-filter stopwords when
     the ranking doesn't need them.
+
+    Int64 bound (the bm25_topk ``max_dl`` pattern, r11): the score is
+    ``tf * idf_q`` with ``idf_q <= n_docs * idf_scale`` (df >= 1), so
+    a df=1 term wraps once ``tf > (2^63-1)/(n_docs*idf_scale)`` —
+    at the default scale that is tf ~ 9.2e18/n_docs, e.g. tf > 92 on
+    a 10^11-doc corpus.  Pass ``max_tf`` (the corpus' max per-doc
+    term frequency, one ANALYZE scalar) to arm the guard: wrapping
+    under non-ANSI mode would otherwise rank by a silently negative
+    score.
     """
     from pyspark.sql import Window
 
+    if max_tf is not None and max_tf * n_docs > (2**63 - 1) // idf_scale:
+        raise OverflowError(
+            f"TF-IDF fixed-point score would exceed int64: max_tf={max_tf} "
+            f"* n_docs={n_docs} > (2^63-1)/{idf_scale} — lower idf_scale "
+            "or pre-filter the hot terms"
+        )
     tf = (
         docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
         .groupBy("doc_id", "term")
@@ -646,8 +670,12 @@ def bm25_batch_topk(
             f"BM25 fixed-point numerator would exceed int64: max_dl={max_dl} "
             f"* avgdl_q={avgdl_q} > (2^63-1)/(22*{BM25_SCALE})"
         )
+    # dedupe each bag: a duplicated query term would double its rows
+    # through the qrel join and double-count its term_score, breaking
+    # the documented exact agreement with bm25_topk (whose isin()
+    # candidate filter dedups implicitly) — r11 review
     qrel = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in sorted(set(ts))],
         "query_id int, term string",
     )
     terms = sorted({t for ts in queries.values() for t in ts})

@@ -288,15 +288,18 @@ _AUG_SQL = (
 
 
 def _pii_oracle() -> str:
-    counts = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_RULES
-    )
-    clean = "text"
+    # staged counts in lockstep with operators.curation.redact_pii
+    # (r11): rule i counts against the text with rules 0..i-1 already
+    # applied, so n_redacted == replacements performed even when two
+    # rules' patterns overlap on the raw text
+    counts, clean = [], "text"
     for pat, rep in PII_RULES:
+        counts.append(f"len(regexp_extract_all({clean}, '{pat}'))")
         clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
     return (
         f"WITH aug AS (SELECT doc_id, {_AUG_SQL} AS text FROM documents) "
-        f"SELECT doc_id, {counts} AS n_redacted, {clean} AS clean_text FROM aug"
+        f"SELECT doc_id, {' + '.join(counts)} AS n_redacted, "
+        f"{clean} AS clean_text FROM aug"
     )
 
 
@@ -1176,8 +1179,11 @@ def _sql_bm25_batch(k: int = BM25_BATCH_K) -> str:
     all_terms = ", ".join(
         f"'{t}'" for t in sorted({t for ts in BM25_BATCH.values() for t in ts})
     )
+    # dedupe each bag in lockstep with bm25_batch_topk's qrel (r11)
     values = ", ".join(
-        f"({qid}, '{t}')" for qid, ts in sorted(BM25_BATCH.items()) for t in ts
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(BM25_BATCH.items())
+        for t in sorted(set(ts))
     )
     return f"""
     WITH qrel AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),

@@ -116,7 +116,11 @@ def test_canonical_docs_set_algebra(spark, docs):
 
 def test_pct_threshold_exact_hex():
     assert pct_threshold(0) == "0000"
-    assert pct_threshold(100) == "10000"  # sorts after every 4-hex bucket
+    # 100% must sort after EVERY 4-hex bucket; the old '10000' sorted
+    # below 'ffff' ('1' < 'f') and silently selected ~6% (r11 review)
+    assert pct_threshold(100) == "fffff"
+    assert "ffff" < pct_threshold(100)
+    assert pct_threshold(99.99999) == "fffff"
     assert pct_threshold(20) == "3333"
     assert pct_threshold(10) == "199a"
     assert pct_threshold(5) == "0ccd"
@@ -800,3 +804,67 @@ def test_cdc_chunking_is_insertion_robust(spark):
         " ".join(b_toks[i : i + 8]) for i in range(0, len(b_toks) - 7, 8)
     }
     assert len(a_segs & b_segs) == 0
+
+
+def test_hash_sample_100pct_keeps_every_row(docs):
+    """r11 review regression: pct_threshold(100) used to emit '10000',
+    which sorts lexicographically BELOW 'ffff'-ish buckets and
+    silently kept ~6% of rows — a 100% 'sample' must be the identity."""
+    n = docs.count()
+    assert hash_sample(docs, "doc_id", 100.0).count() == n
+    # and the split degenerates correctly: val+test = 100 -> no train
+    labels = {
+        r.split
+        for r in train_val_test_split(docs, "doc_id", val_pct=50.0, test_pct=50.0)
+        .select("split")
+        .distinct()
+        .collect()
+    }
+    assert "train" not in labels and labels
+
+
+def test_redact_pii_counts_replacements_not_raw_matches(spark):
+    """r11 review regression: a span matched by TWO rules (an IP
+    inside an email's domain) is replaced once and must be counted
+    once — rule i counts against the text with rules 0..i-1 applied."""
+    df = spark.createDataFrame(
+        [(1, "reach me at bob@10.20.30.40.example.com thanks")],
+        "id int, text string",
+    )
+    row = redact_pii(df).collect()[0]
+    assert "<EMAIL>" in row.clean_text and "<IP>" not in row.clean_text
+    assert row.n_redacted == 1  # one replacement happened, count says one
+
+
+def test_chunk_documents_rejects_stride_beyond_window(docs):
+    import pytest as _pytest
+
+    from chinook_music_database_analysis_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=16, stride=24)
+
+
+def test_bm25_batch_dedupes_query_bags(spark, docs):
+    """r11 review regression: a duplicated term inside a query bag
+    must not double its term_score through the qrel join — the batch
+    result for ('x','x') equals the result for ('x',), keeping the
+    documented exact agreement with the single-query form."""
+    from chinook_music_database_analysis_spark.operators.text import (
+        bm25_batch_topk,
+        bm25_corpus_relations,
+    )
+
+    postings, doclens = bm25_corpus_relations(docs)
+    n_docs = docs.count()
+    total = doclens.agg(F.sum("dl")).collect()[0][0]
+    dup = bm25_batch_topk(
+        postings, doclens, {0: ("data", "data")}, n_docs=n_docs, total_tokens=total
+    ).collect()
+    one = bm25_batch_topk(
+        postings, doclens, {0: ("data",)}, n_docs=n_docs, total_tokens=total
+    ).collect()
+    key = lambda rows: sorted((r.doc_id, r.score, r.n_terms_hit, r.rank) for r in rows)
+    assert key(dup) == key(one) and dup
