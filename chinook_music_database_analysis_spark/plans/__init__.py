@@ -81,7 +81,17 @@ _WINDOW_FIRST = [
     "pipe_filter_funnel",
     "pipe_layout_rebuild",
     "tx_bm25_topk",
-    # (4) oldest r8 greens, 14 of 44 (the other 30 lead r12)
+    # (0b) mutated by the r11 review-fix batch (4): staged PII
+    # counting (cur_pii_redact, both engines), qrel bag dedupe
+    # (tx_bm25_batch, both engines), and the _stopword_hits
+    # column-parameter fix (tx_quality_classifier /
+    # tx_lang_confusion; their window-resident siblings tx_stats /
+    # tx_langid / cur_soft_quality_sample cover the same helper)
+    "cur_pii_redact",
+    "tx_bm25_batch",
+    "tx_quality_classifier",
+    "tx_lang_confusion",
+    # (4) oldest r8 greens, 10 of 44 (the other 34 lead r12)
     "cur_corpus_health",
     "cur_curriculum_sample",
     "cur_diverse_sample",
@@ -91,11 +101,7 @@ _WINDOW_FIRST = [
     "cur_length_buckets",
     "cur_line_dedup",
     "cur_soft_quality_sample",
-    "dd_cdc_chunks",
-    "dd_cdc_incremental",
-    "dd_dup_ngrams",
     "dd_simhash_pairs",
-    "ev_bloom_prune",
 ]
 
 
@@ -112,15 +118,14 @@ def _rotate_window(first: list[str]) -> None:
 _rotate_window(_WINDOW_FIRST)
 
 # r11 NOTE: 50/50 slots.  After r11 lands, the stalest cohort is the
-# 30 r8 greens this window could not fit (ev_heavy_keys,
+# 34 r8 greens this window could not fit (dd_cdc_chunks,
+# dd_cdc_incremental, dd_dup_ngrams, ev_bloom_prune, ev_heavy_keys,
 # ev_hll_overlap, ev_hll_users, ev_scd2_*, ev_state_durations,
 # mm_phash*, pipe_contrastive_negatives, pipe_corpus_diff,
 # pipe_rag_index, sim_bruteforce_topk, sim_filtered_topk,
 # sim_ivf_append, sim_knn_graph, sim_outlier_audit, sim_pq_topk,
-# tx_bm25_batch, tx_cms_tokens, tx_hll_vocab, tx_hybrid_*,
-# tx_lang_confusion, tx_length_quantiles, tx_quality_classifier,
-# tx_surprisal... — NOT dd_containment, which sits in this window's
-# mutated section).
+# tx_cms_tokens, tx_hll_vocab, tx_hybrid_*, tx_length_quantiles,
+# tx_surprisal...).
 # r12 should lead with anything r12 mutates, then those 30, and fill
 # with the r9 parity cohort (q01..s15 — the driver re-ran all of it
 # in r9, so it ages next).  Recompute exact last-green rounds by
