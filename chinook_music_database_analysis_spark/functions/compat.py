@@ -89,9 +89,22 @@ def month_diff(older: Column, newer: Column) -> Column:
     Spark and DuckDB compute the identical value (Spark's
     ``months_between`` and DuckDB's ``date_diff('month', ...)`` each have
     their own conventions; this sidesteps both).
+
+    Truncates toward zero in BOTH directions like MySQL (r11 review:
+    the day-of-month completion adjustment was only applied forward,
+    so ``month_diff('2021-03-15','2021-01-20')`` returned -2 where
+    MySQL counts just one complete month back, -1).  Every repo
+    caller passes older <= newer, but the function documents itself
+    as the MySQL shim, so the reversed direction must not be a trap.
     """
     months = (F.year(newer) - F.year(older)) * 12 + (F.month(newer) - F.month(older))
-    return (months - F.when(F.dayofmonth(newer) < F.dayofmonth(older), 1).otherwise(0)).cast("int")
+    fwd_short = (newer >= older) & (F.dayofmonth(newer) < F.dayofmonth(older))
+    bwd_short = (newer < older) & (F.dayofmonth(newer) > F.dayofmonth(older))
+    return (
+        months
+        - F.when(fwd_short, 1).otherwise(0)
+        + F.when(bwd_short, 1).otherwise(0)
+    ).cast("int")
 
 
 def sql_month_diff(older: str, newer: str) -> str:
@@ -99,7 +112,12 @@ def sql_month_diff(older: str, newer: str) -> str:
     return (
         f"CAST((EXTRACT(YEAR FROM {newer}) - EXTRACT(YEAR FROM {older})) * 12"
         f" + (EXTRACT(MONTH FROM {newer}) - EXTRACT(MONTH FROM {older}))"
-        f" - CASE WHEN EXTRACT(DAY FROM {newer}) < EXTRACT(DAY FROM {older}) THEN 1 ELSE 0 END"
+        f" - CASE WHEN {newer} >= {older}"
+        f" AND EXTRACT(DAY FROM {newer}) < EXTRACT(DAY FROM {older})"
+        f" THEN 1 ELSE 0 END"
+        f" + CASE WHEN {newer} < {older}"
+        f" AND EXTRACT(DAY FROM {newer}) > EXTRACT(DAY FROM {older})"
+        f" THEN 1 ELSE 0 END"
         f" AS INTEGER)"
     )
 

@@ -125,6 +125,7 @@ def cosine_topk(
     n_queries: int = 10,
     k: int = 5,
     corpus: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query set ``vec_id < n_queries``.
 
@@ -136,18 +137,31 @@ def cosine_topk(
     strategy of filtered vector search: prune candidates before
     scoring, so recall over the allowed set is exact by construction
     (a post-filter over an unfiltered top-k can starve).
+
+    ``norms`` accepts a prebuilt (vec_id, embedding, norm) relation
+    (the persisted ANN store shape) so the dense router path reuses
+    norms the caller already paid for instead of recomputing the
+    corpus pass (r11); mutually exclusive with ``corpus``.
     """
-    q = emb.filter(F.col("vec_id") < n_queries).select(
+    if norms is not None and corpus is not None:
+        raise ValueError("cosine_topk: pass corpus OR norms, not both")
+    src = norms if norms is not None else emb
+    q = src.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        _norm("embedding").alias("q_norm"),
+        (F.col("norm") if norms is not None else _norm("embedding")).alias("q_norm"),
     )
     # Corpus side repartitioned so the |q| x |corpus| scoring fan-out
     # parallelizes even when the source is a single file; norms are
     # computed once per corpus vector, not once per (query, vector).
+    base = corpus if corpus is not None else src
     pairs = (
-        (corpus if corpus is not None else emb).repartition("vec_id")
-        .withColumn("n_norm", _norm("embedding"))
+        (
+            base.select("vec_id", "embedding", F.col("norm").alias("n_norm"))
+            if norms is not None
+            else base.withColumn("n_norm", _norm("embedding"))
+        )
+        .repartition("vec_id")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
@@ -230,12 +244,10 @@ def mrl_topk(
     default does not re-scan the corpus on every invocation.
     """
     if shortlist is None:
-        import math as _math
-
         n = emb.count() if n_corpus is None else n_corpus
         shortlist = max(
             MRL_SHORTLIST,
-            MRL_SHORTLIST_SQRT_MULT * _math.ceil(_math.sqrt(n)),
+            MRL_SHORTLIST_SQRT_MULT * math.ceil(math.sqrt(n)),
         )
     pre = f"slice(embedding, 1, {prefix_dim})"
     q = emb.filter(F.col("vec_id") < n_queries).select(
@@ -293,6 +305,11 @@ def _table_bucket_expr(emb_col: str, table: int, n_bits: int) -> F.Column:
     zip_with/aggregate dot product against it.  Bit j has weight 2^j,
     so this equals the oracle's full-MAX_PLANES bucket mod 2^n_bits.
     """
+    if n_bits < 1:
+        raise ValueError(
+            f"LSH bucket projection needs n_bits >= 1, got {n_bits} "
+            "(use lsh_n_bits(corpus_count) for the corpus-scaled default)"
+        )
     bits = []
     for j in range(n_bits):
         arr = "array(" + ", ".join(f"{s}D" for s in plane_signs(table * MAX_PLANES + j)) + ")"
@@ -345,14 +362,16 @@ def with_norms(emb: DataFrame) -> DataFrame:
 PAIR_WINDOW = 16
 
 
-def _bucket_windowed_pairs(buckets: DataFrame, window: int) -> DataFrame:
-    """(vec_a < vec_b) candidate pairs from the occupancy-capped
-    per-bucket positional window — the shared candidate stage of
-    :func:`embedding_near_dup_pairs` and (directionally, pre-
-    symmetrization) :func:`knn_graph`.  Plan shape: one row_number
-    window per (tbl, bucket), an explode of a bounded integer
-    sequence, and an EQUI-join back on (tbl, bucket, pos) — no
-    non-equi join, no occupancy^2 blowup."""
+def _bucket_windowed_directed(buckets: DataFrame, window: int) -> DataFrame:
+    """Directed (va -> vb) successor pairs within the occupancy-capped
+    per-bucket positional window — the ONE expansion both
+    :func:`_bucket_windowed_pairs` (canonicalized least/greatest) and
+    :func:`knn_graph` (symmetrized both directions) build on, stated
+    once so the order key / sequence bounds cannot drift between them
+    (r11 review: the two bodies had diverged into copies).  Plan
+    shape: one row_number window per (tbl, bucket), an explode of a
+    bounded integer sequence, and an EQUI-join back on (tbl, bucket,
+    pos) — no non-equi join, no occupancy^2 blowup."""
     order_key = F.md5(
         F.concat_ws(":", F.col("tbl").cast("string"), F.col("vec_id").cast("string"))
     )
@@ -372,10 +391,18 @@ def _bucket_windowed_pairs(buckets: DataFrame, window: int) -> DataFrame:
             "pos"
         ),
     )
-    fwd = lhs.join(
+    return lhs.join(
         posed.select("tbl", "bucket", "pos", F.col("vec_id").alias("vb")),
         ["tbl", "bucket", "pos"],
-    )
+    ).select("va", "vb")
+
+
+def _bucket_windowed_pairs(buckets: DataFrame, window: int) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs from the occupancy-capped
+    per-bucket positional window — the shared candidate stage of
+    :func:`embedding_near_dup_pairs` and (directionally, pre-
+    symmetrization) :func:`knn_graph`."""
+    fwd = _bucket_windowed_directed(buckets, window)
     return fwd.select(
         F.least("va", "vb").alias("vec_a"), F.greatest("va", "vb").alias("vec_b")
     ).distinct()
@@ -496,35 +523,11 @@ def knn_graph(
     persisted index store — graph construction never rescans or
     re-projects the corpus.
     """
-    from pyspark.sql import Window
-
     if buckets is None:
         buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
-    order_key = F.md5(
-        F.concat_ws(":", F.col("tbl").cast("string"), F.col("vec_id").cast("string"))
+    fwd = _bucket_windowed_directed(buckets, window).select(
+        F.col("va").alias("src_id"), F.col("vb").alias("nbr_id")
     )
-    posed = buckets.select(
-        "tbl",
-        "bucket",
-        "vec_id",
-        F.row_number()
-        .over(
-            Window.partitionBy("tbl", "bucket").orderBy(order_key, F.col("vec_id"))
-        )
-        .alias("pos"),
-    )
-    lhs = posed.select(
-        "tbl",
-        "bucket",
-        F.col("vec_id").alias("src_id"),
-        F.explode(
-            F.sequence(F.col("pos") + 1, F.col("pos") + F.lit(window))
-        ).alias("pos"),
-    )
-    fwd = lhs.join(
-        posed.select("tbl", "bucket", "pos", F.col("vec_id").alias("nbr_id")),
-        ["tbl", "bucket", "pos"],
-    ).select("src_id", "nbr_id")
     cand = (
         fwd.unionByName(
             fwd.select(F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id"))
@@ -646,6 +649,26 @@ def _record_route(
         )
 
 
+def _bucket_probe_candidates(buckets: DataFrame, n_queries: int) -> DataFrame:
+    """Slim (query_id, neighbor_id) candidates from the signature
+    store: broadcast the tiny query bucket slice against the corpus
+    bucket relation, drop self-pairs, dedup multi-table collisions —
+    the ONE probe both :func:`range_search` and :func:`lsh_topk` score
+    from (r11 review: stated once so a probe change — e.g. a
+    per-query candidate cap — cannot drift the two routers apart).
+    ``range_probe_stats``' cand_upper is this join's exact
+    pre-distinct row count."""
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    return (
+        buckets.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+
 def range_probe_stats(buckets: DataFrame, n_queries: int) -> tuple[int, int]:
     """(corpus_size, candidate_upper) for the radius-search router.
 
@@ -751,15 +774,7 @@ def range_search(
             )
             .filter(F.col("cos_sim") >= tau)
         )
-    qb = buckets.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "tbl", "bucket"
-    )
-    cand = (
-        buckets.join(F.broadcast(qb), ["tbl", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
+    cand = _bucket_probe_candidates(buckets, n_queries)
     return (
         cand.join(
             wn.select(
@@ -971,8 +986,6 @@ def cluster_sample(
     (keep when h < m/n_cell quantile) to avoid the per-cell sort
     entirely — exactness of the quota is the only thing lost.
     """
-    from pyspark.sql import Window
-
     a = (assigned if assigned is not None else ivf_assignments(emb, cents)).select(
         "vec_id", "cell_id"
     )
@@ -1193,7 +1206,7 @@ def lsh_topk(
     """
     dense = _resolve_route("lsh_topk", route, n_queries)
     if dense is True:
-        return cosine_topk(emb, n_queries=n_queries, k=k)
+        return cosine_topk(emb, n_queries=n_queries, k=k, norms=norms)
     if buckets is None:
         b = lsh_n_bits(emb.count()) if n_bits is None else n_bits
         buckets = lsh_buckets(emb, b)
@@ -1203,19 +1216,11 @@ def lsh_topk(
         dense = cand_upper >= RANGE_DENSE_CUTOVER * n_queries * n_corpus
         _record_route("lsh_topk", dense, cand_upper, n_queries, n_corpus)
     if dense:
-        return cosine_topk(emb, n_queries=n_queries, k=k)
-    q_bk = bk.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "tbl", "bucket"
-    )
-    # Slim (query, neighbor) candidates: broadcast the tiny query
-    # bucket set against the corpus bucket relation, dedup multi-table
-    # collisions, then re-join embeddings for exact scoring.
-    cand = (
-        bk.join(F.broadcast(q_bk), ["tbl", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
+        # reuse the caller's prebuilt norm relation (the persisted
+        # {prefix}_norms table) instead of recomputing every corpus
+        # norm from scratch — r11 review
+        return cosine_topk(emb, n_queries=n_queries, k=k, norms=norms)
+    cand = _bucket_probe_candidates(bk, n_queries)
     wn = with_norms(emb) if norms is None else norms
     q_emb = wn.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -1694,9 +1699,21 @@ def ivfpq_topk(
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id")
     )
+    if rerank is None:
+        # mirror pq_topk's rerank=None contract exactly (r11 review:
+        # this path used to exact-rescore the ADC top-k, so the two
+        # ops' "raw quantization quality" modes weren't comparable):
+        # rank purely on reconstructions, report adc_sim as cos_sim
+        return (
+            adc.withColumn("rnk", F.row_number().over(w_adc))
+            .filter(F.col("rnk") <= k)
+            .select(
+                "query_id", "neighbor_id", F.col("adc_sim").alias("cos_sim"), "rnk"
+            )
+        )
     cand = (
         adc.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= (rerank if rerank is not None else k))
+        .filter(F.col("rn") <= rerank)
         .select("query_id", "neighbor_id", "q_emb", "q_norm")
     )
     exact = cand.join(
@@ -1774,8 +1791,6 @@ def contrastive_negatives(
     WindowGroupLimit, so the shuffle carries at most
     k x anchors x input-partitions rows — never the fan-out itself.
     """
-    from pyspark.sql import Window
-
     if buckets is None:
         buckets = lsh_buckets(emb, lsh_n_bits(emb.count()))
     q_sig = buckets.filter(F.col("vec_id") < n_queries).select(
@@ -1789,11 +1804,17 @@ def contrastive_negatives(
     anchors = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id")
     )
+    # The mates exclusion set is UNHINTED on purpose (r11 review): on
+    # a hot-bucket corpus it approaches |q| x N rows, and a forced
+    # F.broadcast would ship that to every executor (the exact corpus
+    # shape the range_search router exists for).  AQE broadcasts the
+    # anti-join side when it measures small and falls back to a
+    # shuffled anti-join when it doesn't — the honest scale behavior.
     cand = (
         emb.select("vec_id")
         .crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(mates), ["query_id", "vec_id"], "left_anti")
+        .join(mates, ["query_id", "vec_id"], "left_anti")
     )
     coin = F.md5(
         F.concat_ws(
@@ -1890,6 +1911,14 @@ def embedding_moment_partials(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
+            if X.shape[1] != dim:
+                # pca_power_model indexes ss with stride dim; a width
+                # mismatch would silently fold a garbage covariance
+                # (r11 review: the parameter used to be ignored)
+                raise ValueError(
+                    f"embedding_moment_partials: corpus dim {X.shape[1]} "
+                    f"!= requested dim {dim}"
+                )
             yield pd.DataFrame(
                 {
                     "n": [int(X.shape[0])],

@@ -59,7 +59,35 @@ _MONTH_GOLDENS = [
     ("2020-02-29", "2021-02-28", 11),  # non-leap Feb: day 28 < 29
     ("2019-12-31", "2020-01-31", 1),
     ("2020-01-01", "2021-01-01", 12),
+    # reversed direction (newer < older): truncate toward zero like
+    # MySQL — the r11 review found the completion adjustment was only
+    # applied forward, turning -1 cases into -2
+    ("2021-03-15", "2021-01-20", -1),  # 1 complete month back + 26 days
+    ("2021-03-15", "2021-01-10", -2),
+    ("2021-03-15", "2021-03-10", 0),
+    ("2021-03-15", "2021-02-15", -1),
+    ("2020-02-29", "2020-01-31", 0),   # 29 days back, not a month
+    ("2021-01-01", "2020-01-01", -12),
 ]
+
+
+def test_month_diff_sql_text_agrees_on_goldens():
+    """The DuckDB transcription must stay in lockstep with the Column
+    form on every golden, both directions."""
+    import duckdb
+
+    from chinook_music_database_analysis_spark.functions.compat import (
+        sql_month_diff,
+    )
+
+    con = duckdb.connect()
+    try:
+        for a, b, want in _MONTH_GOLDENS:
+            expr = sql_month_diff(f"DATE '{a}'", f"DATE '{b}'")
+            got = con.sql(f"SELECT {expr} AS d").fetchone()[0]
+            assert got == want, (a, b, got, want)
+    finally:
+        con.close()
 
 
 def test_month_diff_boundary_goldens(spark):
