@@ -101,7 +101,9 @@ _WINDOW_FIRST = [
     "cur_length_buckets",
     "cur_line_dedup",
     "cur_soft_quality_sample",
-    "dd_simhash_pairs",
+    # plan-changed in r11 (mates anti-join unhinted — output
+    # set-identical, strategy now AQE-chosen)
+    "pipe_contrastive_negatives",
 ]
 
 
