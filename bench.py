@@ -165,6 +165,7 @@ def main() -> None:
             from chinook_music_database_analysis_spark.streaming.events import (
                 dedup_within_watermark_stream,
                 interval_join_stream,
+                interval_left_join_stream,
                 read_events_stream,
             )
             from chinook_music_database_analysis_spark.streaming.stateful import (
@@ -228,6 +229,14 @@ def main() -> None:
                 "interval_join": (
                     interval_join_stream, "append", 2,
                     state_partitions_for(ij_state), False,
+                ),
+                # the left-outer variant KEEPS the no-data batch: its
+                # NULL rows flush only when the final watermark passes
+                # each error's band end — benched so the outer join's
+                # extra commit cycle is tracked, not assumed
+                "interval_left_join": (
+                    interval_left_join_stream, "append", 2,
+                    state_partitions_for(ij_state), True,
                 ),
             }
         except Exception as ex:
