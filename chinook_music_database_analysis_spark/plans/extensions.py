@@ -63,13 +63,14 @@ _MEMO: dict[tuple, DataFrame] = {}
 
 def _table_set_id(sf_dir: str) -> int | None:
     """Identity of the mounted table set behind an override handle —
-    re-mounting new tables under the same handle yields a new dict, so
+    re-mounting new tables under the same handle yields a new seq, so
     stale cached relations can't be served (parquet dirs return None:
-    the path itself is the identity)."""
-    from ..sources.session import TABLE_OVERRIDES
+    the path itself is the identity).  Delegates to
+    sources.session.table_set_seq, which holds the mounted dict
+    strongly so the identity can never be a recycled id() (r11)."""
+    from ..sources.session import table_set_seq
 
-    tables = TABLE_OVERRIDES.get(sf_dir)
-    return None if tables is None else id(tables)
+    return table_set_seq(sf_dir)
 
 
 def _cached(

@@ -40,45 +40,17 @@ from ..functions import (
 )
 from ..sources import load_tables
 from .registry import register
-from .views import NATION0, SQL_NATION0_TYPE_SALES, nation0_type_sales
+from .views import (  # noqa: F401  (SQL_STAR_N0/_star_n0 re-exported for oracles)
+    NATION0,
+    SQL_NATION0_TYPE_SALES,
+    SQL_STAR_N0,
+    _star_n0,
+    nation0_type_sales,
+)
 
 #: First-purchase-year threshold splitting "old" vs "new" customers
 #: (ref:320 uses <=2017 on Chinook; the driver data spans 1995-2001).
 OLD_YEAR = 1997
-
-#: DuckDB text of the 5-way star join, shared by several oracles.
-SQL_STAR_N0 = f"""
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE n.n_name = '{NATION0}'
-"""
-
-
-def _star_n0(t: dict[str, DataFrame]) -> DataFrame:
-    """lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation, filtered to NATION_0.
-
-    The reference's flagship join shape (ref:32-42), ordered
-    selective-side-first for scale: the nation filter (pushed into the
-    nation scan) reduces customers ~25x, that reduces orders, and only
-    the surviving ~4% of lineitem rows ever meet ``part``.  Catalyst
-    doesn't reorder DataFrame joins without CBO stats, so the builder
-    encodes the order a cost-based optimizer would pick; at local SF
-    every dim side ends up broadcast anyway.
-    """
-    cust_n0 = (
-        t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name") == NATION0)
-    )
-    orders_n0 = t["orders"].join(cust_n0, F.col("o_custkey") == F.col("c_custkey"))
-    return (
-        t["lineitem"]
-        .join(orders_n0, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -628,6 +600,25 @@ def q11_type_rank_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation0_type_sales(spark, sf_dir).select("p_type", "rnk")
 
 
+def _top_type_brand_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_type, p_brand, rev_d) restricted to the view's top-3 types —
+    the star/semi-join/agg core q09b and s01 share (r11 review: the
+    two bodies carried verbatim copies); they differ only in the
+    window function ranking the brands afterward.  The semi-join side
+    is <= 3 rows — broadcast; everything else is the standard
+    star-join-then-agg pipeline."""
+    t = load_tables(spark, sf_dir)
+    top_types = (
+        nation0_type_sales(spark, sf_dir).filter(F.col("rnk") <= 3).select("p_type")
+    )
+    return (
+        _star_n0(t)
+        .join(F.broadcast(top_types), "p_type", "left_semi")
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(revenue_expr()).alias("rev_d"))
+    )
+
+
 @register(
     "q09b_top_brands_top_types",
     oracle=f"""
@@ -656,14 +647,7 @@ def q09b_top_brands_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the semi-join side is <= 3 rows — broadcast; everything else
     is the standard star-join-then-agg pipeline.
     """
-    t = load_tables(spark, sf_dir)
-    top_types = nation0_type_sales(spark, sf_dir).filter(F.col("rnk") <= 3).select("p_type")
-    s = (
-        _star_n0(t)
-        .join(F.broadcast(top_types), "p_type", "left_semi")
-        .groupBy("p_type", "p_brand")
-        .agg(F.sum(revenue_expr()).alias("rev_d"))
-    )
+    s = _top_type_brand_rev(spark, sf_dir)
     w = Window.partitionBy("p_type").orderBy(F.col("rev_d").desc(), F.col("p_brand"))
     return (
         s.select(
@@ -777,14 +761,7 @@ def q12_inactive_3mo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s01_brand_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 brands (DENSE_RANK, IN-list P6) within top-3 NATION_0 types
     (ref:248-273)."""
-    t = load_tables(spark, sf_dir)
-    top_types = nation0_type_sales(spark, sf_dir).filter(F.col("rnk") <= 3).select("p_type")
-    s = (
-        _star_n0(t)
-        .join(F.broadcast(top_types), "p_type", "left_semi")
-        .groupBy("p_type", "p_brand")
-        .agg(F.sum(revenue_expr()).alias("rev_d"))
-    )
+    s = _top_type_brand_rev(spark, sf_dir)
     w = Window.partitionBy("p_type").orderBy(F.col("rev_d").desc())
     return (
         s.select(
@@ -1405,7 +1382,7 @@ def ev_pivot_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s12_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION ALL in one cohort query: customers
     ordering in both 1995 and 2000 vs only 1995.  Spark plans
-    intersect/exceptAll as hash semi/anti aggregates over the deduped
+    intersect/subtract as hash semi/anti aggregates over the deduped
     key sets — same shuffle count as the equivalent semi/anti joins."""
     t = load_tables(spark, sf_dir)
     orders = t["orders"]
@@ -1418,7 +1395,11 @@ def s12_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained = y95.intersect(y00).agg(F.count(F.lit(1)).alias("n_customers")).select(
         F.lit("retained").alias("cohort"), "n_customers"
     )
-    lost = y95.exceptAll(y00).agg(F.count(F.lit(1)).alias("n_customers")).select(
+    # subtract (EXCEPT DISTINCT) mirrors the oracle operator exactly;
+    # exceptAll only coincided because both inputs are pre-deduped
+    # (r11 review — dropping that .distinct() as "redundant" would
+    # have silently diverged the multiset form from the oracle)
+    lost = y95.subtract(y00).agg(F.count(F.lit(1)).alias("n_customers")).select(
         F.lit("lost").alias("cohort"), "n_customers"
     )
     return retained.unionAll(lost)
@@ -1525,26 +1506,34 @@ def not_in_anti(
     this form scales to non-broadcastable lists too).
     tests/test_skew_and_compat.py pins the NULL semantics against
     DuckDB on the null-free, has-null, and empty-list cases.
+
+    Helper columns are collision-guarded (r11 review: a left relation
+    carrying its own ``_niv``/``_n_nulls``/``_n_vals`` column used to
+    make the join or guard filter ambiguous), the same contract as
+    operators.skew's ``__salt``.
     """
-    vals = sub.select(F.col(sub_key).alias("_niv"))
+    for col in ("__niv", "__niv_nulls", "__niv_vals"):
+        if col in left.columns:
+            raise ValueError(f"not_in_anti: left already has a {col} column")
+    vals = sub.select(F.col(sub_key).alias("__niv"))
     guard = vals.agg(
         F.coalesce(
-            F.sum(F.when(F.col("_niv").isNull(), 1).otherwise(0)), F.lit(0)
-        ).alias("_n_nulls"),
-        F.count(F.lit(1)).alias("_n_vals"),
+            F.sum(F.when(F.col("__niv").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("__niv_nulls"),
+        F.count(F.lit(1)).alias("__niv_vals"),
     )
     return (
         left.join(
-            vals.filter(F.col("_niv").isNotNull()),
-            F.col(left_key) == F.col("_niv"),
+            vals.filter(F.col("__niv").isNotNull()),
+            F.col(left_key) == F.col("__niv"),
             "left_anti",
         )
         .crossJoin(F.broadcast(guard))
         .filter(
-            (F.col("_n_nulls") == 0)
-            & (F.col(left_key).isNotNull() | (F.col("_n_vals") == 0))
+            (F.col("__niv_nulls") == 0)
+            & (F.col(left_key).isNotNull() | (F.col("__niv_vals") == 0))
         )
-        .drop("_n_nulls", "_n_vals")
+        .drop("__niv_nulls", "__niv_vals")
     )
 
 
@@ -1730,14 +1719,16 @@ def q16_order_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    money = lambda c: round2(c.cast("decimal(18,4)"))  # noqa: E731
+    # NOT named `money`: that would shadow functions.compat.money
+    # (imported at module top) with different semantics (r11 review)
+    rounded = lambda c: round2(c.cast("decimal(18,4)"))  # noqa: E731
     return t["orders"].select(
         "o_custkey",
         "o_orderkey",
-        money(F.col("o_totalprice")).alias("price"),
-        money(F.lead("o_totalprice").over(w)).alias("next_price"),
-        money(F.first("o_totalprice").over(w)).alias("first_price"),
-        money(F.nth_value("o_totalprice", 2).over(w_full)).alias("second_price"),
+        rounded(F.col("o_totalprice")).alias("price"),
+        rounded(F.lead("o_totalprice").over(w)).alias("next_price"),
+        rounded(F.first("o_totalprice").over(w)).alias("first_price"),
+        rounded(F.nth_value("o_totalprice", 2).over(w_full)).alias("second_price"),
     )
 
 

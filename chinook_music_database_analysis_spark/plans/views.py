@@ -25,12 +25,54 @@ import os
 #: deployment (sources.chinook_adapter) sets CHINOOK_SPARK_NATION0=USA.
 NATION0 = os.environ.get("CHINOOK_SPARK_NATION0", "NATION_0")
 
-#: Memoized + Spark-cached view instances keyed by (app id, sf_dir).
-#: The reference view is consumed by four statements (ref:168, :197,
-#: :221, :270); caching the 6-row aggregate means the underlying star
-#: join runs once per session instead of once per consumer — the
-#: Spark-native analog of a materialized view, correctness-neutral.
-_VIEW_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Memoized + Spark-cached view instances keyed by
+#: (app id, sf_dir, mounted-table-set seq or None for parquet dirs) —
+#: the seq (sources.session.table_set_seq) makes a re-mounted handle a
+#: cache MISS.  The reference view is consumed by four statements
+#: (ref:168, :197, :221, :270); caching the 6-row aggregate means the
+#: underlying star join runs once per session instead of once per
+#: consumer — the Spark-native analog of a materialized view,
+#: correctness-neutral.
+_VIEW_CACHE: dict[tuple[str, str, int | None], DataFrame] = {}
+
+#: DuckDB text of the 5-way star join — THE one definition (r11: the
+#: view SQL and parity.py carried independent copies); parity.py
+#: re-exports it for its oracles.
+SQL_STAR_N0 = f"""
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = '{NATION0}'
+"""
+
+
+def _star_n0(t: dict) -> DataFrame:
+    """lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation, filtered to NATION_0.
+
+    The reference's flagship join shape (ref:32-42), ordered
+    selective-side-first for scale: the nation filter (pushed into the
+    nation scan) reduces customers ~25x, that reduces orders, and only
+    the surviving ~4% of lineitem rows ever meet ``part``.  Catalyst
+    doesn't reorder DataFrame joins without CBO stats, so the builder
+    encodes the order a cost-based optimizer would pick; at local SF
+    every dim side ends up broadcast anyway.  Lives here (not
+    parity.py) so the view and every parity consumer share ONE
+    definition of the star join.
+    """
+    cust_n0 = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == NATION0)
+    )
+    orders_n0 = t["orders"].join(cust_n0, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        t["lineitem"]
+        .join(orders_n0, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    )
+
 
 #: Oracle-side text of the view, reused by every SQL consumer.
 SQL_NATION0_TYPE_SALES = f"""
@@ -42,12 +84,7 @@ nation0_type_sales AS (
          CAST(RANK() OVER (ORDER BY rev_d DESC) AS INTEGER) AS rnk
   FROM (
     SELECT p.p_type, SUM({SQL_REVENUE}) AS rev_d
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE n.n_name = '{NATION0}'
+    {SQL_STAR_N0}
     GROUP BY p.p_type
   )
 )
@@ -70,18 +107,8 @@ def nation0_type_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _VIEW_CACHE:
         return _VIEW_CACHE[key]
     t = load_tables(spark, sf_dir)
-    cust_n0 = (
-        t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name") == NATION0)
-    )
     sales = (
-        t["lineitem"]
-        .join(
-            t["orders"].join(cust_n0, F.col("o_custkey") == F.col("c_custkey")),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        _star_n0(t)
         .groupBy("p_type")
         .agg(F.sum(revenue_expr()).alias("rev_d"))
     )

@@ -131,6 +131,31 @@ class _Tables(dict):
 #: reference's own schema into every registered query.
 TABLE_OVERRIDES: dict[str, dict[str, DataFrame]] = {}
 
+#: handle -> (mounted table dict, monotonic seq).  Holding the dict
+#: STRONGLY makes the `is` check in :func:`table_set_seq` sound: a
+#: re-mounted dict can never reuse the old one's memory while the
+#: record still references it (r11 review — the previous scheme keyed
+#: caches on bare id(tables), which CPython can hand to a NEW dict
+#: after the old one is garbage-collected, silently serving a stale
+#: cached view for the re-mounted handle).
+_MOUNT_RECORDS: dict[str, tuple[dict, int]] = {}
+_MOUNT_COUNTER = __import__("itertools").count(1)
+
+
+def table_set_seq(handle: str) -> int | None:
+    """Stable identity of the table set mounted under ``handle`` —
+    changes iff the mounted dict OBJECT changes (raw re-assignment to
+    TABLE_OVERRIDES included), None for plain parquet dirs (the path
+    is the identity there).  Plan/scalar caches key on this."""
+    tables = TABLE_OVERRIDES.get(handle)
+    if tables is None:
+        return None
+    rec = _MOUNT_RECORDS.get(handle)
+    if rec is None or rec[0] is not tables:
+        rec = (tables, next(_MOUNT_COUNTER))
+        _MOUNT_RECORDS[handle] = rec
+    return rec[1]
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Lazy map of every driver table, keyed by name.

@@ -552,3 +552,30 @@ def test_read_jdbc_requires_bounds_with_partition_column(spark):
         read_jdbc(
             spark, "jdbc:h2:mem:x", "t", partition_column="id", num_partitions=4
         )
+
+
+def test_table_set_seq_survives_dict_id_reuse():
+    """r11 review: plan/scalar caches keyed the mounted table set by
+    bare id(dict); CPython may hand a re-mounted dict the freed dict's
+    address, silently serving a STALE cached view.  table_set_seq
+    holds each mount strongly and issues a monotonic seq, so a remount
+    under the same handle is always a cache miss."""
+    import gc
+
+    from chinook_music_database_analysis_spark.sources.session import (
+        TABLE_OVERRIDES,
+        table_set_seq,
+    )
+
+    h = "handle://seqtest"
+    try:
+        TABLE_OVERRIDES[h] = {"customer": None}
+        s1 = table_set_seq(h)
+        assert table_set_seq(h) == s1  # stable across calls for one mount
+        TABLE_OVERRIDES[h] = {"customer": None}  # remount same handle
+        gc.collect()
+        s2 = table_set_seq(h)
+        assert s2 != s1
+        assert table_set_seq("not-mounted") is None
+    finally:
+        TABLE_OVERRIDES.pop(h, None)
