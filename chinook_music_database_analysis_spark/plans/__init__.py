@@ -92,11 +92,14 @@ _WINDOW_FIRST = [
     "tx_quality_classifier",
     "tx_lang_confusion",
     # (4) oldest r8 greens, 10 of 44 (the other 34 lead r12)
+    # plan-changed in r11 parity review (s12 exceptAll->subtract,
+    # q13b not_in_anti helper-column rename) — outputs hash-identical
+    # in the local sf0.001 parity run, re-verified by the driver here
+    "s12_retention_setops",
+    "q13b_not_in_null_aware",
     "cur_corpus_health",
     "cur_curriculum_sample",
-    "cur_diverse_sample",
     "cur_domain_cap",
-    "cur_epoch_batches",
     "cur_leakage_safe_split",
     "cur_length_buckets",
     "cur_line_dedup",
