@@ -580,23 +580,38 @@ def tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(load_tables(spark, sf_dir)["documents"])
 
 
-def _sql_langid() -> str:
-    counts = ", ".join(
+def _sql_lang_counts() -> str:
+    """Per-language stopword-hit count columns (c_en, c_de, ...) —
+    the ONE fragment tx_langid and pipe_clean_corpus both embed (r11:
+    the two carried verbatim copies, so a language-list edit could
+    silently diverge their pred_lang)."""
+    return ", ".join(
         "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(
             ", ".join(f"'{w}'" for w in words), lang
         )
         for lang, words in LANG_STOPWORDS.items()
     )
-    return f"""
-    WITH d AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-    ), scored AS (SELECT doc_id, lang, {counts} FROM d)
-    SELECT doc_id, lang,
+
+
+#: argmax-with-fixed-priority language pick over the c_* count columns
+#: (en > de > es > fr > zh) — mirrors operators.text.lang_pred_expr;
+#: shared by the same two oracles as :func:`_sql_lang_counts`.
+_SQL_PRED_LANG = """
            CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
                 WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
                 WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
                 WHEN c_fr >= c_zh THEN 'fr'
                 ELSE 'zh' END AS pred_lang
+""".strip()
+
+
+def _sql_langid() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), scored AS (SELECT doc_id, lang, {_sql_lang_counts()} FROM d)
+    SELECT doc_id, lang,
+           {_SQL_PRED_LANG}
     FROM scored
     """
 
@@ -802,12 +817,7 @@ def cur_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_clean_corpus() -> str:
-    counts = ", ".join(
-        "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(
-            ", ".join(f"'{w}'" for w in words), lang
-        )
-        for lang, words in LANG_STOPWORDS.items()
-    )
+    counts = _sql_lang_counts()
     return f"""
     WITH d AS (
       SELECT doc_id,
@@ -825,11 +835,7 @@ def _sql_clean_corpus() -> str:
       FROM d
     )
     SELECT doc_id,
-           CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-                WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
-                WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
-                WHEN c_fr >= c_zh THEN 'fr'
-                ELSE 'zh' END AS pred_lang,
+           {_SQL_PRED_LANG},
            n_tokens, quality_score
     FROM s
     WHERE doc_id = rep_doc_id
@@ -872,8 +878,10 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (b={BANDS} bands, r={ROWS}
-    rows).""".format(BANDS=BANDS, ROWS=ROWS_PER_BAND)
+    """MinHash+LSH near-dup candidate pairs (BANDS bands of
+    ROWS_PER_BAND rows each — see the module constants).  NB a plain
+    string literal: the old ``\"\"\"...\"\"\".format(...)`` form was an
+    EXPRESSION, so __doc__ was silently None (r11 review)."""
     return _cand_pairs(spark, sf_dir)
 
 
@@ -1454,14 +1462,16 @@ def _ivf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared k-means IVF centroid relation — served from the
     fingerprint-guarded on-disk index store (trained once per corpus
     version; consumers: sim_ivf_topk, sim_ivfpq_topk, dd_semantic)."""
-    from ..operators.similarity import kmeans_centroids
+    from ..operators.similarity import KMEANS_C, kmeans_centroids
 
     return _persisted_index(
         "ivf_cents", spark, sf_dir,
         lambda: kmeans_centroids(
             load_tables(spark, sf_dir)["embeddings"], _emb_count(spark, sf_dir)
         ),
-        params=f"iters={KMEANS_ITERS}",
+        # kc governs the sample stride + seed selection — omitting it
+        # served a stale pre-edit index after a KMEANS_C change (r11)
+        params=f"iters={KMEANS_ITERS};kc={KMEANS_C}",
     )
 
 
@@ -1733,14 +1743,16 @@ def _pq_books(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PQ codebook relation — on-disk index store entry (the
     per-subspace k-means training is the dominant cold cost of the PQ
     family; paid once per corpus version, loaded thereafter)."""
-    from ..operators.similarity import PQ_K, PQ_M, pq_codebooks
+    from ..operators.similarity import PQ_C, PQ_K, PQ_M, pq_codebooks
 
     return _persisted_index(
         "pq_books", spark, sf_dir,
         lambda: pq_codebooks(
             load_tables(spark, sf_dir)["embeddings"], _emb_count(spark, sf_dir)
         ),
-        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS}",
+        # c governs the training-sample stride (r11: params must name
+        # every constant that changes the trained artifact)
+        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS},c={PQ_C}",
     )
 
 
@@ -1748,7 +1760,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PQ reconstruction relation — on-disk index store entry
     (encode + decode of the whole corpus; the compressed-corpus table a
     production deployment persists beside the codebook)."""
-    from ..operators.similarity import PQ_K, PQ_M, pq_encode, pq_reconstruct
+    from ..operators.similarity import PQ_C, PQ_K, PQ_M, pq_encode, pq_reconstruct
 
     return _persisted_index(
         "pq_recon", spark, sf_dir,
@@ -1758,7 +1770,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _pq_books(spark, sf_dir),
         ),
-        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS}",
+        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS},c={PQ_C}",
     )
 
 
@@ -1847,11 +1859,11 @@ def _ivfpq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    from ..operators.similarity import PQ_K, PQ_M
+    from ..operators.similarity import KMEANS_C, PQ_C, PQ_K, PQ_M
 
     return _persisted_index(
         "ivfpq_recon", spark, sf_dir, build,
-        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS}",
+        params=f"m={PQ_M},k={PQ_K},iters={KMEANS_ITERS},c={PQ_C},kc={KMEANS_C}",
     )
 
 
@@ -2365,6 +2377,7 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pointer-jumping rounds are a multi-job iterative build that
     should run once per corpus version, not once per session."""
     from ..operators.dedup import duplicate_clusters
+    from ..operators.multimodal import PHASH_BITS
 
     return _persisted_index(
         "phash_clusters", spark, sf_dir,
@@ -2372,9 +2385,12 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             mm_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
         ),
         table="documents",
+        # bits keys the UPSTREAM phash signature store — without it a
+        # PHASH_BITS change retrained the pairs but kept serving
+        # clusters computed from the old bit-width (r11)
         params=(
             f"pct={PHASH_INJECT_PCT},co={PHASH_COPY_OFFSET},"
-            f"eo={PHASH_EDIT_OFFSET},h=3"
+            f"eo={PHASH_EDIT_OFFSET},h=3,bits={PHASH_BITS}"
         ),
     )
 
@@ -2731,8 +2747,16 @@ def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
       FROM events
     ), changes AS (
-      SELECT user_id, event_type AS state, ts FROM ordered
-      WHERE prev_state IS NULL OR prev_state <> event_type
+      -- one change point per (user_id, ts), keeping the LAST version
+      -- (max event_id) — two same-instant changes would otherwise
+      -- leave the ASOF tie to engine whim on both sides (r11)
+      SELECT user_id, state, ts FROM (
+        SELECT user_id, event_type AS state, ts,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM ordered
+        WHERE prev_state IS NULL OR prev_state <> event_type
+      ) WHERE rn = 1
     ), p AS (
       SELECT event_id, user_id, ts,
              ts - INTERVAL 1 MICROSECOND AS pts
@@ -2756,12 +2780,23 @@ def ev_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many facts map to each dimension interval.  Strictly-before
     semantics come from shifting the probe timestamp by one
     microsecond, the changelog's native resolution; the oracle is
-    DuckDB's native ASOF LEFT JOIN against the same change points."""
+    DuckDB's native ASOF LEFT JOIN against the same change points.
+
+    r11: the history side is pre-deduped to ONE change point per
+    (user_id, ts) — keeping the max-version row — because two
+    same-instant changes (distinct event_types at an equal ts) would
+    leave asof_join's last-among-equal-keys pick, and DuckDB's ASOF
+    tie, both arbitrary; the oracle applies the identical dedup."""
     from ..operators.temporal import asof_join, scd2_history
 
     ev = load_tables(spark, sf_dir)["events"]
-    hist = scd2_history(ev).select(
-        "user_id", F.col("valid_from").alias("ts"), "state"
+    hist = (
+        scd2_history(ev)
+        .select(
+            "user_id", F.col("valid_from").alias("ts"), "state", "version"
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(state, version)").alias("state"))
     )
     probes = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -3481,14 +3516,14 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides, cur_cluster_sample's quota input, sim_ivf_topk's candidate
     restriction).  This IS the inverted file a production IVF index
     persists beside its centroids."""
-    from ..operators.similarity import ivf_assignments
+    from ..operators.similarity import KMEANS_C, ivf_assignments
 
     return _persisted_index(
         "ivf_assign", spark, sf_dir,
         lambda: ivf_assignments(
             load_tables(spark, sf_dir)["embeddings"], _ivf_cents(spark, sf_dir)
         ),
-        params=f"iters={KMEANS_ITERS}",
+        params=f"iters={KMEANS_ITERS};kc={KMEANS_C}",
     )
 
 
@@ -3774,9 +3809,7 @@ def _register_sim_ivf_append() -> None:
         Plan: k-means bounded by the sample as always; assignment is
         one broadcast-centroid argmax over the corpus — the same
         linear pass sim_ivf_topk's file build does."""
-        from pyspark.sql import Window
-
-        from ..operators.similarity import _cos, _norm, kmeans_centroids
+        from ..operators.similarity import KMEANS_C, _cos, _norm, kmeans_centroids
 
         emb = load_tables(spark, sf_dir)["embeddings"]
         base = emb.filter(
@@ -3788,16 +3821,22 @@ def _register_sim_ivf_append() -> None:
             sf_dir,
             _table_set_id(sf_dir),
         )
-        if key not in _SCALAR_MEMO:
-            _SCALAR_MEMO[key] = base.count()
+
         # the STALE centroid relation is an index artifact like
         # _ivf_cents: trained once per corpus version, store-served
-        # after (production keeps exactly this — the pre-append index)
+        # after (production keeps exactly this — the pre-append index).
+        # The base count lives INSIDE the build lambda (r11 review: it
+        # ran eagerly before the fingerprint check, paying a corpus
+        # count job even on a warm store hit).
+        def _build_cents():
+            if key not in _SCALAR_MEMO:
+                _SCALAR_MEMO[key] = base.count()
+            return kmeans_centroids(base, _SCALAR_MEMO[key])
+
         cents = _persisted_index(
-            "ivf_append_cents", spark, sf_dir,
-            lambda: kmeans_centroids(base, _SCALAR_MEMO[key]),
+            "ivf_append_cents", spark, sf_dir, _build_cents,
             params=f"iters={KMEANS_ITERS};mod={IVF_APPEND_MOD};"
-                   f"res={IVF_APPEND_RESIDUE}",
+                   f"res={IVF_APPEND_RESIDUE};kc={KMEANS_C}",
         )
         v = emb.select(
             "vec_id",
@@ -3806,18 +3845,25 @@ def _register_sim_ivf_append() -> None:
             ),
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("se"),
         ).withColumn("s_norm", _norm("se"))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("sim").desc(), F.col("cell_id")
-        )
+        # map-side max_by combine, NOT a window top-1: the argmax
+        # shrinks the N x cells scored relation back to N rows BEFORE
+        # any shuffle, and nothing is sorted (r11 review — the window
+        # form shuffled and sorted all N x cells rows, the exact shape
+        # operators.similarity.ivf_assignments documents avoiding).
+        # Tie-break identical: highest sim, then lowest cell_id.
         asg = (
             v.crossJoin(F.broadcast(cents))
             .withColumn("sim", _cos("se", "c_emb", "s_norm", "c_norm"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "max_by(struct(cell_id, is_new, sim), struct(sim, -cell_id))"
+                ).alias("m")
+            )
             .select(
-                "cell_id",
-                "is_new",
-                F.round(F.col("sim") * 1000000).cast("bigint").alias("sim_q"),
+                F.col("m.cell_id").alias("cell_id"),
+                F.col("m.is_new").alias("is_new"),
+                F.round(F.col("m.sim") * 1000000).cast("bigint").alias("sim_q"),
             )
         )
         is_new_l = F.col("is_new").cast("bigint")
