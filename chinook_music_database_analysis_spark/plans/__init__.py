@@ -97,10 +97,12 @@ _WINDOW_FIRST = [
     # in the local sf0.001 parity run, re-verified by the driver here
     "s12_retention_setops",
     "q13b_not_in_null_aware",
+    # semantics-changed (ASOF tie dedup, both engines) + plan-changed
+    # (window top-1 -> max_by combine) in the r11 extensions review
+    "ev_scd2_pit_lookup",
+    "sim_ivf_append",
     "cur_corpus_health",
     "cur_curriculum_sample",
-    "cur_domain_cap",
-    "cur_leakage_safe_split",
     "cur_length_buckets",
     "cur_line_dedup",
     "cur_soft_quality_sample",
