@@ -1085,7 +1085,10 @@ def _max_dl(spark: SparkSession, sf_dir: str) -> int:
     return _SCALAR_MEMO[key]
 
 
-def _sql_bm25() -> str:
+def _sql_bm25(limit: int = BM25_TOP_K) -> str:
+    # ``limit`` lets _sql_hybrid request its own depth instead of
+    # silently riding BM25_TOP_K (r11 review: the two constants only
+    # coincidentally agree; the batch variant already parameterizes)
     from ..operators.text import BM25_SCALE
 
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
@@ -1126,7 +1129,7 @@ def _sql_bm25() -> str:
            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
     FROM agg
     ORDER BY score DESC, doc_id
-    LIMIT {BM25_TOP_K}
+    LIMIT {limit}
     """
 
 
@@ -1339,7 +1342,7 @@ def _sql_hybrid() -> str:
 
     cos = _sql_cos("q.qe", "e.embedding")
     return f"""
-    WITH sparse AS (SELECT doc_id, rank FROM ({_sql_bm25()})),
+    WITH sparse AS (SELECT doc_id, rank FROM ({_sql_bm25(HYBRID_DEPTH)})),
     dense AS (
       SELECT doc_id, rank FROM (
         SELECT e.vec_id AS doc_id,

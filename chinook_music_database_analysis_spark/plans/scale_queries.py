@@ -34,7 +34,6 @@ from ..operators.curation import (
     TEMP_W_SCALE,
     stratified_take,
     temperature_sample,
-    temperature_thresholds,
 )
 from ..operators.layout import morton_code, morton_sql
 from ..operators.sketch import HH_SUPPORT_K
@@ -232,7 +231,12 @@ def cur_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = _source_counts(spark, sf_dir)
     kept = temperature_sample(docs, counts, TEMP_TARGET_PCT)
     report = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
-    n_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    # n_in from the memoized ANALYZE scalars, not a second corpus
+    # aggregate (r11 review) — the kept-side report is then this
+    # query's only corpus aggregate, as the docstring claims
+    n_in = spark.createDataFrame(
+        sorted(counts.items()), "source string, n_in bigint"
+    )
     return n_in.join(report, "source", "left").select(
         "source",
         "n_in",
@@ -590,6 +594,20 @@ SKEW_HOT_MOD = 10
 SKEW_HOT_LIM = 7
 
 
+def _skew_key_expr():
+    """The ONE synthetic Zipf-collapse expression s15_skew_salted and
+    ev_heavy_keys both run on (their docstrings promise the same
+    corpus; r11 review found the two carried copies that could
+    desynchronize)."""
+    return (
+        F.when(
+            F.col("user_id") % SKEW_HOT_MOD < SKEW_HOT_LIM, F.lit(0).cast("long")
+        )
+        .otherwise(F.col("user_id"))
+        .alias("skew_key")
+    )
+
+
 @register(
     "s15_skew_salted",
     oracle=f"""
@@ -627,13 +645,7 @@ def s15_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
 
     ev = load_tables(spark, sf_dir)["events"].select(
-        F.when(
-            F.col("user_id") % SKEW_HOT_MOD < SKEW_HOT_LIM, F.lit(0).cast("long")
-        )
-        .otherwise(F.col("user_id"))
-        .alias("skew_key"),
-        "user_id",
-        "value",
+        _skew_key_expr(), "user_id", "value"
     )
     dim = ev.groupBy("skew_key").agg(
         F.count_distinct("user_id").alias("n_users")
@@ -658,7 +670,12 @@ def s15_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (SELECT SUM(cnt) AS total FROM c)
     SELECT skew_key, cnt,
            CAST((cnt * 10000) // total AS BIGINT) AS share_q
-    FROM c, t WHERE cnt * {HH_SUPPORT_K} > total
+    FROM c, t
+    -- NULL keys stay in the denominator but are never emitted,
+    -- mirroring heavy_keys' non-candidate NULL bucket (r11 review:
+    -- a >1/{HH_SUPPORT_K} NULL share would have emitted a row the
+    -- Spark side structurally cannot produce)
+    WHERE cnt * {HH_SUPPORT_K} > total AND skew_key IS NOT NULL
     """,
 )
 def ev_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,13 +691,7 @@ def ev_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner does about it."""
     from ..operators.sketch import heavy_keys
 
-    ev = load_tables(spark, sf_dir)["events"].select(
-        F.when(
-            F.col("user_id") % SKEW_HOT_MOD < SKEW_HOT_LIM, F.lit(0).cast("long")
-        )
-        .otherwise(F.col("user_id"))
-        .alias("skew_key")
-    )
+    ev = load_tables(spark, sf_dir)["events"].select(_skew_key_expr())
     return heavy_keys(ev, "skew_key", support_k=HH_SUPPORT_K)
 
 
@@ -707,10 +718,15 @@ def _hll_oracle(src_cte: str, group: str, key: str) -> str:
     return f"""
     WITH src AS ({src_cte}),
     hashed AS (
+      -- NULL keys excluded BEFORE hashing, mirroring
+      -- operators.sketch.hll_registers' COUNT(DISTINCT) semantics
+      -- (the r10 fix was Spark-side only — r11 review): an unfiltered
+      -- NULL hashes to h=NULL and its register row biases the
+      -- harmonic sum / empty-register count
       SELECT {group},
              CAST('0x' || substr(md5('hll|' || CAST({key} AS VARCHAR)), 1, 15)
                   AS BIGINT) AS h
-      FROM src
+      FROM src WHERE {key} IS NOT NULL
     ), rw AS (
       SELECT {group}, h % {HLL_M} AS j, h // {HLL_M} AS w FROM hashed
     ), regs AS (
@@ -972,9 +988,10 @@ def _hll_overlap_oracle() -> str:
       SELECT event_type AS g, user_id AS k FROM events
       WHERE event_type IN ('{HLL_OVL_A}', '{HLL_OVL_B}')
     ), hashed AS (
+      -- NULL keys excluded, mirroring hll_registers (r11 review)
       SELECT g, CAST('0x' || substr(md5('hll|' || CAST(k AS VARCHAR)), 1, 15)
                      AS BIGINT) AS h
-      FROM src
+      FROM src WHERE k IS NOT NULL
     ), rw AS (
       SELECT g, h % {HLL_M} AS j, h // {HLL_M} AS w FROM hashed
     ), regs AS (
@@ -1078,12 +1095,11 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is millions of rows while the corpus is trillions — the dictionary
     split is the difference between a laptop-sized second stage and a
     second corpus pass."""
-    from ..operators.text import tokens_expr
-
-    toks = load_tables(spark, sf_dir)["documents"].select(
-        F.explode(tokens_expr()).alias("tok")
-    )
-    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # the cached dictionary every BPE stage shares (r11 review: this
+    # query rebuilt an identical corpus tokenize+shuffle per run; the
+    # len>=2 pair filter subsumes _bpe_wc's empty-token filter, so the
+    # substitution is result-identical)
+    wc = _bpe_wc(spark, sf_dir)
     pairs = wc.filter(F.length("tok") >= 2).select(
         F.explode(
             F.expr(
@@ -1743,6 +1759,8 @@ def _pca_base(spark: SparkSession, sf_dir: str) -> dict:
     pushed to the scan, so the pass reads only the slice."""
     import math as _math
 
+    from .extensions import _emb_count
+
     key = ("pca_base", spark.sparkContext.applicationId, sf_dir, _table_set_id(sf_dir))
     if key not in _SCALAR_MEMO:
         from ..operators.similarity import (
@@ -1750,7 +1768,10 @@ def _pca_base(spark: SparkSession, sf_dir: str) -> dict:
             pca_power_model,
         )
 
-        thr = int(_math.floor(_pca(spark, sf_dir)["n"] * PCA_DRIFT_BASE_FRAC))
+        # the threshold needs only the corpus COUNT — _pca()["n"] is
+        # the same number but forces the full moment pass + eigensolve
+        # (r11 review)
+        thr = int(_math.floor(_emb_count(spark, sf_dir) * PCA_DRIFT_BASE_FRAC))
         emb = load_tables(spark, sf_dir)["embeddings"].filter(
             F.col("vec_id") < F.lit(thr)
         )
@@ -2126,9 +2147,14 @@ def _register_pca() -> None:
         identical fixed-point shifts."""
         import math as _math2
 
+        from .extensions import _emb_count
+
         d = EMB_DIM
         emb = load_tables(spark, sf_dir)["embeddings"]
-        thr = int(_math2.floor(_pca(spark, sf_dir)["n"] * PCA_DRIFT_BASE_FRAC))
+        # count only — see _pca_base (r11: _pca()["n"] forced the full
+        # moment pass + eigensolve under a "pure grouped aggregation"
+        # docstring)
+        thr = int(_math2.floor(_emb_count(spark, sf_dir) * PCA_DRIFT_BASE_FRAC))
 
         def means(df):
             agg = df.groupBy("label").agg(
