@@ -101,11 +101,18 @@ _WINDOW_FIRST = [
     # (window top-1 -> max_by combine) in the r11 extensions review
     "ev_scd2_pit_lookup",
     "sim_ivf_append",
-    "cur_corpus_health",
-    "cur_curriculum_sample",
-    "cur_length_buckets",
-    "cur_line_dedup",
-    "cur_soft_quality_sample",
+    # mutated in the r11 scale/curation review: plan-changed
+    # (tx_bpe_merges reuses the cached dictionary,
+    # cur_temperature_mix's n_in is now the memoized scalar) and
+    # oracle-text-changed (the three HLL oracles grew the NULL-key
+    # filter mirroring the r10 Spark-side fix) — ev_heavy_keys' oracle
+    # NULL clause is the same class but slotless; it leads r12 with
+    # the displaced cur_* r8 cohort
+    "tx_bpe_merges",
+    "cur_temperature_mix",
+    "ev_hll_users",
+    "tx_hll_vocab",
+    "ev_hll_overlap",
     # plan-changed in r11 (mates anti-join unhinted — output
     # set-identical, strategy now AQE-chosen)
     "pipe_contrastive_negatives",
