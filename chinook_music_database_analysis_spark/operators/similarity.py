@@ -2048,10 +2048,18 @@ def _pca_power_model_np(
     n = float(sum(p[0] for p in parts))
     if n < 2:
         raise ValueError(f"PCA needs >= 2 vectors, got {n}")
-    s = np.sum([np.asarray(p[1], dtype=np.float64) for p in parts], axis=0)
-    ss = np.sum(
-        [np.asarray(p[2], dtype=np.float64) for p in parts], axis=0
-    ).reshape(d, d)
+    # Sequential left fold over the sorted partials (a loop of += IS
+    # the per-element left fold), NOT np.sum: pairwise association can
+    # land a sum on a different side of the 1e-6 quantization boundary
+    # than the fold contract, and these accumulate BEFORE q() (r11
+    # advice).  Still vectorized per-element, so the d^2 work stays in
+    # BLAS-speed numpy.
+    s = np.zeros(d, dtype=np.float64)
+    ss = np.zeros(d * d, dtype=np.float64)
+    for p in parts:
+        s += np.asarray(p[1], dtype=np.float64)
+        ss += np.asarray(p[2], dtype=np.float64)
+    ss = ss.reshape(d, d)
 
     def q(x):
         return np.floor(x * PCA_QUANT + 5e-1) / PCA_QUANT

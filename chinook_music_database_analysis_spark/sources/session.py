@@ -149,6 +149,11 @@ def table_set_seq(handle: str) -> int | None:
     is the identity there).  Plan/scalar caches key on this."""
     tables = TABLE_OVERRIDES.get(handle)
     if tables is None:
+        # Unmounted handle: drop its record so the strongly-held table
+        # dict (DataFrames and all) can be collected — long sessions
+        # that mount/unmount many distinct handles must not accumulate
+        # dead table sets (r11 advice).
+        _MOUNT_RECORDS.pop(handle, None)
         return None
     rec = _MOUNT_RECORDS.get(handle)
     if rec is None or rec[0] is not tables:

@@ -884,8 +884,12 @@ def test_pca_power_model_method_routing():
 
     rng = np.random.default_rng(7)
     d = 64
+    # 12 partials, not 3: numpy pairwise summation degenerates to the
+    # sequential fold below ~8 addends, so a small partial count can't
+    # catch an association mismatch in the BLAS twin's s/ss accumulate
+    # (r12, closing the r11 advice).
     parts = []
-    for _ in range(3):
+    for _ in range(12):
         X = rng.normal(size=(200, d))
         X[:, 0] *= 4.0
         parts.append((200, X.sum(axis=0).tolist(), (X.T @ X).ravel().tolist()))
@@ -893,6 +897,8 @@ def test_pca_power_model_method_routing():
     blas = pca_power_model(parts, dim=d, method="numpy")
     auto = pca_power_model(parts, dim=d)  # d=64 <= cap -> fold path
     assert fold["m_q"] == blas["m_q"] == auto["m_q"]
+    assert fold["mu_q"] == blas["mu_q"] == auto["mu_q"]
+    assert fold["trace_q"] == blas["trace_q"] == auto["trace_q"]
     assert fold["comps"][0][0] == auto["comps"][0][0]
     for (lf, _), (lb, _) in zip(fold["comps"], blas["comps"]):
         assert abs(lf - lb) <= 1e-12 * abs(lf)

@@ -577,5 +577,20 @@ def test_table_set_seq_survives_dict_id_reuse():
         s2 = table_set_seq(h)
         assert s2 != s1
         assert table_set_seq("not-mounted") is None
+        # r12 (r11 advice): unmounting must evict the strongly-held
+        # record — otherwise every distinct handle a long session ever
+        # mounts leaks its table set forever.
+        from chinook_music_database_analysis_spark.sources.session import (
+            _MOUNT_RECORDS,
+        )
+
+        assert h in _MOUNT_RECORDS
+        TABLE_OVERRIDES.pop(h)
+        assert table_set_seq(h) is None
+        assert h not in _MOUNT_RECORDS
+        # and a fresh remount after eviction gets a NEW seq
+        TABLE_OVERRIDES[h] = {"customer": None}
+        assert table_set_seq(h) not in (s1, s2, None)
     finally:
         TABLE_OVERRIDES.pop(h, None)
+        table_set_seq(h)  # evict the record for the final mount too
