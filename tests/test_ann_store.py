@@ -905,3 +905,75 @@ def test_pca_power_model_method_routing():
     assert PCA_FOLD_MAX_DIM == 512  # doc'd cap; probe covers 2048 via numpy
     with _pytest.raises(ValueError, match="unknown method"):
         pca_power_model(parts, dim=d, method="exact")
+
+
+def test_index_store_concurrent_writer_fallback(spark, tmp_path, monkeypatch):
+    """r12 (r11 verdict task 3): two sessions racing the staged
+    ``os.rename`` swap.  The loser's rename hits a non-empty target
+    (the winner just swapped its build in) and must (a) serve the
+    WINNER's store when the fingerprints agree, (b) fall back to its
+    own in-session build when they don't, and (c) on the cache path,
+    serve its own cached relation either way.  Simulated by planting a
+    winner store at the target between the loser's rmtree and rename —
+    exactly the lost-race interleaving."""
+    import os
+    import shutil
+
+    from chinook_music_database_analysis_spark.plans import extensions as ext
+
+    monkeypatch.setattr(ext, "_INDEX_ROOT", str(tmp_path))
+    ext.reset_memo(SF_TEST_DIR)
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    loser_build = lambda: emb.select("vec_id").limit(20)  # noqa: E731
+    fp = ext._corpus_fp(spark, SF_TEST_DIR)  # default table="embeddings"
+
+    # Pre-materialize the winner's store payload (7 rows — count is the
+    # tell for WHOSE relation got served).
+    winner_side = tmp_path / "winner_payload"
+    emb.select("vec_id").limit(7).write.parquet(str(winner_side / "data"))
+
+    real_rename = os.rename
+    state = {}
+
+    def losing_rename(src, dst, *a, **kw):
+        # Intercept ONLY the loser's final swap for the kind under
+        # test (Spark's own output committer also renames — those pass
+        # through untouched), and only once per case.
+        if (
+            os.path.basename(dst) == state.get("kind")
+            and f"{state['kind']}.tmp." in src
+            and not state.get("planted")
+        ):
+            state["planted"] = True
+            shutil.copytree(winner_side, dst)
+            with open(os.path.join(dst, "_FINGERPRINT"), "w") as fh:
+                fh.write(state["winner_fp"])
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(ext._os, "rename", losing_rename)
+    pq_writer = lambda df, path: df.write.mode("overwrite").parquet(path)  # noqa: E731
+
+    def run(kind, winner_fp, writer):
+        state.update(kind=kind, winner_fp=winner_fp, planted=False)
+        got = ext._persisted_index(
+            kind, spark, SF_TEST_DIR, loser_build, writer=writer
+        )
+        assert state["planted"], "race never triggered"
+        return got
+
+    # (a) writer path, fingerprints agree -> the winner's store serves.
+    assert run("race_w_same", fp, pq_writer).count() == 7
+    # (b) writer path, fingerprint mismatch -> loser's own build.
+    assert run("race_w_diff", "someone-elses-corpus", pq_writer).count() == 20
+    # the mismatched winner store stays on disk untouched (next session
+    # with the matching corpus will replace it through the normal path)
+    d_diff = next(tmp_path.glob("*/race_w_diff"))
+    assert open(d_diff / "_FINGERPRINT").read() == "someone-elses-corpus"
+    # (c) cache path (writer=None): the in-session cached build serves
+    # regardless of the winner's fingerprint...
+    assert run("race_c_same", fp, None).count() == 20
+    # ...and the winner's store is left in place, not clobbered.
+    d_same = next(tmp_path.glob("*/race_c_same"))
+    assert spark.read.parquet(str(d_same / "data")).count() == 7
+    ext.reset_memo(SF_TEST_DIR)
