@@ -113,7 +113,19 @@ class Engine:
         import pandas as pd
 
         from .sources import TABLES
+        from .sources.session import TABLE_OVERRIDES
 
+        if self.sf_dir in TABLE_OVERRIDES:
+            # A mounted table set has no parquet directory for DuckDB
+            # to read — fail with the actual situation instead of a
+            # confusing file-not-found from inside the oracle query
+            # (r12 review).  validate_all records this per query under
+            # "errors": honest "unverifiable here", not a silent pass.
+            raise ValueError(
+                f"validate({name!r}): {self.sf_dir!r} is a mounted table"
+                " set (TABLE_OVERRIDES) — the DuckDB oracle needs a"
+                " parquet data directory"
+            )
         oracle = ORACLES.get(name)
         if oracle is None:
             return {"query": name, "oracle": None}

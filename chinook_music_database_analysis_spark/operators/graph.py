@@ -48,8 +48,12 @@ def pagerank_integer(
     ``pr'(v) = ((100 - d) * (scale div N)
                 + d * SUM_u (pr(u) * w(u,v) div W_out(u))) div 100``.
 
-    Every node must have out-edges (true for symmetrized co-occurrence
-    graphs; add self-loops otherwise — the dangling-mass correction).
+    Every node must have BOTH in- and out-edges (true for symmetrized
+    co-occurrence graphs; add self-loops otherwise — the dangling-mass
+    correction): a node with no out-edges leaks its mass, and a node
+    with no in-edges drops out of the rank relation after superstep 1
+    (both engines implement that identically — the oracle stays in
+    lockstep — but it is not textbook PageRank on such graphs).
     Returns (node, pr) with pr in bigint micro-units.
     """
     nodes = (
@@ -94,7 +98,12 @@ def pagerank_oracle_sql(
     ``ed(src, dst, n)``)."""
     parts = [
         edges_cte,
-        "nodes AS (SELECT DISTINCT src AS node FROM ed)",
+        # src UNION dst, matching pagerank_integer's node set exactly
+        # (r12 review: the old src-only form coincided with the Spark
+        # side on symmetrized graphs — every registered usage — but
+        # would disagree on N, hence pr0, for any digraph with
+        # sink-only nodes)
+        "nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)",
         "prm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
         "wout AS (SELECT src, CAST(SUM(n) AS BIGINT) AS w_out FROM ed GROUP BY src)",
         f"pr0 AS (SELECT node, (SELECT {scale} // n FROM prm) AS pr FROM nodes)",

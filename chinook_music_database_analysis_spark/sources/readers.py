@@ -91,8 +91,8 @@ def read_orc(
 
 def read_json_quarantine(
     spark: SparkSession, path: str, schema: StructType | str
-) -> "tuple[DataFrame, DataFrame]":
-    """Malformed-tolerant JSON-lines load: returns (good, bad).
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Malformed-tolerant JSON-lines load: returns (good, bad, raw).
 
     PERMISSIVE mode parses what it can and lands unparseable lines in
     a ``_corrupt_record`` column instead of failing the job — at 100 TB
@@ -103,6 +103,14 @@ def read_json_quarantine(
     requires the corrupt-record column in the read schema, and a
     corrupt-only query over it must cache/materialize (Spark refuses
     raw-column-only filters on an uncached permissive read).
+
+    ``raw`` is the CACHED root both splits are views of, returned so
+    the caller can release executor storage (``raw.unpersist()``)
+    once the split is consumed — unpersisting a derived view is a
+    silent no-op, and before r12 the cache root wasn't reachable at
+    all, so every quarantine load leaked its cache for the session.
+    Unpersist only after consuming: an uncached ``bad`` re-read is
+    exactly the raw-column-only scan Spark refuses.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructType as ST
@@ -123,4 +131,4 @@ def read_json_quarantine(
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw")
     )
-    return good, bad
+    return good, bad, df

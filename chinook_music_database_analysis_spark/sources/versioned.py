@@ -186,7 +186,18 @@ def compact_snapshot(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     compacted = spark.read.parquet(src).repartition(n_out)
-    return write_snapshot(compacted, table_dir)
+    # Propagate the batch marker: compaction is content-identical, so
+    # the compacted version still "is" the batch that produced its
+    # source.  Without this, a compaction run inside the streaming
+    # sink's crash window (pointer swapped, checkpoint not yet
+    # committed) erases the marker the replay guard checks, and the
+    # replayed batch would union itself in twice (r12 review).  MERGE/
+    # DELETE intentionally do NOT propagate: they change content, so a
+    # replay onto them is genuinely ambiguous and at-least-once
+    # re-delivery is the safer failure.
+    return write_snapshot(
+        compacted, table_dir, batch_marker=version_batch_id(table_dir, v)
+    )
 
 
 def vacuum(table_dir: str, keep: int = 2) -> list[int]:

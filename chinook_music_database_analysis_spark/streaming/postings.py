@@ -48,10 +48,21 @@ def batch_postings_delta(docs: DataFrame) -> DataFrame:
     (doc_id, term, tf, dl).  Tokenize + explode + hash-agg over ONLY
     the batch's documents; dl rides along per (doc, term) row group so
     the log needs a single relation (dl is repeated per term of a doc
-    — the read side takes max, which equals the unique value)."""
+    — the read side takes max, which equals the unique value).
+
+    ``explode_outer``, not ``explode`` (r12 review): a null-text doc
+    tokenizes to a null array, and plain explode would drop its row
+    from the LOG entirely — no dl row — while the batch side
+    (text.bm25_corpus_relations) keeps a (doc_id, NULL dl) length row
+    for it.  Served N and avgdl would silently diverge between the two
+    index forms on any corpus with null texts.  The null-term marker
+    row explode_outer emits is excluded from the postings relation at
+    read time."""
     toks = docs.select("doc_id", tokens_expr().alias("toks"))
     return (
-        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode_outer("toks").alias("term")
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
@@ -80,7 +91,10 @@ def read_postings(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
     (pinned identical in tests/test_streaming).  Union of the batch
     directories; no re-aggregation (batch deltas are doc-disjoint)."""
     log = spark.read.parquet(path)
-    postings = log.select("doc_id", "term", "tf")
+    # term IS NULL rows are the null-text markers explode_outer keeps
+    # so the doc still gets its doclens row — they are not postings
+    # (the batch relation has no row for them either).
+    postings = log.filter(F.col("term").isNotNull()).select("doc_id", "term", "tf")
     doclens = log.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     return postings, doclens
 

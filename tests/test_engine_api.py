@@ -369,12 +369,17 @@ def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
         '{"id": 2, "v": null}\n'
         '{"id": "not-a-number-but-null-coerces", "v": 3.0}\n'
     )
-    good, bad = read_json_quarantine(spark, str(p), "id long, v double")
+    good, bad, raw = read_json_quarantine(spark, str(p), "id long, v double")
     g = {(r.id, r.v) for r in good.collect()}
     b = [r.raw for r in bad.collect()]
     assert (1, 1.5) in g and (2, None) in g
     assert any("not json" in r for r in b)
     assert good.count() + bad.count() == 4
+    # the returned cache root is the releasable handle (r12): it IS
+    # cached, and unpersisting it frees the only storage this load took
+    assert raw.storageLevel.useMemory
+    raw.unpersist(blocking=True)
+    assert not raw.storageLevel.useMemory
 
 
 def test_engine_validate_matches_oracle(spark):
@@ -386,6 +391,37 @@ def test_engine_validate_matches_oracle(spark):
     r = e.validate("q04_rev_by_geo")
     assert r["rows_match"] and r["schema_match"] and r["values_match"]
     assert r["spark_rows"] == r["oracle_rows"] > 0
+
+
+def test_engine_validate_rejects_mounted_table_set(spark):
+    """r12 review: validate on a mounted (non-parquet) table set must
+    fail with the actual situation — DuckDB has no parquet dir to read
+    — not a confusing file-not-found from inside the oracle query; and
+    validate_all must bucket it under errors (unverifiable), never as
+    a silent pass."""
+    import pytest
+
+    from chinook_music_database_analysis_spark.engine import Engine
+    from chinook_music_database_analysis_spark.sources import register_views
+    from chinook_music_database_analysis_spark.sources.session import (
+        TABLE_OVERRIDES,
+    )
+
+    h = "handle://validate-guard"
+    TABLE_OVERRIDES[h] = {
+        "customer": spark.range(1).selectExpr("id AS c_custkey")
+    }
+    try:
+        e = Engine(sf_dir=h, spark=spark)
+        with pytest.raises(ValueError, match="mounted table"):
+            e.validate("q04_rev_by_geo")
+        res = e.validate_all(["q04_rev_by_geo"])
+        assert "q04_rev_by_geo" in res["errors"]
+        assert res["passed"] == 0 and not res["failed"]
+    finally:
+        TABLE_OVERRIDES.pop(h, None)
+        # restore the session-wide temp views the mounted Engine replaced
+        register_views(spark, SF_TEST_DIR)
 
 
 def test_sql_udf_through_engine(spark):

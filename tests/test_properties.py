@@ -317,6 +317,39 @@ def test_pagerank_mass_and_centrality(spark):
     assert pr["h"] > pr["a"] > pr["c"]  # hub first; a has the extra edge over c
 
 
+def test_pagerank_oracle_lockstep_on_digraph(spark):
+    """r12 review: the oracle helper's node set was src-only, which
+    coincided with pagerank_integer's src-UNION-dst on the symmetrized
+    registered graphs but diverged on N (hence pr0) for any digraph
+    with sink nodes.  Pin the two engines bit-for-bit on a genuinely
+    asymmetric graph: a sink (d: in-edges only) and a source (x:
+    out-edges only, drops out after superstep 1 in BOTH engines)."""
+    import duckdb
+
+    from chinook_music_database_analysis_spark.operators.graph import (
+        pagerank_integer,
+        pagerank_oracle_sql,
+    )
+
+    edges = [
+        ("a", "b", 2), ("b", "c", 1), ("a", "c", 1),
+        ("c", "a", 1), ("c", "d", 3), ("x", "b", 5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {(r["node"], int(r["pr"])) for r in pagerank_integer(df).collect()}
+
+    vals = ", ".join(f"('{s}','{d}',{n})" for s, d, n in edges)
+    cte = f"ed(src, dst, n) AS (SELECT * FROM (VALUES {vals}))"
+    want = {
+        (r[0], int(r[1]))
+        for r in duckdb.sql("WITH " + pagerank_oracle_sql(cte)).fetchall()
+    }
+    assert got == want
+    # the sink kept a rank row; the in-edge-less source dropped out
+    nodes = {n for n, _ in got}
+    assert "d" in nodes and "x" not in nodes
+
+
 def test_dup_ngram_stats_extremes(spark):
     """Duplicated docs have dup_frac == 1.0; a doc sharing no k-gram
     with anyone has dup_frac == 0.0; counts are consistent."""

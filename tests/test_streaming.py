@@ -78,6 +78,40 @@ def test_stateful_running_totals(spark):
     assert (got.n_events == want.n_events).all()
 
 
+def test_stateful_running_totals_bucketed_equivalent(spark):
+    """r12: the bucketed (vectorized) totals variant must drain to
+    EXACTLY the per-key variant's rows — same users, same running
+    counts, same rounded values — it only re-keys the state by hash
+    bucket and merges with one pandas groupby per bucket."""
+    from chinook_music_database_analysis_spark.streaming.stateful import (
+        user_running_totals_bucketed_stream,
+        user_running_totals_stream,
+    )
+
+    def drain(builder, name):
+        q = (
+            builder(read_events_stream(spark, SF_TEST_DIR))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .toPandas()
+            .sort_values(["user_id", "n_events"])
+            .reset_index(drop=True)
+        )
+
+    got = drain(user_running_totals_bucketed_stream, "t_state_bucketed")
+    want = drain(user_running_totals_stream, "t_state_perkey")
+    assert got.equals(want), (
+        got.compare(want) if got.shape == want.shape else (got.shape, want.shape)
+    )
+
+
 class _FakeState:
     """Minimal GroupState stand-in for unit-testing the eviction
     protocol without a streaming query."""
@@ -613,6 +647,51 @@ def test_streaming_postings_log_matches_batch_index(spark, tmp_path):
     compact_postings_log(spark, log, compacted)
     cp = spark.read.parquet(compacted)
     assert rows(cp, ["doc_id", "term", "tf"]) == rows(want_p, ["doc_id", "term", "tf"])
+
+
+def test_streaming_postings_null_text_doc_keeps_doclens_row(spark, tmp_path):
+    """r12 review: a null-text doc must land in the streamed log's
+    doclens exactly as the batch relation has it (a NULL-dl row) — the
+    old explode dropped the doc from the log entirely, so served N and
+    avgdl silently diverged between the streamed and batch index forms
+    on corpora with null texts.  The explode_outer marker row must NOT
+    leak into the postings relation."""
+    from chinook_music_database_analysis_spark.operators.text import (
+        bm25_corpus_relations,
+    )
+    from chinook_music_database_analysis_spark.streaming.postings import (
+        read_documents_stream,
+        read_postings,
+        start_postings_log_sink,
+    )
+
+    corpus = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    ).write.parquet(str(corpus / "documents.parquet"))
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+    q = start_postings_log_sink(
+        read_documents_stream(spark, str(corpus)), log, ckpt
+    )
+    q.awaitTermination()
+
+    want_p, want_dl = bm25_corpus_relations(
+        spark.read.parquet(str(corpus / "documents.parquet"))
+    )
+    got_p, got_dl = read_postings(spark, log)
+
+    def rows(df, cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    assert rows(got_dl, ["doc_id", "dl"]) == rows(want_dl, ["doc_id", "dl"])
+    assert rows(got_p, ["doc_id", "term", "tf"]) == rows(
+        want_p, ["doc_id", "term", "tf"]
+    )
+    # all three docs present in doclens — N and avgdl agree across forms
+    assert got_dl.count() == 3
+    assert got_p.filter("term IS NULL").count() == 0
 
 
 def _hist_key(r):

@@ -218,3 +218,17 @@ def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
     deliver(b1, 1)  # replay: must change nothing
     assert current_version(t) == v
     assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [1, 2, 3, 4]
+
+    # r12 review: compaction is content-identical, so it must carry the
+    # source version's batch marker forward — otherwise a compaction
+    # inside the crash window erases the marker and the replay guard
+    # above unions the batch in twice.
+    from chinook_music_database_analysis_spark.sources.versioned import (
+        compact_snapshot,
+    )
+
+    v2 = compact_snapshot(spark, t)
+    assert version_batch_id(t, v2) == 1
+    deliver(b1, 1)  # replay AFTER compaction: still a no-op
+    assert current_version(t) == v2
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [1, 2, 3, 4]
