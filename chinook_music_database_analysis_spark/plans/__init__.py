@@ -35,87 +35,71 @@ from . import scale_queries  # noqa: E402,F401
 # tx_repetition, tx_tfidf) plus the r6 cohort lead the r11 window.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # (0) MUTATED in r11 (11): route pinning (sim_lsh_topk /
-    # sim_range_search now force route='pruned'), the shared
-    # candidate/verify scaffolding refactor (dd_ngram_jaccard /
-    # dd_containment / dd_containment_scale), and the pca_power_model
-    # method-dispatch (all six _pca consumers — the fold path is
-    # bit-identical at d=64 by test, but the code path was touched,
-    # so the driver re-verifies)
-    "sim_lsh_topk",
-    "sim_range_search",
-    "dd_ngram_jaccard",
-    "dd_containment",
-    "dd_containment_scale",
-    "sim_pca_spectrum",
-    "sim_pca_outliers",
-    "sim_pca_drift",
-    "sim_pca_incremental",
-    "sim_dim_corr",
-    "sim_label_drift",
-    # (1) the six r5-stale leftovers the r10 window could not fit
-    "pipe_training_set",
-    "sim_sq8_topk",
-    "tx_gopher_quality",
-    "tx_keyphrases",
-    "tx_repetition",
-    "tx_tfidf",
-    # (2) r6 cohort (9; dd_ngram_jaccard already above)
-    "dd_exact",
-    "dd_minhash_pairs",
-    "dd_simhash",
-    "dq_order_expectations",
-    "ev_pivot_user_types",
-    "pipe_clean_corpus",
-    "tx_fingerprint",
-    "tx_langid",
-    "tx_stats",
-    # (3) r7 cohort (10; dd_containment_scale already above)
-    "cur_boilerplate",
-    "cur_chunk",
-    "dd_dup_clusters",
-    "dd_minhash_estimate",
-    "dq_documents_expectations",
-    "ev_cdc_latest_state",
-    "ev_watermark_audit",
-    "pipe_filter_funnel",
-    "pipe_layout_rebuild",
-    "tx_bm25_topk",
-    # (0b) mutated by the r11 review-fix batch (4): staged PII
-    # counting (cur_pii_redact, both engines), qrel bag dedupe
-    # (tx_bm25_batch, both engines), and the _stopword_hits
-    # column-parameter fix (tx_quality_classifier /
-    # tx_lang_confusion; their window-resident siblings tx_stats /
-    # tx_langid / cur_soft_quality_sample cover the same helper)
-    "cur_pii_redact",
-    "tx_bm25_batch",
-    "tx_quality_classifier",
-    "tx_lang_confusion",
-    # (4) oldest r8 greens, 10 of 44 (the other 34 lead r12)
-    # plan-changed in r11 parity review (s12 exceptAll->subtract,
-    # q13b not_in_anti helper-column rename) — outputs hash-identical
-    # in the local sf0.001 parity run, re-verified by the driver here
-    "s12_retention_setops",
-    "q13b_not_in_null_aware",
-    # semantics-changed (ASOF tie dedup, both engines) + plan-changed
-    # (window top-1 -> max_by combine) in the r11 extensions review
-    "ev_scd2_pit_lookup",
-    "sim_ivf_append",
-    # mutated in the r11 scale/curation review: plan-changed
-    # (tx_bpe_merges reuses the cached dictionary,
-    # cur_temperature_mix's n_in is now the memoized scalar) and
-    # oracle-text-changed (the three HLL oracles grew the NULL-key
-    # filter mirroring the r10 Spark-side fix) — ev_heavy_keys' oracle
-    # NULL clause is the same class but slotless; it leads r12 with
-    # the displaced cur_* r8 cohort
-    "tx_bpe_merges",
-    "cur_temperature_mix",
-    "ev_hll_users",
-    "tx_hll_vocab",
-    "ev_hll_overlap",
-    # plan-changed in r11 (mates anti-join unhinted — output
-    # set-identical, strategy now AQE-chosen)
-    "pipe_contrastive_negatives",
+    # (0) ev_heavy_keys first: its r11 pass-4 oracle mutation (the
+    # NULL-key clause) is the one registry entry whose CURRENT oracle
+    # text has never been driver-checked (r11 verdict task 1).
+    "ev_heavy_keys",
+    # (1) mutated in r12: s14's oracle node CTE is now src UNION dst
+    # (lockstep with pagerank_integer on digraphs — result-identical
+    # on the registered symmetric graph, but the oracle TEXT changed);
+    # s10 is code-touched via sources/versioned.py (compact_snapshot
+    # batch-marker propagation — no registered-plan change, re-verify
+    # anyway).
+    "s14_brand_pagerank",
+    "s10_add_column",
+    # (2) the rest of the r8-stale cohort (33; recomputed by scanning
+    # CORRECTNESS_r*.json for last-green — nothing else is older than
+    # r9), including the five cur_* entries displaced from the r11
+    # window.
+    "cur_corpus_health",
+    "cur_curriculum_sample",
+    "cur_diverse_sample",
+    "cur_domain_cap",
+    "cur_epoch_batches",
+    "cur_leakage_safe_split",
+    "cur_length_buckets",
+    "cur_line_dedup",
+    "cur_soft_quality_sample",
+    "dd_cdc_chunks",
+    "dd_cdc_incremental",
+    "dd_dup_ngrams",
+    "dd_simhash_pairs",
+    "ev_bloom_prune",
+    "ev_scd2_incremental",
+    "ev_scd2_snapshot",
+    "ev_scd2_user_state",
+    "ev_state_durations",
+    "mm_phash",
+    "mm_phash_clusters",
+    "mm_phash_pairs",
+    "pipe_corpus_diff",
+    "pipe_rag_index",
+    "sim_bruteforce_topk",
+    "sim_filtered_topk",
+    "sim_knn_graph",
+    "sim_outlier_audit",
+    "sim_pq_topk",
+    "tx_cms_tokens",
+    "tx_hybrid_batch",
+    "tx_hybrid_rrf",
+    "tx_length_quantiles",
+    "tx_surprisal",
+    # (3) 14 of the 46-member r9 parity cohort (alphabetical prefix;
+    # s14/s10 above are also r9 members, so 16 of 46 total).
+    "dd_embedding_cosine",
+    "q01_dupes",
+    "q01_nulls",
+    "q02_top_parts_nation0",
+    "q03_demographics",
+    "q03b_segment_geo",
+    "q04_rev_by_geo",
+    "q04b_topk_nations",
+    "q04c_rollup_geo",
+    "q04d_cube_geo",
+    "q04e_grouping_sets",
+    "q05_top5_cust_per_nation",
+    "q06_top_part_per_cust",
+    "q07_purchase_trends",
 ]
 
 
@@ -131,19 +115,23 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r11 NOTE: 50/50 slots.  After r11 lands, the stalest cohort is the
-# 34 r8 greens this window could not fit (dd_cdc_chunks,
-# dd_cdc_incremental, dd_dup_ngrams, ev_bloom_prune, ev_heavy_keys,
-# ev_hll_overlap, ev_hll_users, ev_scd2_*, ev_state_durations,
-# mm_phash*, pipe_contrastive_negatives, pipe_corpus_diff,
-# pipe_rag_index, sim_bruteforce_topk, sim_filtered_topk,
-# sim_ivf_append, sim_knn_graph, sim_outlier_audit, sim_pq_topk,
-# tx_cms_tokens, tx_hll_vocab, tx_hybrid_*, tx_length_quantiles,
-# tx_surprisal...).
-# r12 should lead with anything r12 mutates, then those 30, and fill
-# with the r9 parity cohort (q01..s15 — the driver re-ran all of it
-# in r9, so it ages next).  Recompute exact last-green rounds by
-# scanning CORRECTNESS_r*.json (script in the r11 transcript /
-# memory) rather than trusting this comment.
+# r12 NOTE: 50/50 slots (1 + 2 + 33 + 14 above).  After r12 lands,
+# the stalest cohort is the 30 r9 parity greens this window could not
+# fit: q08_churn_rate, q09_type_pct_nation0, q09b_top_brands_top_types,
+# q10_multi_type_cust, q10b_approx_distinct, q11_type_rank_nation0,
+# q12_inactive_3mo, q13_no_big_order, q14_rolling_90d_spend,
+# q15_spend_distribution, q16_order_value_frames,
+# q17_top_spender_maxby, q18_price_profile_arrays, q20_stats_profile,
+# s01_brand_promo, s02_intl_types, s03_old_vs_new, s04_affinity_brands,
+# s04_affinity_types, s04_affinity_types_scaled, s05_regional_churn,
+# s06_risk_profile, s07_clv_segments, s11_geo_behavior,
+# s13_zorder_locality, s15_skew_salted, sim_filtered_ivf_topk,
+# sim_ivf_stride_topk, sim_ivf_topk, sim_ivfpq_topk.
+# r13 should lead with anything r13 mutates, then those 30, and fill
+# with the oldest of the 39-member r10 cohort (cur_mix/cur_pack/
+# ev_asof/ev_sessionized/mm_* families age next after that).
+# Recompute exact last-green rounds by scanning CORRECTNESS_r*.json
+# (rows+schema+hash all true, no err; max round per name) rather than
+# trusting this comment.
 
 __all__ = ["QUERIES", "ORACLES", "register"]
