@@ -67,7 +67,12 @@ def adapt_chinook_tables(
     )
 
     customer = (
-        cust.join(nation, cust["country"] == nation["n_name"])
+        # eqNullSafe: a NULL-country customer must keep its rows mapped
+        # to the NULL-named nation the distinct() above created — the
+        # reference's GROUP BY billing_country keeps NULL as its own
+        # group, and a plain equi-join would silently DROP those
+        # customers from every adapted query (r12 review).
+        cust.join(nation, cust["country"].eqNullSafe(nation["n_name"]))
         .select(
             F.col("customer_id").cast("long").alias("c_custkey"),
             F.concat_ws(" ", "first_name", "last_name").alias("c_name"),

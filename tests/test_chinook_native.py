@@ -269,3 +269,48 @@ def test_q09b_top_albums_revenue_tie_golden(spark):
         ("From The Muddy Banks Of The Wishkah", 27.72, 2),
         ("Green", 24.75, 3),
     ]
+
+
+def test_adapter_keeps_null_country_customers(spark):
+    """r12 review: the reference's GROUP BY billing_country keeps NULL
+    as its own group, so a NULL-country customer must survive the
+    adapter's nation join (the old equi-join dropped them from every
+    adapted query) and land in the NULL-named nation."""
+    from chinook_music_database_analysis_spark.sources.chinook_adapter import (
+        adapt_chinook_tables,
+    )
+
+    c = spark.createDataFrame
+    chinook = {
+        "genre": c([(1, "Rock")], "genre_id int, name string"),
+        "artist": c([(1, "A")], "artist_id int, name string"),
+        "album": c([(1, "Al", 1)], "album_id int, title string, artist_id int"),
+        "track": c(
+            [(1, "T1", 1, 1, 0.99)],
+            "track_id int, name string, album_id int, genre_id int, unit_price double",
+        ),
+        "customer": c(
+            [
+                (1, "Alice", "Smith", "USA", "CA", "LA"),
+                (2, "Nora", "Null", None, None, "Nowhere"),
+            ],
+            "customer_id int, first_name string, last_name string,"
+            " country string, state string, city string",
+        ),
+        "invoice": c(
+            [(1, 1, D(2020, 1, 10), 1.98), (2, 2, D(2020, 2, 10), 0.99)],
+            "invoice_id int, customer_id int, invoice_date timestamp, total double",
+        ),
+        "invoice_line": c(
+            [(1, 1, 1, 0.99, 2), (2, 2, 1, 0.99, 1)],
+            "invoice_line_id int, invoice_id int, track_id int,"
+            " unit_price double, quantity int",
+        ),
+    }
+    t = adapt_chinook_tables(chinook)
+    assert t["customer"].count() == 2  # nobody dropped
+    null_nation = t["nation"].filter("n_name IS NULL").collect()
+    assert len(null_nation) == 1
+    nk = null_nation[0]["n_nationkey"]
+    nora = t["customer"].filter("c_custkey = 2").collect()[0]
+    assert nora["c_nationkey"] == nk
