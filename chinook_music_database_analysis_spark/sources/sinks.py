@@ -153,7 +153,9 @@ def _swap_in(spark, df: DataFrame, path: str) -> None:
     shutil.rmtree(old)
 
 
-def merge_upsert(spark, path: str, updates: DataFrame, key: str) -> None:
+def merge_upsert(
+    spark, path: str, updates: DataFrame, key: str, evolve_schema: bool = False
+) -> None:
     """Copy-on-write MERGE (upsert) on a plain-Parquet table: rows of
     ``updates`` replace same-``key`` target rows, new keys append —
     ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
@@ -165,12 +167,26 @@ def merge_upsert(spark, path: str, updates: DataFrame, key: str) -> None:
     per partition directory so only touched partitions rewrite
     (copy-on-write amplification is the known cost; MoR/deletion
     vectors are the table-format answer).
+
+    Updates carrying columns the table lacks are rejected unless
+    ``evolve_schema=True`` (then kept rows surface NULL for them —
+    mergeSchema-style additive evolution); silently dropping them, the
+    pre-r12 behavior, read as "stored" to the caller.
     """
     from pyspark.sql import functions as F
 
     target = spark.read.parquet(path)
+    extra = [c for c in updates.columns if c not in target.columns]
+    if extra and not evolve_schema:
+        raise ValueError(
+            f"merge into {path}: updates carry new column(s) {extra};"
+            " pass evolve_schema=True to add them, or drop them first"
+        )
     kept = target.join(F.broadcast(updates.select(key)), key, "left_anti")
-    merged = kept.unionByName(updates.select(*target.columns))
+    if extra:
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = kept.unionByName(updates.select(*target.columns))
     _swap_in(spark, merged, path)
 
 

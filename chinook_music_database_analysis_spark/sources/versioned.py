@@ -219,19 +219,39 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
 
 
 def merge_snapshot(
-    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE (upsert) as a snapshot operation: same-key rows replaced,
     new keys inserted, published as a NEW version — sinks.merge_upsert's
     copy-on-write plan (one anti-join against the broadcast update set,
     one union write) with the atomic-publish and time-travel guarantees
     on top: readers switch whole-merge-or-nothing, and the pre-merge
-    state stays readable until vacuumed."""
+    state stays readable until vacuumed.
+
+    Updates carrying columns the table lacks are REJECTED by default —
+    the old ``select(*target.columns)`` silently dropped them, which
+    reads as "stored" to the caller (r12 review).  Pass
+    ``evolve_schema=True`` for the Delta-mergeSchema behavior: the new
+    columns publish with the merge and pre-merge rows surface NULL for
+    them (the same additive contract write_snapshot enforces)."""
     from pyspark.sql import functions as F
 
     target = read_snapshot(spark, table_dir)
+    extra = [c for c in updates.columns if c not in target.columns]
+    if extra and not evolve_schema:
+        raise SchemaEvolutionError(
+            f"merge into {table_dir}: updates carry new column(s) {extra};"
+            " pass evolve_schema=True to add them, or drop them first"
+        )
     kept = target.join(F.broadcast(updates.select(key)), key, "left_anti")
-    merged = kept.unionByName(updates.select(*target.columns))
+    if extra:
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = kept.unionByName(updates.select(*target.columns))
     return write_snapshot(merged, table_dir)
 
 

@@ -353,6 +353,20 @@ def test_merge_upsert_and_delete_rows(spark, tmp_path):
     left = {r.id for r in spark.read.parquet(path).collect()}
     assert left == {2, 3, 4, 5}
 
+    # r12 review: updates with a NOVEL column are rejected by default
+    # (the old select(*target.columns) dropped it silently) and stored
+    # additively under evolve_schema=True.
+    import pytest
+
+    wide = spark.createDataFrame(
+        [(6, "f", 60.0, "x")], "id long, tag string, v double, note string"
+    )
+    with pytest.raises(ValueError, match="note"):
+        merge_upsert(spark, path, wide, "id")
+    merge_upsert(spark, path, wide, "id", evolve_schema=True)
+    out = {r.id: r.asDict().get("note") for r in spark.read.parquet(path).collect()}
+    assert out[6] == "x" and out[2] is None
+
 
 def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
     """PERMISSIVE ingest with quarantine: clean lines parse to the

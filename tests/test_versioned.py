@@ -232,3 +232,34 @@ def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
     deliver(b1, 1)  # replay AFTER compaction: still a no-op
     assert current_version(t) == v2
     assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [1, 2, 3, 4]
+
+
+def test_merge_schema_evolution_explicit(spark, tmp_path):
+    """r12 review: a merge whose updates carry a NEW column must either
+    be rejected (default — the old behavior silently dropped the
+    column, which reads as 'stored') or, with evolve_schema=True,
+    publish the column additively with NULL for untouched rows."""
+    import pytest
+
+    from chinook_music_database_analysis_spark.sources.versioned import (
+        SchemaEvolutionError,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), t)
+    upd = spark.createDataFrame([(2, "B", 9.5)], "id int, v string, score double")
+
+    with pytest.raises(SchemaEvolutionError, match="score"):
+        merge_snapshot(spark, t, upd, "id")
+
+    merge_snapshot(spark, t, upd, "id", evolve_schema=True)
+    rows = {r.id: (r.v, r.score) for r in read_snapshot(spark, t).collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9.5)}
+    # and the published version passes write_snapshot's own additive
+    # check for the NEXT write (the evolved schema is the contract now)
+    write_snapshot(
+        spark.createDataFrame([(3, "c", 1.0)], "id int, v string, score double"), t
+    )
