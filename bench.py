@@ -336,7 +336,12 @@ def main() -> None:
             )
 
             register_synth(spark)
-            n_rows = 50_000
+            # 500k rows (r12, was 50k): the Arrow-batched reader made
+            # the generator >1M rows/s, so at 50k the number measured
+            # ~2s of fixed streaming-query bring-up instead of the
+            # source path.  Round-over-round comparability breaks at
+            # this commit by design.
+            n_rows = 500_000
             t0 = time.perf_counter()
             q = (
                 spark.readStream.format("synthevents")

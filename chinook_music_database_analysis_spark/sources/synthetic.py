@@ -52,6 +52,54 @@ def _h(seed: int, part: int, i: int) -> bytes:
     ).digest()
 
 
+#: rows per emitted Arrow batch — bounds executor memory per yield
+#: while amortizing the per-batch framework cost.
+_ARROW_BATCH_ROWS = 16_384
+
+
+def _gen_record_batches(seed: int, n_users: int, start: int, count: int):
+    """Generate rows [start, start+count) as Arrow RecordBatches.
+
+    Row CONTENT is the unchanged blake2b(seed|0|event_id) contract the
+    determinism tests pin — only the delivery changed (r12): yielding
+    per-row Python tuples paid ~100us/row in the data-source
+    framework's row-at-a-time conversion, which dwarfed the ~1.5us
+    hash.  The digests are still computed per row (the contract), then
+    every field is extracted VECTORIZED from one byte matrix and
+    shipped as pyarrow batches — the framework passes RecordBatches
+    through without per-row conversion (measured 8-10k -> >100k
+    rows/s on the bench's source micro-bench).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    etypes = np.array(_EVENT_TYPES)
+    t0 = np.datetime64(_T0, "us")
+    for lo in range(start, start + count, _ARROW_BATCH_ROWS):
+        n = min(_ARROW_BATCH_ROWS, start + count - lo)
+        digests = b"".join(_h(seed, 0, rid) for rid in range(lo, lo + n))
+        m = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16).astype(np.uint64)
+
+        def be32(o: int):
+            return (m[:, o] << 24) | (m[:, o + 1] << 16) | (m[:, o + 2] << 8) | m[:, o + 3]
+
+        user_id = (be32(0) % np.uint64(n_users)).astype(np.int64)
+        etype = etypes[(m[:, 4] % np.uint64(len(_EVENT_TYPES))).astype(np.int64)]
+        value = (be32(5) % np.uint64(1_000_000)).astype(np.float64) / 100.0
+        secs = (be32(9) % np.uint64(86_400_00)).astype("timedelta64[s]")
+        ts = (t0 + secs).astype("datetime64[us]")
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+                pa.array(user_id),
+                pa.array(etype),
+                pa.array(value),
+                pa.array(ts, type=pa.timestamp("us")),
+            ],
+            names=["event_id", "user_id", "event_type", "value", "ts"],
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
     """``format("synthevents")`` — options: ``n_rows`` (total, default
     1000), ``n_partitions`` (default 4), ``n_users`` (default 100),
@@ -94,21 +142,31 @@ class SyntheticEventsReader(DataSourceReader):
             start += cnt
         return parts
 
-    def read(self, partition: _Part) -> Iterator[tuple]:
+    def read(self, partition: _Part) -> Iterator:
         # Hash the GLOBAL row id (partition 0 in the hash), exactly
         # like the stream reader: a row's content is then a function of
         # (seed, event_id) alone, so batch reads are identical whatever
         # n_partitions says, and batch-vs-stream parity holds for the
         # same seed (r10 review: per-partition hashing made the same
         # event_id carry different payloads across layouts and modes).
-        for i in range(partition.count):
-            event_id = partition.start + i
-            d = _h(self.seed, 0, event_id)
-            user_id = int.from_bytes(d[0:4], "big") % self.n_users
-            etype = _EVENT_TYPES[d[4] % len(_EVENT_TYPES)]
-            value = round(int.from_bytes(d[5:9], "big") % 10_000_00 / 100.0, 2)
-            ts = _T0 + _dt.timedelta(seconds=int.from_bytes(d[9:13], "big") % 86_400_00)
-            yield (event_id, user_id, etype, value, ts)
+        yield from _gen_record_batches(
+            self.seed, self.n_users, partition.start, partition.count
+        )
+
+
+def generate_rows(
+    seed: int, n_users: int, start: int, count: int
+) -> list[tuple]:
+    """Row-tuple view of the generator — (event_id, user_id,
+    event_type, value, ts) with a naive-UTC datetime, exactly what a
+    Spark collect() of the source yields.  The readers ship Arrow
+    batches; this is the reference form equivalence tests compare
+    against."""
+    rows: list[tuple] = []
+    for rb in _gen_record_batches(seed, n_users, start, count):
+        cols = [c.to_pylist() for c in rb.columns]
+        rows.extend(zip(*cols))
+    return rows
 
 
 def register(spark) -> None:
@@ -168,16 +226,12 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             s += cnt
         return parts or [_Part(0, lo, 0)]
 
-    def read(self, partition: _Part) -> Iterator[tuple]:
+    def read(self, partition: _Part) -> Iterator:
         # Global row ids seed the hash, so a row's content is
         # independent of batch boundaries and partition layout.
-        for rid in range(partition.start, partition.start + partition.count):
-            d = _h(self.seed, 0, rid)
-            user_id = int.from_bytes(d[0:4], "big") % self.n_users
-            etype = _EVENT_TYPES[d[4] % len(_EVENT_TYPES)]
-            value = round(int.from_bytes(d[5:9], "big") % 10_000_00 / 100.0, 2)
-            ts = _T0 + _dt.timedelta(seconds=int.from_bytes(d[9:13], "big") % 86_400_00)
-            yield (rid, user_id, etype, value, ts)
+        yield from _gen_record_batches(
+            self.seed, self.n_users, partition.start, partition.count
+        )
 
     def commit(self, end: dict) -> None:
         self._ratchet(end["row"])  # counters need no cleanup beyond this

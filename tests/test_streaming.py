@@ -322,14 +322,14 @@ def test_python_datasource_stream_reader(spark, tmp_path):
     got = spark.table("t_synth_stream")
     assert got.count() == 600
     assert got.select("event_id").distinct().count() == 600
-    # Stream content must equal the deterministic generator output:
-    # regenerate via the stream reader's own read() (seed partition 0).
+    # Stream content must equal the deterministic generator output
+    # (generate_rows is the tuple view of the Arrow batches the
+    # readers ship since r12).
     from chinook_music_database_analysis_spark.sources.synthetic import (
-        SyntheticEventsStreamReader,
-        _Part,
+        generate_rows,
     )
 
-    want = sorted(SyntheticEventsStreamReader({**{k: str(v) for k, v in opts.items()}}).read(_Part(0, 0, 600)))
+    want = sorted(generate_rows(7, opts["n_users"], 0, 600))
     have = sorted(
         (r.event_id, r.user_id, r.event_type, r.value, r.ts) for r in got.collect()
     )
@@ -1184,8 +1184,7 @@ def test_synthetic_batch_equals_stream_and_layout_independent(spark):
     content must not change with the n_partitions option (r10 review:
     per-partition hashing broke both properties)."""
     from chinook_music_database_analysis_spark.sources.synthetic import (
-        SyntheticEventsStreamReader,
-        _Part,
+        generate_rows,
         register,
     )
 
@@ -1206,11 +1205,7 @@ def test_synthetic_batch_equals_stream_and_layout_independent(spark):
 
     a, b = batch(4), batch(7)
     assert a == b  # layout-independent
-    want = sorted(
-        SyntheticEventsStreamReader(
-            {"n_users": "20", "max_rows": "400"}
-        ).read(_Part(0, 0, 400))
-    )
+    want = sorted(generate_rows(7, 20, 0, 400))
     assert a == want  # batch == stream generator
 
 
