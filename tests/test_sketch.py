@@ -422,3 +422,60 @@ def test_bloom_prune_matches_semi_join_superset(spark):
     assert None not in passed  # NULL keys rejected
     empty = bloom_build(keys.filter(F.lit(False)), "k")
     assert bloom_prune(fact, "k", empty).count() == 0
+
+
+def test_histogram_quantiles_match_duckdb_on_adversarial_groups(spark):
+    """r12: the histogram-form quantiles are oracle-verified on the
+    corpus shape (tx_length_quantiles); this pins them against DuckDB
+    quantile_cont on ADVERSARIAL per-group distributions — single row,
+    two rows, all-equal, heavy ties, negatives, wide range — packed as
+    groups of one relation so the whole check is one Spark job and one
+    DuckDB query."""
+    import random
+
+    import duckdb
+
+    from chinook_music_database_analysis_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    rng = random.Random(712)
+    groups: dict[str, list[int]] = {
+        "single": [42],
+        "pair": [1, 100],
+        "equal": [7] * 25,
+        "ties": [rng.choice((1, 2, 3)) for _ in range(40)],
+        "negs": [rng.randint(-500, 500) for _ in range(33)],
+        "wide": [rng.randint(0, 10**9) for _ in range(47)],
+        "skew": [int(rng.paretovariate(1.2)) for _ in range(50)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r
+        for r in histogram_quantiles(df, "v", "g", ps=(0.5, 0.9, 0.99)).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = {
+            r[0]: r
+            for r in con.sql(
+                "SELECT g, COUNT(*) n, MIN(v), MAX(v),"
+                " ROUND(quantile_cont(v, 0.5), 4),"
+                " ROUND(quantile_cont(v, 0.9), 4),"
+                " ROUND(quantile_cont(v, 0.99), 4)"
+                " FROM t GROUP BY g"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+
+    assert set(got) == set(want)
+    for g, w in want.items():
+        r = got[g]
+        assert (r["n_rows"], r["min_v"], r["max_v"]) == (w[1], w[2], w[3]), g
+        for tag, exp in zip(("p50", "p90", "p99"), w[4:]):
+            assert abs(r[tag] - exp) <= 1e-9, (g, tag, r[tag], exp)
