@@ -479,3 +479,21 @@ def test_histogram_quantiles_match_duckdb_on_adversarial_groups(spark):
         assert (r["n_rows"], r["min_v"], r["max_v"]) == (w[1], w[2], w[3]), g
         for tag, exp in zip(("p50", "p90", "p99"), w[4:]):
             assert abs(r[tag] - exp) <= 1e-9, (g, tag, r[tag], exp)
+
+
+def test_heavy_keys_strict_threshold_boundary(spark):
+    """r12: a key holding EXACTLY 1/support_k of the stream must be
+    excluded (the filter is strictly greater), and one row more must
+    flip it in — the boundary both engines' `cnt * k > total` must
+    agree on."""
+    # total = 40: key 10 holds exactly 10 = 40/4 rows (out), key 11
+    # holds 11 (in), filler spreads the rest thinly.
+    rows = [10] * 10 + [11] * 11 + list(range(100, 119))
+    assert len(rows) == 40
+    df = spark.createDataFrame([(k,) for k in rows], "k long")
+    got = {(r.k, r.cnt) for r in heavy_keys(df, "k", support_k=4).collect()}
+    assert got == {(11, 11)}
+    # one more row for key 10 crosses the strict threshold
+    df2 = df.unionByName(spark.createDataFrame([(10,)], "k long"))
+    got2 = {(r.k, r.cnt) for r in heavy_keys(df2, "k", support_k=4).collect()}
+    assert got2 == {(10, 11), (11, 11)}
