@@ -813,11 +813,18 @@ def streaming_scale_probe(spark, out_dir: str, factor: int) -> list:
         read_events_stream,
     )
     from chinook_music_database_analysis_spark.streaming.stateful import (
+        user_running_totals_bucketed_stream,
         user_running_totals_stream,
     )
 
     paths = {
         "stream_stateful": (user_running_totals_stream, "update"),
+        # r12: the vectorized hash-bucketed twin — state rows are FIXED
+        # (= bucket count) however the corpus grows, so its drain cost
+        # must scale with ROWS, not keys; a blown ratio here would mean
+        # the per-bucket pandas merge degenerated (e.g. the key arrays
+        # stopped amortizing).
+        "stream_stateful_bkt": (user_running_totals_bucketed_stream, "update"),
         "stream_dedup": (dedup_within_watermark_stream, "append"),
         "stream_interval_join": (interval_join_stream, "append"),
     }
