@@ -114,9 +114,17 @@ def _cos(dot_a: str, dot_b: str, norm_a: str, norm_b: str) -> F.Column:
     the inline ``dot/(sqrt(dot aa)*sqrt(dot bb))`` form, so outputs
     are bit-identical to the oracle while the pair stage does one dot
     product instead of three.
+
+    try_divide: cosine against a ZERO-NORM vector is undefined — it
+    yields NULL, which every threshold filter drops and every
+    descending top-k order sorts last, identically on both engines
+    (DuckDB's x/0 is NULL natively).  Under Spark 4's default ANSI
+    mode a plain ``/`` instead throws DIVIDE_BY_ZERO, killing the
+    whole job on the first degenerate vector — the classic one-bad-row
+    100 TB failure (fuzz gate edge corpus, r12).
     """
     return F.round(
-        _dot(dot_a, dot_b) / (F.col(norm_a) * F.col(norm_b)), 6
+        F.try_divide(_dot(dot_a, dot_b), F.col(norm_a) * F.col(norm_b)), 6
     )
 
 
@@ -1344,13 +1352,15 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
-            F.expr(
-                "aggregate(zip_with(q_emb, de, (x, y) -> CAST(x AS DOUBLE) * y),"
-                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            / (F.col("q_norm") * F.col("n_norm")),
+            F.try_divide(
+                F.expr(
+                    "aggregate(zip_with(q_emb, de, (x, y) -> CAST(x AS DOUBLE) * y),"
+                    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                ),
+                F.col("q_norm") * F.col("n_norm"),
+            ),
             6,
-        ).alias("cos_sim"),
+        ).alias("cos_sim"),  # try_divide: zero-norm contract, see _cos
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -1690,10 +1700,12 @@ def ivfpq_topk(
             "q_emb",
             "q_norm",
             F.round(
-                _dot("q_emb", "recon")
-                / (F.col("q_norm") * F.sqrt(_dot("recon", "recon"))),
+                F.try_divide(
+                    _dot("q_emb", "recon"),
+                    F.col("q_norm") * F.sqrt(_dot("recon", "recon")),
+                ),
                 6,
-            ).alias("adc_sim"),
+            ).alias("adc_sim"),  # try_divide: zero-norm contract, see _cos
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(

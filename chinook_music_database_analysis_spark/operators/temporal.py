@@ -50,6 +50,14 @@ def asof_join(
     the union sort order — supply pre-deduped right input when exact
     tie policy matters.
 
+    NULL keys follow JOIN semantics, not groupBy semantics: a NULL
+    never equals a NULL in an ON clause, so NULL-key right rows are
+    dropped before the union (they could match nothing) and NULL-key
+    left rows come back with NULL right columns.  Without the filter,
+    the window's partitionBy — which treats NULL as a real partition —
+    silently as-of-matched NULL-key probes against NULL-key history,
+    diverging from DuckDB/pandas ASOF (fuzz gate NULL corpus, r12).
+
     The right side carries forward as ONE struct, not per-column
     ``last(ignorenulls)`` (r10 review): per-column fill skips a NULL
     inside the matched right row and substitutes a stale value from an
@@ -62,7 +70,7 @@ def asof_join(
     clash = {"__asof_ts", "__asof_side", "__asof_r"} & set(left.columns)
     if clash:
         raise ValueError(f"asof_join: left columns collide with internals: {clash}")
-    r = right.select(
+    r = right.filter(F.col(key).isNotNull()).select(
         key,
         F.col(ts).alias("__asof_ts"),
         F.lit(0).alias("__asof_side"),
@@ -321,10 +329,21 @@ def scd2_history(
     as ``src_<tiebreak>`` — the incremental maintainer
     (streaming/scd2.py) needs it to replay history rows as pseudo
     change events with their ORIGINAL sort position.
+
+    NULL states are malformed changelog records and are EXCLUDED at
+    ingest (a state machine cannot transition to NULL).  This is a
+    family-wide contract shared with the oracles and the incremental
+    maintainer: without the filter, SQL LAG semantics skip the NULL
+    row as a change point but still RESET the lag for the row after
+    it, splitting one same-state run into two versions — an accident
+    the compressed incremental fold cannot replicate, because the
+    NULL-state evidence is discarded at compression (fuzz gate NULL
+    corpus, r12).
     """
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
     changes = (
-        events.select(key, state_col, ts_col, tiebreak)
+        events.filter(F.col(state_col).isNotNull())
+        .select(key, state_col, ts_col, tiebreak)
         .withColumn("_prev_state", F.lag(state_col).over(w))
         .filter(
             F.col("_prev_state").isNull()

@@ -47,10 +47,20 @@ def shingles_from_tokens(toks_col: str = "toks", k: int = SHINGLE_K) -> Column:
     slower at k=8 on sf0.1.  Texts shorter than k words yield one
     (shorter) shingle; the k-element slice mirrors DuckDB's inclusive
     list slicing in the oracles.
+
+    A NULL token array (NULL text) yields an EMPTY array — no
+    shingles, so null-text docs drop out of every shingle-keyed
+    candidate path, exactly as they do on the oracle side (DuckDB's
+    unnest over a NULL list emits no rows).  Without the guard,
+    Spark's ``greatest(size(NULL) - k + 1, 1)`` arm (greatest skips
+    nulls) manufactures one ``''`` shingle per NULL doc, silently
+    pairing ALL null-text docs with each other (caught by the fuzz
+    gate's NULL-injection corpus, r12).
     """
     return F.expr(
+        f"CASE WHEN {toks_col} IS NULL THEN array() ELSE "
         f"transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({toks_col}, i, {k})))"
+        f" i -> concat_ws(' ', slice({toks_col}, i, {k}))) END"
     )
 
 
@@ -66,8 +76,9 @@ def shingles_expr(col: str = "text", k: int = SHINGLE_K) -> Column:
     """
     toks = f"split(trim({col}), '\\\\s+')"
     return F.expr(
+        f"CASE WHEN {col} IS NULL THEN array() ELSE "
         f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({toks}, i, {k})))"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
     )
 
 
@@ -178,10 +189,19 @@ def gopher_quality(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         F.expr("uq div n_tokens").alias("unique_q"),
         "sw_hits",
     )
-    r_len = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
-    r_avg = F.col("avg_len_q").between(GOPHER_AVG_LEN_MIN_Q, GOPHER_AVG_LEN_MAX_Q)
-    r_unique = F.col("unique_q") >= GOPHER_MIN_UNIQUE_Q
-    r_stop = F.col("sw_hits") >= GOPHER_MIN_STOP_HITS
+    # coalesce(FALSE): a NULL-text doc has NULL signals — it FAILS
+    # every rule rather than carrying NULL verdicts (a quality filter
+    # must always decide), and a nullable boolean column round-trips
+    # as None/NaN inconsistently across engines (fuzz gate, r12)
+    r_len = F.coalesce(
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS), F.lit(False)
+    )
+    r_avg = F.coalesce(
+        F.col("avg_len_q").between(GOPHER_AVG_LEN_MIN_Q, GOPHER_AVG_LEN_MAX_Q),
+        F.lit(False),
+    )
+    r_unique = F.coalesce(F.col("unique_q") >= GOPHER_MIN_UNIQUE_Q, F.lit(False))
+    r_stop = F.coalesce(F.col("sw_hits") >= GOPHER_MIN_STOP_HITS, F.lit(False))
     return scored.select(
         "doc_id",
         *carry,

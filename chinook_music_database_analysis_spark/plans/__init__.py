@@ -39,67 +39,66 @@ _WINDOW_FIRST = [
     # NULL-key clause) is the one registry entry whose CURRENT oracle
     # text has never been driver-checked (r11 verdict task 1).
     "ev_heavy_keys",
-    # (1) mutated in r12: s14's oracle node CTE is now src UNION dst
-    # (lockstep with pagerank_integer on digraphs — result-identical
-    # on the registered symmetric graph, but the oracle TEXT changed);
-    # s10 is code-touched via sources/versioned.py (compact_snapshot
-    # batch-marker propagation — no registered-plan change, re-verify
-    # anyway).
+    # (1) mutated earlier in r12: s14's oracle node CTE is now src
+    # UNION dst; s10 is code-touched via sources/versioned.py.
     "s14_brand_pagerank",
     "s10_add_column",
-    # (2) the rest of the r8-stale cohort (33; recomputed by scanning
-    # CORRECTNESS_r*.json for last-green — nothing else is older than
-    # r9), including the five cur_* entries displaced from the r11
-    # window.
-    "cur_corpus_health",
-    "cur_curriculum_sample",
-    "cur_diverse_sample",
-    "cur_domain_cap",
-    "cur_epoch_batches",
+    # (2) the r12 FUZZ-GATE fix set (scripts/fuzzgate.py): every entry
+    # below had its oracle text and/or operator code changed this
+    # round while aligning NULL / tie / edge-value semantics between
+    # engines (see PERF.md "r12 adversarial-corpus gate").  Mutated
+    # queries lead the window by standing policy.
+    # -- oracle-text mutations (events/SCD2/JSON family):
+    "ev_scd2_user_state",
+    "ev_scd2_snapshot",
+    "ev_scd2_incremental",
+    "ev_scd2_pit_lookup",
+    "ev_state_durations",
+    "ev_asof_error_before_click",
+    "ev_bloom_prune",
+    "ev_unpivot_user_types",
+    "ev_json_extract",
+    "ev_json_variant",
+    # -- oracle and/or plan mutations (curation/text/parity):
+    "cur_temperature_mix",
+    "cur_stats_approx",
+    "cur_winsorize",
+    "cur_contamination_report",
+    "cur_decontam",
+    "cur_boilerplate",
     "cur_leakage_safe_split",
-    "cur_length_buckets",
-    "cur_line_dedup",
-    "cur_soft_quality_sample",
+    "tx_length_quantiles",
+    "tx_gopher_quality",
+    "tx_fingerprint",
+    "tx_keyphrases",
+    "q16_order_value_frames",
+    "s04_affinity_types_scaled",
+    "mm_media_features",
+    "mm_resize",
+    # -- shingle null-guard (operators/text.py) consumers:
+    "dd_minhash_pairs",
+    "dd_minhash_estimate",
+    "dd_ngram_jaccard",
+    "dd_containment",
+    "dd_containment_scale",
+    "dd_canonical",
+    "dd_incremental",
+    "dd_dup_clusters",
+    "dd_dup_ngrams",
+    "dd_semantic",
     "dd_cdc_chunks",
     "dd_cdc_incremental",
-    "dd_dup_ngrams",
     "dd_simhash_pairs",
-    "ev_bloom_prune",
-    "ev_scd2_incremental",
-    "ev_scd2_snapshot",
-    "ev_scd2_user_state",
-    "ev_state_durations",
-    "mm_phash",
-    "mm_phash_clusters",
-    "mm_phash_pairs",
-    "pipe_corpus_diff",
-    "pipe_rag_index",
+    # -- zero-norm try_divide (operators/similarity.py) consumers:
     "sim_bruteforce_topk",
-    "sim_filtered_topk",
-    "sim_knn_graph",
     "sim_outlier_audit",
-    "sim_pq_topk",
-    "tx_cms_tokens",
-    "tx_hybrid_batch",
-    "tx_hybrid_rrf",
-    "tx_length_quantiles",
-    "tx_surprisal",
-    # (3) 14 of the 46-member r9 parity cohort (alphabetical prefix;
-    # s14/s10 above are also r9 members, so 16 of 46 total).
     "dd_embedding_cosine",
-    "q01_dupes",
-    "q01_nulls",
-    "q02_top_parts_nation0",
-    "q03_demographics",
-    "q03b_segment_geo",
-    "q04_rev_by_geo",
-    "q04b_topk_nations",
-    "q04c_rollup_geo",
-    "q04d_cube_geo",
-    "q04e_grouping_sets",
-    "q05_top5_cust_per_nation",
-    "q06_top_part_per_cust",
-    "q07_purchase_trends",
+    "sim_knn_graph",
+    "sim_filtered_topk",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_mrl_topk",
+    "cur_cluster_sample",
 ]
 
 
@@ -115,23 +114,18 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r12 NOTE: 50/50 slots (1 + 2 + 33 + 14 above).  After r12 lands,
-# the stalest cohort is the 30 r9 parity greens this window could not
-# fit: q08_churn_rate, q09_type_pct_nation0, q09b_top_brands_top_types,
-# q10_multi_type_cust, q10b_approx_distinct, q11_type_rank_nation0,
-# q12_inactive_3mo, q13_no_big_order, q14_rolling_90d_spend,
-# q15_spend_distribution, q16_order_value_frames,
-# q17_top_spender_maxby, q18_price_profile_arrays, q20_stats_profile,
-# s01_brand_promo, s02_intl_types, s03_old_vs_new, s04_affinity_brands,
-# s04_affinity_types, s04_affinity_types_scaled, s05_regional_churn,
-# s06_risk_profile, s07_clv_segments, s11_geo_behavior,
-# s13_zorder_locality, s15_skew_salted, sim_filtered_ivf_topk,
-# sim_ivf_stride_topk, sim_ivf_topk, sim_ivfpq_topk.
-# r13 should lead with anything r13 mutates, then those 30, and fill
-# with the oldest of the 39-member r10 cohort (cur_mix/cur_pack/
-# ev_asof/ev_sessionized/mm_* families age next after that).
-# Recompute exact last-green rounds by scanning CORRECTNESS_r*.json
-# (rows+schema+hash all true, no err; max round per name) rather than
-# trusting this comment.
+# r13 NOTE: 50/50 slots (3 + 25 + 13 + 9 above), all occupied by the
+# r12 mutation set — the fuzz-gate fixes displaced BOTH stale cohorts.
+# After r12 lands, r13 should lead with anything r13 mutates, then the
+# displaced r8-stale cohort (cur_corpus_health, cur_curriculum_sample,
+# cur_diverse_sample, cur_domain_cap, cur_epoch_batches,
+# cur_length_buckets, cur_line_dedup, cur_soft_quality_sample,
+# mm_phash, mm_phash_clusters, mm_phash_pairs, pipe_corpus_diff,
+# pipe_rag_index, tx_cms_tokens, tx_hybrid_batch, tx_hybrid_rrf,
+# tx_surprisal), then the r9 parity cohort (q01..q07 prefix displaced
+# this round plus the 30 listed in the r11 note: q08..q20, s01..s15,
+# sim_ivf*).  Recompute exact last-green rounds by scanning
+# CORRECTNESS_r*.json (rows+schema+hash all true, no err; max round
+# per name) rather than trusting this comment.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

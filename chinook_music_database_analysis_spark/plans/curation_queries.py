@@ -64,13 +64,15 @@ def _doc_count(spark: SparkSession, sf_dir: str) -> int:
 
 def _sql_shingles_k(k: int, alias: str = "wsh") -> str:
     """DuckDB distinct (doc_id, k-gram) CTE for arbitrary k (the shared
-    _SQL_SHINGLES is fixed at the dedup family's k=3)."""
+    _SQL_SHINGLES is fixed at the dedup family's k=3).  NULL text is
+    filtered for the same reason as _SQL_SHINGLES: no shingles for a
+    null-text doc, matching shingles_from_tokens (fuzz gate, r12)."""
     return (
         f"{alias} AS (SELECT DISTINCT doc_id, "
         f"unnest([array_to_string(toks[i:i+{k - 1}], ' ') "
         f"for i in range(1, greatest(len(toks) - {k - 1}, 1) + 1)]) AS s "
         "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
-        "FROM documents))"
+        "FROM documents WHERE text IS NOT NULL))"
     )
 
 
@@ -659,12 +661,23 @@ def cur_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Greenwald-Khanna sketch — the 100 TB path where exact
     percentile's per-group value buffering is too expensive).
 
-    Sketch outputs are engine-specific, so like q10b the tolerance is
-    folded INTO the result: |approx - exact_interpolated| must be
-    within max(8% of exact, 4) — covering both sketch error and the
-    element-vs-interpolated gap — and the oracle asserts the boolean.
-    A production user reads the approx column alone; the exact column
-    here is the verification harness.
+    Sketch outputs are engine-specific, so the tolerance is folded
+    INTO the result and the oracle asserts the boolean.  The check is
+    the sketch's ACTUAL guarantee — a RANK bound, not a value bound:
+    the returned element's rank among the group's non-null values must
+    be within eps*N (+1 slack for rank-convention off-by-one) of the
+    target rank.  The previous value-based bound (|approx - exact
+    interpolated| <= max(8%, 4)) silently assumed dense values: an
+    element-returning sketch differs from the interpolated median by
+    the LOCAL INTER-ELEMENT GAP, which is data-dependent and unbounded
+    (a 13-wide gap at the median flipped it on the fuzz gate's NULL
+    corpus, r12).  A production user reads the approx column alone;
+    the exact column here is the verification harness.
+
+    The rank check needs one extra bounded pass: the O(domains)
+    per-source approx values broadcast back onto the corpus (null-safe
+    on source — NULL source is a real group) for a count-below /
+    count-at-or-below aggregate.
     """
     docs = load_tables(spark, sf_dir)["documents"]
     d = docs.select(
@@ -672,17 +685,39 @@ def cur_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_tokens").alias("nn"),
         F.expr("approx_percentile(n_tokens, 0.5, 10000)").alias("approx_p50"),
         F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("exact_p50"),
     )
-    tol = F.greatest(F.col("exact_p50") * 0.08, F.lit(4.0))
-    return agg.select(
-        "source",
+    apx = F.broadcast(
+        agg.select(
+            F.col("source").alias("_src"), "nn", "approx_p50", "n_docs", "exact_p50"
+        )
+    )
+    ranks = (
+        d.join(apx, F.col("source").eqNullSafe(F.col("_src")), "right")
+        .groupBy("_src", "nn", "approx_p50", "n_docs", "exact_p50")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("n_tokens") < F.col("approx_p50")).cast("bigint")),
+                F.lit(0),
+            ).alias("r_lo"),
+            F.coalesce(
+                F.sum((F.col("n_tokens") <= F.col("approx_p50")).cast("bigint")),
+                F.lit(0),
+            ).alias("r_hi"),
+        )
+    )
+    target = F.ceil(F.col("nn") * 0.5)
+    slack = F.ceil(F.col("nn") * 0.0001) + F.lit(1)
+    within = (F.col("r_lo") < target + slack) & (F.col("r_hi") >= target - slack)
+    return ranks.select(
+        F.col("_src").alias("source"),
         "n_docs",
         "exact_p50",
-        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= tol).alias(
-            "approx_within_tol"
-        ),
+        # vacuously true when the group has no non-null values (the
+        # sketch returns NULL and there is no rank to violate)
+        F.coalesce(within, F.col("nn") == 0).alias("approx_within_tol"),
     )
 
 
@@ -768,7 +803,7 @@ def pipe_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantile_cont(n_tokens, 0.95) AS p95 FROM d GROUP BY source) "
         "SELECT doc_id, d.source, "
         "ROUND(LEAST(GREATEST(n_tokens, p05), p95), 4) AS n_tokens_w, "
-        "(n_tokens < p05 OR n_tokens > p95) AS clipped "
+        "COALESCE(n_tokens < p05 OR n_tokens > p95, FALSE) AS clipped "
         "FROM d JOIN b USING (source)"
     ),
 )
@@ -796,9 +831,14 @@ def cur_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.greatest(F.col("n_tokens"), F.col("p05")), F.col("p95")), 4).alias(
             "n_tokens_w"
         ),
-        ((F.col("n_tokens") < F.col("p05")) | (F.col("n_tokens") > F.col("p95"))).alias(
-            "clipped"
-        ),
+        # coalesce: a NULL-text doc has NULL n_tokens — nothing was
+        # clipped, and a NULLABLE boolean output column round-trips as
+        # None on one engine and NaN on the other, breaking the
+        # driver's stringified compare (fuzz gate, r12)
+        F.coalesce(
+            (F.col("n_tokens") < F.col("p05")) | (F.col("n_tokens") > F.col("p95")),
+            F.lit(False),
+        ).alias("clipped"),
     )
 
 

@@ -512,12 +512,19 @@ def _simhash_nib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: distinct (doc_id, shingle) pairs — word 3-grams (DuckDB list slice
 #: toks[i:i+k-1] is 1-based inclusive = Spark slice(toks, i, k)).
+#: NULL text is filtered: a null-text doc has NO shingles (the
+#: operators' shingles_from_tokens contract) — without the filter,
+#: DuckDB's greatest() skips the NULL len and the comprehension
+#: manufactures one NULL "shingle" row per null doc, which survives
+#: doc-grouped reports even though every shingle JOIN drops it
+#: (fuzz gate NULL corpus, r12).
 _SQL_SHINGLES = f"""
   sh AS (
     SELECT DISTINCT doc_id,
            unnest([array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ')
                    for i in range(1, greatest(len(toks) - {SHINGLE_K - 1}, 1) + 1)]) AS s
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE text IS NOT NULL)
   )
 """.strip()
 
@@ -705,14 +712,16 @@ def _sql_gopher() -> str:
       FROM d
     )
     SELECT doc_id, n_tokens, avg_len_q, unique_q, sw_hits,
-           n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS r_len,
-           avg_len_q BETWEEN {GOPHER_AVG_LEN_MIN_Q} AND {GOPHER_AVG_LEN_MAX_Q} AS r_avg_len,
-           unique_q >= {GOPHER_MIN_UNIQUE_Q} AS r_unique,
-           sw_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopwords,
-           (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+           COALESCE(n_tokens BETWEEN {GOPHER_MIN_TOKENS}
+                    AND {GOPHER_MAX_TOKENS}, FALSE) AS r_len,
+           COALESCE(avg_len_q BETWEEN {GOPHER_AVG_LEN_MIN_Q}
+                    AND {GOPHER_AVG_LEN_MAX_Q}, FALSE) AS r_avg_len,
+           COALESCE(unique_q >= {GOPHER_MIN_UNIQUE_Q}, FALSE) AS r_unique,
+           COALESCE(sw_hits >= {GOPHER_MIN_STOP_HITS}, FALSE) AS r_stopwords,
+           COALESCE((n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
              AND (avg_len_q BETWEEN {GOPHER_AVG_LEN_MIN_Q} AND {GOPHER_AVG_LEN_MAX_Q})
              AND unique_q >= {GOPHER_MIN_UNIQUE_Q}
-             AND sw_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+             AND sw_hits >= {GOPHER_MIN_STOP_HITS}, FALSE) AS keep
     FROM s
     """
 
@@ -2194,10 +2203,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_media_features",
     oracle="""
+    -- COALESCE mirrors with_media's contract: NULL text IS an EMPTY
+    -- payload (the kernels decode zero bytes), never a NULL row of
+    -- metadata (fuzz gate NULL corpus, r12)
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           CAST(octet_length(encode(text)) % 512 AS INTEGER) AS width,
-           CAST((octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(COALESCE(text, ''))) % 512 AS INTEGER) AS width,
+           CAST((octet_length(encode(COALESCE(text, ''))) * 7) % 512 AS INTEGER)
+             AS height,
            CAST(3 AS INTEGER) AS channels
     FROM documents
     """,
@@ -2398,11 +2411,14 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_resize",
     oracle="""
+    -- COALESCE per with_media's NULL-text-is-empty-payload contract
+    -- (fuzz gate, r12)
     SELECT doc_id,
            CAST(64 AS INTEGER) AS width,
            CAST(64 AS INTEGER) AS height,
-           CAST(LEAST(octet_length(encode(text)), 12288) AS INTEGER) AS n_bytes,
-           octet_length(encode(text)) > 12288 AS cropped
+           CAST(LEAST(octet_length(encode(COALESCE(text, ''))), 12288) AS INTEGER)
+             AS n_bytes,
+           octet_length(encode(COALESCE(text, ''))) > 12288 AS cropped
     FROM documents
     """,
 )
@@ -2707,7 +2723,7 @@ def ev_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     ), changes AS (
       SELECT user_id, event_type, ts, event_id FROM ordered
       WHERE prev_state IS NULL OR prev_state <> event_type
@@ -2745,7 +2761,7 @@ def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     ), changes AS (
       -- one change point per (user_id, ts), keeping the LAST version
       -- (max event_id) — two same-instant changes would otherwise
@@ -2821,7 +2837,7 @@ def ev_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     ), changes AS (
       SELECT user_id, event_type, ts, event_id FROM ordered
       WHERE prev_state IS NULL OR prev_state <> event_type
@@ -2900,7 +2916,7 @@ def ev_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     ), changes AS (
       SELECT user_id, event_type AS state, ts AS valid_from,
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2964,7 +2980,7 @@ SCD2_SNAPSHOT_AT = "2024-01-15 00:00:00"
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     ), changes AS (
       SELECT user_id, event_type AS state, ts AS valid_from,
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3113,9 +3129,16 @@ _register_watermark_audit()
 )
 def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.k out of the JSON-ish
-    payload and aggregate per event type."""
+    payload and aggregate per event type.
+
+    try_cast, not cast: a NESTED k (``{"k": {...}}``) extracts as the
+    object's JSON text, and under ANSI a plain bigint cast of that
+    text throws NumberFormatException — one irregular payload killing
+    the scan (fuzz gate edge corpus, r12).  Non-integral k degrades to
+    NULL, exactly like the oracle's TRY_CAST of its regex extract
+    (which matches nothing on a nested value)."""
     t = load_tables(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS bigint)")
     return (
         t["events"]
         .groupBy("event_type")
@@ -3126,15 +3149,20 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_json_variant",
     oracle="""
+    -- TRY_CASTs mirror the Spark side's try_variant_get: a nested or
+    -- non-integral k degrades to NULL instead of failing the scan,
+    -- and n_missing_k counts rows with NO INTEGRAL k (absent path,
+    -- nested object, malformed payload) on both engines (fuzz gate
+    -- edge corpus, r12)
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS max_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
            CAST(COUNT(*) FILTER (
-             WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT)
-             AS n_missing_k
+             WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
+             AS BIGINT) AS n_missing_k
     FROM events GROUP BY event_type
     """,
 )
@@ -3147,10 +3175,15 @@ def ev_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus shredded binary access is the difference between one scan of
     the payload and one scan per field; try_parse_json degrades
     malformed payloads to NULL instead of failing the scan (the
-    quarantine-ingest posture).  Oracle: DuckDB's native JSON type."""
+    quarantine-ingest posture).  Oracle: DuckDB's native JSON type.
+
+    try_variant_get, not variant_get: a nested k is a VARIANT OBJECT,
+    and the strict getter throws on the bigint cast — same
+    one-bad-row class as ev_json_extract; NULL means "no integral k"
+    and feeds n_missing_k (fuzz gate edge corpus, r12)."""
     t = load_tables(spark, sf_dir)
     v = F.try_parse_json(F.col("props"))
-    k = F.variant_get(v, "$.k", "bigint")
+    k = F.try_variant_get(v, "$.k", "bigint")
     return (
         t["events"]
         .select("event_type", k.alias("k"))
@@ -3965,7 +3998,12 @@ def _register_sim_outlier_audit() -> None:
                 .otherwise(F.lit(0.0))
                 .alias("z"),
             )
-            .orderBy(F.col("z").asc(), F.col("vec_id").asc())
+            # nulls LAST: a zero-norm vector has NULL sim_q hence NULL
+            # z — undefined anomaly, not "most anomalous"; Spark's asc
+            # default (nulls first) would put it at the head of the
+            # top-20 while DuckDB's (nulls last) drops it (fuzz gate
+            # edge corpus, r12)
+            .orderBy(F.col("z").asc_nulls_last(), F.col("vec_id").asc())
             .limit(OUTLIER_TOP_N)
         )
 

@@ -1002,6 +1002,11 @@ def s04_affinity_types_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        # NULL types never pair in the literal form (a.v <> b.v is
+        # NULL-rejecting join logic); the in-row enumeration has no
+        # such join, so the filter must be explicit or sort_array
+        # happily pairs the NULL group (fuzz gate, r12)
+        .filter(F.col("p_type").isNotNull())
         .select("l_orderkey", F.col("p_type").alias("v"))
     )
     counts = items.groupBy("l_orderkey", "v").agg(F.count(F.lit(1)).alias("c"))
@@ -1701,12 +1706,15 @@ def q15_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,4)), 2)
              AS DOUBLE) AS first_price,
            CAST(ROUND(CAST(NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS DECIMAL(18,4)), 2) AS DOUBLE) AS second_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
+    # NULLS FIRST is explicit: Spark defaults ascending sorts to
+    # NULLS FIRST, DuckDB to NULLS LAST — on a NULL-date corpus every
+    # navigation function shifted (fuzz gate, r12).
 )
 def q16_order_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Navigation-function completion (LEAD / FIRST_VALUE / NTH_VALUE
@@ -1717,7 +1725,11 @@ def q16_order_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.  One custkey Exchange; both window specs share the
     same sort order, so Spark plans a single Sort feeding both."""
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # asc_nulls_first matches Spark's default; spelled out because the
+    # oracle must pin the same (DuckDB defaults to NULLS LAST)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # NOT named `money`: that would shadow functions.compat.money
     # (imported at module top) with different semantics (r11 review)
@@ -1925,8 +1937,12 @@ def q20_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN (SELECT unnest(['{types}']) AS event_type) t
     LEFT JOIN (
       SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
-    ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    ) c ON c.user_id IS NOT DISTINCT FROM u.user_id
+       AND c.event_type = t.event_type
     """.replace("{types}", "', '".join(EVENT_TYPES)),
+    # join is null-safe on user_id: a NULL user is a real pivot group
+    # (Spark's groupBy keeps it), and the plain equi-join zeroed its
+    # counts on NULL-bearing corpora (fuzz gate, r12).
 )
 def ev_unpivot_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): the wide per-user event-count matrix

@@ -198,7 +198,8 @@ def _source_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
 @register(
     "cur_temperature_mix",
     oracle=f"""
-    WITH f AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    WITH f AS (SELECT source, COUNT(*) AS n FROM documents
+               WHERE source IS NOT NULL GROUP BY source),
     w AS (SELECT source, n,
                  CAST(FLOOR(SQRT(n) * {TEMP_W_SCALE}) AS BIGINT) AS wq FROM f),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
@@ -226,9 +227,17 @@ def cur_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature_thresholds), making the whole recipe bit-reproducible
     in SQL; membership is the usual content-addressed md5 bucket
     (zero-shuffle narrow filter — the one aggregate here is this
-    query's own per-source report)."""
+    query's own per-source report).
+
+    NULL-source docs are excluded from the mix entirely (quotas AND
+    totals): an unattributable doc must not shift the quota of any
+    real domain, and the threshold ladder could never address it
+    anyway (caught by the fuzz gate's NULL-injection corpus, r12;
+    oracle filters in lockstep)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    counts = _source_counts(spark, sf_dir)
+    counts = {
+        s: n for s, n in _source_counts(spark, sf_dir).items() if s is not None
+    }
     kept = temperature_sample(docs, counts, TEMP_TARGET_PCT)
     report = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     # n_in from the memoized ANALYZE scalars, not a second corpus
@@ -846,8 +855,11 @@ def tx_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
            ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
            ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99
-    FROM t GROUP BY source
+    FROM t WHERE n_tokens IS NOT NULL GROUP BY source
     """,
+    # the histogram relation has no NULL bucket, so n_rows is the
+    # MEASURED sample size; the filter keeps the oracle's COUNT (and
+    # its all-NULL-group row set) aligned with that (fuzz gate, r12)
 )
 def tx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-length distribution (min/max/p50/p90/p99) via
@@ -1345,7 +1357,14 @@ def _bloom_oracle() -> str:
     """DuckDB oracle replicating operators/sketch.bloom_build bit by
     bit (same per-hash md5 salts, same word/bit packing) — membership
     is pure integer arithmetic, so candidate counts including FALSE
-    POSITIVES are under the exact value-hash gate."""
+    POSITIVES are under the exact value-hash gate.
+
+    The upass join must be LEFT: NULL-user events have no upass row
+    (hash of NULL is NULL), but they are still events — an INNER join
+    here silently dropped them from n_events while the Spark side
+    counted them (fuzz gate NULL corpus, r12).  NULL pass then counts
+    as not-a-candidate, matching bloom_prune's NULL-rejects-key
+    semi-join semantics."""
     from ..operators.sketch import BLOOM_BITS, BLOOM_K
 
     return f"""
@@ -1386,7 +1405,7 @@ def _bloom_oracle() -> str:
                 - SUM(CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_false_pos
     FROM events e
-    JOIN upass up USING (user_id)
+    LEFT JOIN upass up USING (user_id)
     LEFT JOIN allowed a ON a.k = e.user_id
     GROUP BY 1
     """

@@ -83,6 +83,22 @@ def _log_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _ns_join(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """user_id-keyed join with NULL-SAFE equality, right side broadcast
+    (every maintainer consult is bounded by the batch's users, never
+    the user dimension).
+
+    The batch operator (scd2_history) tracks the NULL user as a real
+    entity — window partitions treat NULL as a group — and the
+    maintainer's contract is that the incremental log read hash-matches
+    the one-shot batch rebuild on ANY input.  Spark's string-key join
+    uses plain equality, which silently dropped the NULL-user entity's
+    history at every keyed consult (fuzz gate NULL corpus, r12)."""
+    r = F.broadcast(right.withColumnRenamed("user_id", "__ns_uid"))
+    out = left.join(r, F.col("user_id").eqNullSafe(F.col("__ns_uid")), how)
+    return out if how == "left_semi" else out.drop("__ns_uid")
+
+
 def _latest_rows(
     spark: SparkSession,
     path: str,
@@ -108,7 +124,7 @@ def _latest_rows(
     if before_batch is not None:
         log = log.filter(F.col("batch_id") < F.lit(before_batch))
     if users is not None:
-        log = log.join(F.broadcast(users.select("user_id")), "user_id", "left_semi")
+        log = _ns_join(log, users.select("user_id"), "left_semi")
     w = Window.partitionBy("user_id")
     return log.withColumn("_maxb", F.max("batch_id").over(w)).filter(
         F.col("batch_id") == F.col("_maxb")
@@ -154,7 +170,15 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     # rollups, the history write) and would otherwise re-evaluate per
     # job — at the module's 100 TB framing that doubles the log-consult
     # I/O and re-reads the source sliver 4x (r10 review).
-    batch = batch.select("user_id", "event_type", "ts", "event_id").persist()
+    # NULL-state records are dropped AT INGEST (scd2_history's
+    # family-wide contract) — before the fold watermarks, so a
+    # malformed record can neither create a version nor advance
+    # last_ts/last_eid.
+    batch = (
+        batch.select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("event_type").isNotNull())
+        .persist()
+    )
     prior = None
     try:
         if _log_exists(spark, path):
@@ -174,7 +198,7 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
                 "user_id", "last_ts", "last_eid"
             )
             n_late = (
-                batch.join(F.broadcast(marks), "user_id")
+                _ns_join(batch, marks)
                 .filter(
                     (F.col("ts") < F.col("last_ts"))
                     & (F.col("event_id") > F.col("last_eid"))
@@ -198,7 +222,7 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
                 F.max("ts").alias("b_ts"), F.max("event_id").alias("b_eid")
             )
             new_marks = (
-                batch_marks.join(prior_marks, "user_id", "left")
+                _ns_join(batch_marks, prior_marks, "left")
                 .select(
                     "user_id",
                     F.greatest(F.col("b_ts"), F.coalesce("last_ts", "b_ts")).alias(
@@ -214,9 +238,7 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
             new_marks = batch.groupBy("user_id").agg(
                 F.max("ts").alias("last_ts"), F.max("event_id").alias("last_eid")
             )
-        new_hist = scd2_history(merged, keep_tiebreak=True).join(
-            F.broadcast(new_marks), "user_id"
-        )
+        new_hist = _ns_join(scd2_history(merged, keep_tiebreak=True), new_marks)
         write_batch(new_hist, batch_id, path)
     finally:
         batch.unpersist()
@@ -260,17 +282,17 @@ def backfill_scd2(
     users' events (user-bucketed storage turns that into a partition-
     pruned read at scale), never the whole corpus."""
     cols = ("user_id", "event_type", "ts", "event_id")
-    late = late.select(*cols)
+    # same ingest contract as apply_scd2_batch: NULL-state records
+    # neither repair histories nor advance watermarks
+    late = late.select(*cols).filter(F.col("event_type").isNotNull())
     affected = late.select("user_id").distinct()
-    merged = (
-        events.select(*cols)
-        .join(F.broadcast(affected), "user_id", "left_semi")
-        .unionByName(late)
-    )
+    merged = _ns_join(
+        events.select(*cols).filter(F.col("event_type").isNotNull()),
+        affected,
+        "left_semi",
+    ).unionByName(late)
     marks = merged.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"), F.max("event_id").alias("last_eid")
     )
-    new_hist = scd2_history(merged, keep_tiebreak=True).join(
-        F.broadcast(marks), "user_id"
-    )
+    new_hist = _ns_join(scd2_history(merged, keep_tiebreak=True), marks)
     write_batch(new_hist, batch_id, path)

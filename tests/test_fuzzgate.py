@@ -1,0 +1,103 @@
+"""Adversarial-corpus regression gate (compact form of
+scripts/fuzzgate.py, which sweeps the FULL registry over three mutation
+variants at round close).
+
+The r12 fuzz sweep found ~30 defects invisible on the benign driver
+corpus: NULL-text docs pairing with each other through a manufactured
+'' shingle, NULL grouping/join keys silently dropped by equi-joins the
+operators did not intend as filters, NULLS FIRST/LAST divergence in
+window orderings, nullable-boolean output columns that round-trip as
+None on one engine and NaN on the other, and ANSI-mode crashes
+(DIVIDE_BY_ZERO on zero-norm embeddings, NumberFormatException on
+nested JSON).  This module pins one representative query per fixed
+class against the NULL-injection corpus plus the crash class against
+the edge corpus, so the classes cannot silently recur between
+round-close sweeps.
+
+Corpora are built by scripts/fuzzgate.py's seeded mutators into tmp —
+deterministic, ~1 s to write; each query compare is the driver mirror.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from chinook_music_database_analysis_spark.plans import ORACLES, QUERIES
+from chinook_music_database_analysis_spark.sources import TABLES
+
+from conftest import assert_frames_match
+
+#: one representative per r12 fuzz-fix class, nulls corpus.
+NULLS_REPS = [
+    "dd_minhash_pairs",       # null-text '' shingle mega-cluster
+    "cur_contamination_report",  # oracle-side NULL "shingle" row
+    "ev_bloom_prune",         # oracle inner join dropped NULL-user events
+    "ev_unpivot_user_types",  # null-safe pivot-group join
+    "ev_scd2_incremental",    # maintainer ns-joins + NULL-state ingest drop
+    "ev_scd2_pit_lookup",     # asof_join NULL-key JOIN semantics
+    "cur_temperature_mix",    # None-key sort crash + NULL-source exclusion
+    "cur_stats_approx",       # rank-based sketch tolerance
+    "cur_winsorize",          # nullable-boolean output column
+    "tx_gopher_quality",      # NULL verdicts coalesced FALSE
+    "tx_length_quantiles",    # histogram sample-size vs COUNT(*)
+    "q16_order_value_frames", # NULLS FIRST/LAST window ordering
+    "s04_affinity_types_scaled",  # NULL type paired by in-row enumeration
+]
+
+#: ANSI crash class representatives, edge corpus (zero-norm vectors,
+#: nested JSON payloads).
+EDGE_REPS = [
+    "sim_bruteforce_topk",    # try_divide zero-norm cosine
+    "sim_outlier_audit",      # NULL-z ordering + zero-norm stats
+    "ev_json_extract",        # try_cast nested JSON
+    "ev_json_variant",        # try_variant_get nested JSON
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dirs(tmp_path_factory):
+    import fuzzgate
+
+    root = tmp_path_factory.mktemp("fuzz")
+    old_out = fuzzgate.OUT_ROOT
+    fuzzgate.OUT_ROOT = str(root)
+    try:
+        dirs = {v: fuzzgate.build_corpus(v) for v in ("nulls", "edge")}
+        # isolate the index store: these corpora must not collide with
+        # (or pollute) the session store of other tests
+        yield dirs
+    finally:
+        fuzzgate.OUT_ROOT = old_out
+
+
+def _oracle_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", NULLS_REPS)
+def test_nulls_corpus_parity(spark, fuzz_dirs, name):
+    sf_dir = fuzz_dirs["nulls"]
+    con = _oracle_con(sf_dir)
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = con.sql(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"nulls:{name}")
+
+
+@pytest.mark.parametrize("name", EDGE_REPS)
+def test_edge_corpus_parity(spark, fuzz_dirs, name):
+    sf_dir = fuzz_dirs["edge"]
+    con = _oracle_con(sf_dir)
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = con.sql(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"edge:{name}")
