@@ -58,6 +58,7 @@ KNOWN_GAPS: dict[str, dict[str, str]] = {
     "nulls": {},
     "ties": {},
     "edge": {},
+    "combo": {},
 }
 
 
@@ -197,10 +198,21 @@ def mutate_edge(t: dict[str, pd.DataFrame], rng) -> None:
     part.loc[part.index[rng.integers(len(part))], "p_name"] = "pärt ☃"
 
 
+def mutate_combo(t: dict[str, pd.DataFrame], rng) -> None:
+    """All three mutators stacked (edge last so its surgical rows
+    survive the tie-flood copies) — catches interactions a single
+    variant can't, e.g. a NULL key colliding with an exact tie in the
+    same window partition."""
+    mutate_nulls(t, rng)
+    mutate_ties(t, rng)
+    mutate_edge(t, rng)
+
+
 VARIANTS = {
     "nulls": (mutate_nulls, 1201),
     "ties": (mutate_ties, 1202),
     "edge": (mutate_edge, 1203),
+    "combo": (mutate_combo, 1204),
 }
 
 

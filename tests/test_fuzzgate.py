@@ -61,17 +61,18 @@ EDGE_REPS = [
 
 
 @pytest.fixture(scope="module")
-def fuzz_dirs(tmp_path_factory):
+def fuzz_dirs():
     import fuzzgate
 
-    root = tmp_path_factory.mktemp("fuzz")
+    # STABLE path (not pytest tmp): corpora are seed-deterministic, so
+    # a fixed location lets the fingerprint-keyed index store reuse its
+    # entries across suite runs — a per-run tmp dir would accrete two
+    # orphaned .index entries every run.
+    root = os.path.join(os.path.dirname(__file__), "..", ".scratch", "fuzz_ci")
     old_out = fuzzgate.OUT_ROOT
-    fuzzgate.OUT_ROOT = str(root)
+    fuzzgate.OUT_ROOT = os.path.abspath(root)
     try:
-        dirs = {v: fuzzgate.build_corpus(v) for v in ("nulls", "edge")}
-        # isolate the index store: these corpora must not collide with
-        # (or pollute) the session store of other tests
-        yield dirs
+        yield {v: fuzzgate.build_corpus(v) for v in ("nulls", "edge")}
     finally:
         fuzzgate.OUT_ROOT = old_out
 
