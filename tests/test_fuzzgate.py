@@ -24,6 +24,7 @@ import os
 import sys
 
 import duckdb
+import pandas as pd
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
@@ -102,3 +103,117 @@ def test_edge_corpus_parity(spark, fuzz_dirs, name):
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     oracle_pdf = con.sql(ORACLES[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"edge:{name}")
+
+
+# ---------------------------------------------------------------------------
+# Streaming on the NULL corpus: the stream-vs-batch equivalences in
+# test_streaming.py run on the clean driver corpus, so streaming-state
+# NULL-key handling (groupBy state keys, dropDuplicates state,
+# stream-stream join keys) had the same blind spot the batch fuzz
+# sweep closed.
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_stream_matches_batch_on_null_corpus(spark, fuzz_dirs):
+    from chinook_music_database_analysis_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts_stream,
+    )
+
+    sf_dir = fuzz_dirs["nulls"]
+    stream = tumbling_counts_stream(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "fz_tumbling", output_mode="complete").toPandas()
+    want = QUERIES["ev_tumbling_1h"](spark, sf_dir).toPandas()
+    assert_frames_match(got, want, "nulls:tumbling_stream_vs_batch")
+
+
+def test_dedup_stream_keys_match_batch_on_null_corpus(spark, fuzz_dirs):
+    from chinook_music_database_analysis_spark.streaming.events import (
+        dedup_within_watermark_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    sf_dir = fuzz_dirs["nulls"]
+    stream = dedup_within_watermark_stream(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "fz_dedup", output_mode="append").toPandas()
+    want = QUERIES["ev_dedup_first"](spark, sf_dir).toPandas()
+
+    # NULL keys must form ONE dedup state group (like batch), not leak
+    # one row per NULL-key event.  NaN != NaN in tuple sets, so
+    # normalize the NULL key before comparing.
+    def keys(df):
+        return {
+            (None if pd.isna(u) else u, None if t is None else t)
+            for u, t in df[["user_id", "event_type"]].itertuples(index=False)
+        }
+
+    assert keys(got) == keys(want)
+    assert len(got) == len(want)
+
+
+def test_stateful_totals_handle_null_state_key(spark, fuzz_dirs):
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.streaming.events import (
+        read_events_stream,
+    )
+    from chinook_music_database_analysis_spark.streaming.stateful import (
+        user_running_totals_stream,
+    )
+
+    sf_dir = fuzz_dirs["nulls"]
+    stream = user_running_totals_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("fz_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("fz_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+    )
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    key = lambda df: df.assign(  # noqa: E731 — NULL key sorts like any group
+        k=df.user_id.fillna(-1)
+    ).sort_values("k").reset_index(drop=True)
+    g, w = key(got), key(want)
+    assert (g.k == w.k).all() and (g.n_events == w.n_events).all()
+
+
+def test_interval_join_stream_matches_batch_on_null_corpus(spark, fuzz_dirs):
+    from pyspark.sql import functions as F
+
+    from chinook_music_database_analysis_spark.operators.temporal import range_join
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.streaming.events import (
+        interval_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    sf_dir = fuzz_dirs["nulls"]
+    stream = interval_join_stream(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "fz_interval", output_mode="append").toPandas()
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    want = range_join(errors, clicks, key="user_id", width_us=600_000_000).toPandas()
+    got_pairs = {tuple(r) for r in got[["err_id", "click_ts"]].itertuples(index=False)}
+    want_pairs = {tuple(r) for r in want[["err_id", "ts_r"]].itertuples(index=False)}
+    assert got_pairs == want_pairs and got_pairs
