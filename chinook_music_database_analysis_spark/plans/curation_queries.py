@@ -694,8 +694,12 @@ def cur_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").alias("_src"), "nn", "approx_p50", "n_docs", "exact_p50"
         )
     )
+    # INNER join: every apx group derives from d, so nothing is lost,
+    # and inner (unlike right-outer) lets the broadcast hint build on
+    # the tiny apx side — right-outer would silently degrade to a
+    # corpus shuffle
     ranks = (
-        d.join(apx, F.col("source").eqNullSafe(F.col("_src")), "right")
+        d.join(apx, F.col("source").eqNullSafe(F.col("_src")))
         .groupBy("_src", "nn", "approx_p50", "n_docs", "exact_p50")
         .agg(
             F.coalesce(
