@@ -114,18 +114,22 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r13 NOTE: 50/50 slots (3 + 25 + 13 + 9 above), all occupied by the
-# r12 mutation set — the fuzz-gate fixes displaced BOTH stale cohorts.
-# After r12 lands, r13 should lead with anything r13 mutates, then the
-# displaced r8-stale cohort (cur_corpus_health, cur_curriculum_sample,
-# cur_diverse_sample, cur_domain_cap, cur_epoch_batches,
-# cur_length_buckets, cur_line_dedup, cur_soft_quality_sample,
-# mm_phash, mm_phash_clusters, mm_phash_pairs, pipe_corpus_diff,
-# pipe_rag_index, tx_cms_tokens, tx_hybrid_batch, tx_hybrid_rrf,
-# tx_surprisal), then the r9 parity cohort (q01..q07 prefix displaced
-# this round plus the 30 listed in the r11 note: q08..q20, s01..s15,
-# sim_ivf*).  Recompute exact last-green rounds by scanning
-# CORRECTNESS_r*.json (rows+schema+hash all true, no err; max round
-# per name) rather than trusting this comment.
+# r13 NOTE: all 50 slots are occupied by the r12 mutation set — the
+# fuzz-gate fixes displaced BOTH stale cohorts.  Recomputed from
+# CORRECTNESS_r{1..11}.json at r12 close (rows+schema+hash all true,
+# no err; max round per name — rerun that scan rather than trusting
+# this list after r12's file lands): outside this window the stale
+# cohorts are EXACTLY
+#   r8 (17): cur_corpus_health, cur_curriculum_sample,
+#     cur_diverse_sample, cur_domain_cap, cur_epoch_batches,
+#     cur_length_buckets, cur_line_dedup, cur_soft_quality_sample,
+#     mm_phash, mm_phash_clusters, mm_phash_pairs, pipe_corpus_diff,
+#     pipe_rag_index, tx_cms_tokens, tx_hybrid_batch, tx_hybrid_rrf,
+#     tx_surprisal
+#   r9 (40): the parity cohort q01..q20 + s01..s07, s11, s13, s15 and
+#     sim_ivf_topk / sim_ivf_stride_topk / sim_filtered_ivf_topk
+#   r10 (24), r11 (38): everything else.
+# r13 should lead with anything r13 mutates, then the r8 17, then as
+# much of the r9 40 as fits.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -3120,10 +3120,16 @@ _register_watermark_audit()
 @register(
     "ev_json_extract",
     oracle="""
+    -- json_valid guard: Spark's get_json_object yields NULL for a
+    -- malformed document, while the bare regex would still match a
+    -- "k" inside truncated JSON (fuzz gate edge corpus, r12).
+    -- Single-quoted JSON is excluded from the corpus by contract
+    -- (Jackson leniency vs json_valid strictness).
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
-                AS BIGINT) AS sum_k
+           CAST(SUM(CASE WHEN json_valid(props) THEN
+                TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+                END) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -3149,21 +3155,24 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_json_variant",
     oracle="""
-    -- TRY_CASTs mirror the Spark side's try_variant_get: a nested or
-    -- non-integral k degrades to NULL instead of failing the scan,
-    -- and n_missing_k counts rows with NO INTEGRAL k (absent path,
-    -- nested object, malformed payload) on both engines (fuzz gate
-    -- edge corpus, r12)
+    -- The json_valid guard + TRY_CAST mirror the Spark side's
+    -- try_parse_json + try_variant_get: a MALFORMED payload (DuckDB's
+    -- json_extract_string THROWS on one, even under TRY_CAST) and a
+    -- nested or non-integral k both degrade to NULL instead of
+    -- failing the scan, and n_missing_k counts rows with NO INTEGRAL
+    -- k (absent path, nested object, malformed payload) on both
+    -- engines (fuzz gate edge corpus, r12)
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS max_k,
-           CAST(COUNT(*) FILTER (
-             WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
-             AS BIGINT) AS n_missing_k
-    FROM events GROUP BY event_type
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_missing_k
+    FROM (SELECT event_type,
+                 CASE WHEN json_valid(props) THEN
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END AS k
+          FROM events)
+    GROUP BY event_type
     """,
 )
 def ev_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:

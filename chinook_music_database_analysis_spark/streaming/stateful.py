@@ -63,8 +63,13 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
 #: users (state rows are re-serialized whole per touched bucket).
 DEFAULT_TOTALS_BUCKETS = 64
 
+#: The NULL-user group rides in dedicated scalar fields, NOT the key
+#: arrays: pandas index alignment is broken for NaN keys (NaN != NaN),
+#: and np.int64 arrays can't hold one.  ``hash(NULL)`` is a constant,
+#: so exactly one bucket ever populates them.
 BUCKET_STATE_SCHEMA = (
-    "users array<bigint>, ns array<bigint>, vs array<double>"
+    "users array<bigint>, ns array<bigint>, vs array<double>, "
+    "null_n bigint, null_v double"
 )
 
 
@@ -77,22 +82,41 @@ def _update_bucket_totals(
     import pandas as pd
 
     batch = pd.concat(list(pdfs), ignore_index=True)
-    agg = batch.groupby("user_id", sort=True)["value"].agg(["count", "sum"])
+    # NULL-user rows split out BEFORE the groupby: pandas groupby drops
+    # NaN keys silently, which would lose the NULL-user state group the
+    # per-key variant keeps (fuzz gate nulls corpus, r12).
+    null_mask = batch["user_id"].isna()
+    null_n_batch = int(null_mask.sum())
+    null_v_batch = float(batch.loc[null_mask, "value"].sum()) if null_n_batch else 0.0
+    nn = batch[~null_mask]
+    # size, not count: the per-key variant counts ROWS (len(pdf)), and
+    # "count" would skip rows whose VALUE is NULL (fuzz gate, r12).
+    # sum() skips NULL values on both variants.
+    agg = (
+        nn.assign(user_id=nn["user_id"].astype(np.int64))
+        .groupby("user_id", sort=True)["value"]
+        .agg(["size", "sum"])
+    )
     if state.exists:
-        users, ns, vs = state.get
+        users, ns, vs, null_n, null_v = state.get
         idx = np.asarray(users, dtype=np.int64)
         ns_s = pd.Series(np.asarray(ns, dtype=np.int64), index=idx)
         vs_s = pd.Series(np.asarray(vs, dtype=np.float64), index=idx)
         # prior + this batch's delta, per user (union of indexes) —
         # the same association as the per-key variant's ``v += sum``
-        ns_s = ns_s.add(agg["count"], fill_value=0).astype(np.int64)
-        vs_s = vs_s.add(agg["sum"], fill_value=0.0)
+        ns_s = ns_s.add(agg["size"], fill_value=0).astype(np.int64)
+        vs_s = vs_s.add(agg["sum"].fillna(0.0), fill_value=0.0)
     else:
-        ns_s = agg["count"].astype(np.int64)
-        vs_s = agg["sum"].astype(np.float64)
-    state.update((ns_s.index.tolist(), ns_s.tolist(), vs_s.tolist()))
+        null_n, null_v = 0, 0.0
+        ns_s = agg["size"].astype(np.int64)
+        vs_s = agg["sum"].fillna(0.0).astype(np.float64)
+    null_n += null_n_batch
+    null_v += null_v_batch
+    state.update(
+        (ns_s.index.tolist(), ns_s.tolist(), vs_s.tolist(), null_n, null_v)
+    )
     seen = agg.index  # emit only users present in THIS batch
-    yield pd.DataFrame(
+    out = pd.DataFrame(
         {
             "user_id": seen.to_numpy(),
             "n_events": ns_s.loc[seen].to_numpy(),
@@ -102,6 +126,21 @@ def _update_bucket_totals(
             "total_value": [round(x, 2) for x in vs_s.loc[seen]],
         }
     )
+    if null_n_batch:
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {
+                        "user_id": [None],
+                        "n_events": [null_n],
+                        "total_value": [round(null_v, 2)],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    yield out
 
 
 def user_running_totals_bucketed_stream(

@@ -25,6 +25,34 @@ Embedding vectors are never NULL-injected: a non-null fixed-dim vector
 is the documented corpus contract (the generators enforce it), and the
 similarity operators' oracles share it.
 
+Two engine-class divergences are excluded from the corpus BY
+CONTRACT, each verified empirically (r12) rather than assumed:
+
+- U+000B (vertical tab) in text: Java regex whitespace (``[ \\t\\n
+  \\x0B\\f\\r]``) includes VT, RE2's (``[\\t\\n\\f\\r ]``) does not, so
+  every whitespace tokenizer (shingles, token counts, quality
+  ratios) splits differently between Spark and DuckDB on VT.  That is a property of the regex engines, not of any
+  operator; production guidance is to normalize VT at ingest.  All
+  OTHER C0/C1 control characters (NUL, SOH, BEL, ESC, DEL, FS..US,
+  form feed) round-trip and tokenize identically in both engines and
+  ARE injected by the edge mutator.
+- Single-quoted JSON (``{'k': 5}``) in props: Spark's
+  ``get_json_object`` rides Jackson's single-quote leniency and
+  extracts the value, DuckDB's ``json_valid`` rejects the document.
+  Every OTHER malformed shape probed (truncated object/array, bare
+  garbage, missing value, lone brace, leading-zero int, NaN literal)
+  degrades to NULL identically under the ``json_valid``-guarded
+  oracles and IS injected.
+
+NULL event timestamps remain un-injected BY DESIGN: NULL event-time
+rows are dropped by watermarked streaming operators but visible to
+their batch twins, so stream-vs-batch equivalence over a NULL-ts
+corpus is false by specification, not by defect.  The batch oracles'
+NULL-ts semantics are already exercised through o_orderdate /
+l_shipdate NULL injection; a streaming NULL-ts compare would need a
+spec of its own (drop-rate accounting, not row parity) and is not an
+operator-correctness signal.
+
 Usage:
   python scripts/fuzzgate.py --variant nulls|ties|edge|all
                              [--only name1,name2] [--resume]
@@ -133,7 +161,11 @@ _EDGE_TEXTS = [
     "עברית İstanbul ẞharp \U0001f680\U0001f680",
     "éé å combining",
     "line1\nline2\tend",
-    "ctrlchar",
+    # real C0 control chars + DEL: each one verified to round-trip
+    # and tokenize identically in Spark and DuckDB; \x0B (VT) is
+    # excluded by contract (Java regex \s includes VT, RE2's does
+    # not -- module docstring)
+    "ctl\x00nul \x01soh\x07bel mid \x1besc\x7fdel \x1c\x1d\x1e\x1f\x0c end",
     "spam " * 500,
     "1234567890 !!! ??? ...",
     "abcабвابc123",
@@ -167,11 +199,25 @@ def mutate_edge(t: dict[str, pd.DataFrame], rng) -> None:
     burst = rng.choice(len(ev), size=10, replace=False)
     ev.loc[ev.index[burst], "ts"] = ev["ts"].iloc[burst[0]]       # same instant
     ev.loc[ev.index[burst[:3]], "user_id"] = int(ev["user_id"].iloc[burst[0]])
-    pidx = rng.choice(len(ev), size=4, replace=False)
-    ev.loc[ev.index[pidx[0]], "props"] = "{}"
-    ev.loc[ev.index[pidx[1]], "props"] = '{"k": 1, "j": 2}'
-    ev.loc[ev.index[pidx[2]], "props"] = '{"k": -5}'
-    ev.loc[ev.index[pidx[3]], "props"] = '{"k": {"x": 1}}'        # nested
+    _props = [
+        "{}",
+        '{"k": 1, "j": 2}',
+        '{"k": -5}',
+        '{"k": {"x": 1}}',   # nested
+        # malformed shapes — every one degrades to NULL k in BOTH
+        # engines under the json_valid-guarded oracles (probed r12);
+        # single-quoted JSON excluded by contract (module docstring)
+        '{"k": 5',           # truncated object
+        "not json at all",
+        '{"k": }',           # missing value
+        "[1, 2",             # truncated array
+        "{",
+        '{"k": 01}',         # leading zero — invalid per RFC, both strict
+        '{"k": NaN}',        # DuckDB json_valid accepts, regex/cast -> NULL
+    ]
+    pidx = rng.choice(len(ev), size=len(_props), replace=False)
+    for j, payload in enumerate(_props):
+        ev.loc[ev.index[pidx[j]], "props"] = payload
     vidx = rng.choice(len(ev), size=3, replace=False)
     ev.loc[ev.index[vidx[0]], "value"] = 0.0
     ev.loc[ev.index[vidx[1]], "value"] = -50.0
@@ -215,6 +261,13 @@ VARIANTS = {
     "combo": (mutate_combo, 1204),
 }
 
+#: Bump when ANY mutator changes: the on-disk corpora are cached
+#: behind a .complete marker, and a marker written by an older
+#: mutator would otherwise silently serve a stale corpus to the gate
+#: (r12: the control-char and malformed-JSON additions would have
+#: been invisible to every cached run).
+CORPUS_VERSION = 2
+
 
 # ---------------------------------------------------------------------------
 # Corpus build: read base parquet -> mutate -> write with the ORIGINAL
@@ -227,8 +280,12 @@ def build_corpus(variant: str, rebuild: bool = False) -> str:
 
     out_dir = os.path.join(OUT_ROOT, variant)
     marker = os.path.join(out_dir, ".complete")
+    stamp = f"v={CORPUS_VERSION} seed={VARIANTS[variant][1]} base={BASE}\n"
     if os.path.exists(marker) and not rebuild:
-        return out_dir
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out_dir
+        # marker from an older mutator/seed/base: rebuild in place
     os.makedirs(out_dir, exist_ok=True)
     mutate, seed = VARIANTS[variant]
     rng = np.random.default_rng(seed)
@@ -250,7 +307,7 @@ def build_corpus(variant: str, rebuild: bool = False) -> str:
         out = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
         pq.write_table(out, f"{out_dir}/{name}.parquet")
     with open(marker, "w") as fh:
-        fh.write(f"seed={VARIANTS[variant][1]} base={BASE}\n")
+        fh.write(stamp)
     return out_dir
 
 

@@ -217,3 +217,93 @@ def test_interval_join_stream_matches_batch_on_null_corpus(spark, fuzz_dirs):
     got_pairs = {tuple(r) for r in got[["err_id", "click_ts"]].itertuples(index=False)}
     want_pairs = {tuple(r) for r in want[["err_id", "ts_r"]].itertuples(index=False)}
     assert got_pairs == want_pairs and got_pairs
+
+
+def test_bucketed_totals_match_per_key_on_null_corpus(spark, fuzz_dirs):
+    """r12: the bucketed totals variant must equal the per-key variant
+    on a corpus with NULL user_ids AND NULL values — pandas groupby
+    drops NaN keys (losing the NULL-user state group) and "count"
+    skips NULL values (the per-key variant counts rows); both fixed
+    with this as the pin."""
+    from chinook_music_database_analysis_spark.streaming.events import (
+        read_events_stream,
+    )
+    from chinook_music_database_analysis_spark.streaming.stateful import (
+        user_running_totals_bucketed_stream,
+        user_running_totals_stream,
+    )
+
+    sf_dir = fuzz_dirs["nulls"]
+
+    def drain(builder, name):
+        q = (
+            builder(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(name).toPandas()
+        # availableNow may split the drain across micro-batches, and
+        # the two variants need not batch identically — compare each
+        # user's FINAL running totals (max n_events row).
+        df = df.sort_values(["n_events"]).groupby("user_id", dropna=False).last()
+        return df.sort_index().reset_index()
+
+    got = drain(user_running_totals_bucketed_stream, "fz_bkt_totals")
+    want = drain(user_running_totals_stream, "fz_perkey_totals")
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert (got["user_id"].isna() == want["user_id"].isna()).all()
+    assert got["user_id"].isna().any()  # the corpus really has NULL keys
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (got["total_value"] == want["total_value"]).all()
+
+
+def test_vt_whitespace_divergence_contract(spark):
+    """Canary for the fuzz-corpus contract that excludes U+000B: Java
+    regex \\s includes VT, RE2's does not.  If an engine upgrade makes
+    these agree, the exclusion (scripts/fuzzgate.py docstring) should
+    be lifted and VT injected like the other control chars."""
+    from pyspark.sql import functions as F
+
+    txt = "a\x0bb c"
+    n_spark = (
+        spark.range(1)
+        .select(F.size(F.split(F.lit(txt), r"\s+")).alias("n"))
+        .collect()[0]["n"]
+    )
+    n_duck = duckdb.sql(
+        "SELECT len(string_split_regex(?, '\\s+')) AS n", params=[txt]
+    ).fetchone()[0]
+    assert n_spark == 3  # Java \s splits on VT
+    assert n_duck == 2   # RE2 \s does not
+    # ...and every injected control char still agrees:
+    agree = "x\x00\x01\x07\x1b\x7f\x1c\x1d\x1e\x1fy z"
+    n_s = (
+        spark.range(1)
+        .select(F.size(F.split(F.lit(agree), r"\s+")).alias("n"))
+        .collect()[0]["n"]
+    )
+    n_d = duckdb.sql(
+        "SELECT len(string_split_regex(?, '\\s+')) AS n", params=[agree]
+    ).fetchone()[0]
+    assert n_s == n_d == 2
+
+
+def test_single_quote_json_divergence_contract(spark):
+    """Canary for the fuzz-corpus contract that excludes single-quoted
+    JSON: Spark's get_json_object (Jackson) leniently extracts from
+    {'k': 5}, DuckDB's json_valid rejects it.  If an upgrade aligns
+    them, inject the shape like the other malformed payloads."""
+    from pyspark.sql import functions as F
+
+    doc = "{'k': 5}"
+    got = (
+        spark.range(1)
+        .select(F.get_json_object(F.lit(doc), "$.k").alias("k"))
+        .collect()[0]["k"]
+    )
+    assert got == "5"  # Jackson leniency
+    assert duckdb.sql("SELECT json_valid(?)", params=[doc]).fetchone()[0] is False
