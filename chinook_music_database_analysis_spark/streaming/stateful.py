@@ -116,31 +116,22 @@ def _update_bucket_totals(
         (ns_s.index.tolist(), ns_s.tolist(), vs_s.tolist(), null_n, null_v)
     )
     seen = agg.index  # emit only users present in THIS batch
-    out = pd.DataFrame(
-        {
-            "user_id": seen.to_numpy(),
-            "n_events": ns_s.loc[seen].to_numpy(),
-            # Python round(x, 2), matching the per-key variant exactly
-            # (np.round reaches half-even through a scaled multiply and
-            # can land differently on representation edges)
-            "total_value": [round(x, 2) for x in vs_s.loc[seen]],
-        }
-    )
+    # One constructor, object-dtype key when the NULL-user row rides
+    # along (concat of an all-NA column is deprecated in pandas and
+    # the mixed frame would land there anyway).
+    users_out: list = seen.tolist()
+    ns_out: list = ns_s.loc[seen].tolist()
+    # Python round(x, 2), matching the per-key variant exactly
+    # (np.round reaches half-even through a scaled multiply and
+    # can land differently on representation edges)
+    vs_out: list = [round(x, 2) for x in vs_s.loc[seen]]
     if null_n_batch:
-        out = pd.concat(
-            [
-                out,
-                pd.DataFrame(
-                    {
-                        "user_id": [None],
-                        "n_events": [null_n],
-                        "total_value": [round(null_v, 2)],
-                    }
-                ),
-            ],
-            ignore_index=True,
-        )
-    yield out
+        users_out.append(None)
+        ns_out.append(null_n)
+        vs_out.append(round(null_v, 2))
+    yield pd.DataFrame(
+        {"user_id": users_out, "n_events": ns_out, "total_value": vs_out}
+    )
 
 
 def user_running_totals_bucketed_stream(
