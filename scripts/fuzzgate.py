@@ -19,7 +19,18 @@ each variant:
   tie-break path faces real ties.
 - ``edge``   — surgical extremes: empty/whitespace/unicode/huge text,
   zero-norm and huge-magnitude embeddings, same-instant event bursts,
-  nested/empty JSON props, epoch/far-future dates, 100% discounts.
+  nested/empty/malformed JSON props, epoch/far-future dates, 100%
+  discounts, real control characters.
+- ``skew``   — hot grouping/join keys: 30-50% of each fact table
+  collapses onto one user / part / customer / brand+type / nation /
+  source+lang / label.  Values are untouched, so exact oracle parity
+  still gates the results — this variant verifies that giant groups,
+  hot join sides, and single-partition-dominating windows stay
+  VALUE-correct (the perf side of skew is scalecheck/AQE territory).
+  Text content is deliberately not skewed beyond the ties variant's
+  10% duplication: the containment family's hot-shingle guard refuses
+  corpus shapes it documents as unsafe, and that refusal is its own
+  tested contract.
 
 Embedding vectors are never NULL-injected: a non-null fixed-dim vector
 is the documented corpus contract (the generators enforce it), and the
@@ -87,6 +98,7 @@ KNOWN_GAPS: dict[str, dict[str, str]] = {
     "ties": {},
     "edge": {},
     "combo": {},
+    "skew": {},
 }
 
 
@@ -244,6 +256,26 @@ def mutate_edge(t: dict[str, pd.DataFrame], rng) -> None:
     part.loc[part.index[rng.integers(len(part))], "p_name"] = "pärt ☃"
 
 
+def _collapse(df: pd.DataFrame, cols: list[str], frac: float, rng) -> None:
+    """Point FRAC of the rows' key columns at row 0's values — one hot
+    key per column set, the 100 TB key-distribution shape."""
+    n = len(df)
+    hot = rng.choice(n, size=int(n * frac), replace=False)
+    for c in cols:
+        df.loc[df.index[hot], c] = df[c].iloc[0]
+
+
+def mutate_skew(t: dict[str, pd.DataFrame], rng) -> None:
+    _collapse(t["events"], ["user_id"], 0.50, rng)
+    _collapse(t["events"], ["event_type"], 0.30, rng)
+    _collapse(t["lineitem"], ["l_partkey"], 0.40, rng)
+    _collapse(t["orders"], ["o_custkey"], 0.30, rng)
+    _collapse(t["part"], ["p_brand", "p_type"], 0.50, rng)
+    _collapse(t["customer"], ["c_nationkey"], 0.40, rng)
+    _collapse(t["documents"], ["source", "lang"], 0.40, rng)
+    _collapse(t["embeddings"], ["label"], 0.40, rng)
+
+
 def mutate_combo(t: dict[str, pd.DataFrame], rng) -> None:
     """All three mutators stacked (edge last so its surgical rows
     survive the tie-flood copies) — catches interactions a single
@@ -259,6 +291,7 @@ VARIANTS = {
     "ties": (mutate_ties, 1202),
     "edge": (mutate_edge, 1203),
     "combo": (mutate_combo, 1204),
+    "skew": (mutate_skew, 1205),
 }
 
 #: Bump when ANY mutator changes: the on-disk corpora are cached

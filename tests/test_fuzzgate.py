@@ -51,6 +51,17 @@ NULLS_REPS = [
     "s04_affinity_types_scaled",  # NULL type paired by in-row enumeration
 ]
 
+#: skew representatives: hot grouping/join keys must stay
+#: VALUE-correct (giant rank groups, hot join sides, multiplicity
+#: compression, per-domain caps, the skew-salted join itself).
+SKEW_REPS = [
+    "q02_top_parts_nation0",      # two-stage global rank over hot part groups
+    "ev_heavy_keys",              # Misra-Gries on its native input shape
+    "s15_skew_salted",            # the salted-join query under real skew
+    "s04_affinity_types_scaled",  # multiplicity-product pair counts, one hot type
+    "cur_domain_cap",             # per-domain cap with one dominating domain
+]
+
 #: ANSI crash class representatives, edge corpus (zero-norm vectors,
 #: nested JSON payloads).
 EDGE_REPS = [
@@ -73,7 +84,7 @@ def fuzz_dirs():
     old_out = fuzzgate.OUT_ROOT
     fuzzgate.OUT_ROOT = os.path.abspath(root)
     try:
-        yield {v: fuzzgate.build_corpus(v) for v in ("nulls", "edge")}
+        yield {v: fuzzgate.build_corpus(v) for v in ("nulls", "edge", "skew")}
     finally:
         fuzzgate.OUT_ROOT = old_out
 
@@ -94,6 +105,15 @@ def test_nulls_corpus_parity(spark, fuzz_dirs, name):
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     oracle_pdf = con.sql(ORACLES[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"nulls:{name}")
+
+
+@pytest.mark.parametrize("name", SKEW_REPS)
+def test_skew_corpus_parity(spark, fuzz_dirs, name):
+    sf_dir = fuzz_dirs["skew"]
+    con = _oracle_con(sf_dir)
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = con.sql(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"skew:{name}")
 
 
 @pytest.mark.parametrize("name", EDGE_REPS)
