@@ -277,12 +277,16 @@ def mutate_skew(t: dict[str, pd.DataFrame], rng) -> None:
 
 
 def mutate_combo(t: dict[str, pd.DataFrame], rng) -> None:
-    """All three mutators stacked (edge last so its surgical rows
-    survive the tie-flood copies) — catches interactions a single
-    variant can't, e.g. a NULL key colliding with an exact tie in the
-    same window partition."""
+    """All four mutators stacked (edge last so its surgical rows
+    survive the tie-flood copies and the key collapses) — catches
+    interactions a single variant can't, e.g. a NULL key colliding
+    with an exact tie in the same window partition, or a hot key whose
+    collapsed value IS NULL (skew's hot value is row 0's, which the
+    nulls pass may have nulled — both engines read the same parquet,
+    so parity still gates the hot-NULL-group case)."""
     mutate_nulls(t, rng)
     mutate_ties(t, rng)
+    mutate_skew(t, rng)
     mutate_edge(t, rng)
 
 
@@ -298,8 +302,8 @@ VARIANTS = {
 #: behind a .complete marker, and a marker written by an older
 #: mutator would otherwise silently serve a stale corpus to the gate
 #: (r12: the control-char and malformed-JSON additions would have
-#: been invisible to every cached run).
-CORPUS_VERSION = 2
+#: been invisible to every cached run).  v3: skew stacked into combo.
+CORPUS_VERSION = 3
 
 
 # ---------------------------------------------------------------------------
