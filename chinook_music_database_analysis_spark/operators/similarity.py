@@ -536,10 +536,25 @@ def knn_graph(
     fwd = _bucket_windowed_directed(buckets, window).select(
         F.col("va").alias("src_id"), F.col("vb").alias("nbr_id")
     )
+    # Both edge directions from ONE execution of the windowed-expansion
+    # subtree (r12): a self-union evaluates `fwd` twice per run (each
+    # union branch is an independent subtree — the bucket join and
+    # position window re-ran for the reversed copy); exploding a 2-array
+    # of (fwd, reversed) structs emits the identical row multiset in a
+    # single pass.
     cand = (
-        fwd.unionByName(
-            fwd.select(F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id"))
+        fwd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src_id"), F.col("nbr_id")),
+                    F.struct(
+                        F.col("nbr_id").alias("src_id"),
+                        F.col("src_id").alias("nbr_id"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src_id", "e.nbr_id")
         .distinct()
     )
     wn = with_norms(emb) if norms is None else norms

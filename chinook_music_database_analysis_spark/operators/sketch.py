@@ -197,12 +197,10 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
     return hll_estimate(hll_registers(df, key, group), group)
 
 
-def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
-    """The (group, j, m_j) register relation of :func:`hll_distinct` —
-    exposed separately because registers are the MERGEABLE sketch
-    state: element-wise ``max`` of two register sets is the sketch of
-    the union of their streams, which is what lets pre-aggregated
-    per-partition/per-day sketches roll up without raw data."""
+def _hll_rho_rows(df: DataFrame, key: str, group: str) -> DataFrame:
+    """Pre-aggregation HLL rows ``(group, j, rho)`` — the shared hash /
+    register-index / rank derivation of :func:`hll_registers` and the
+    single-pass pivot in :func:`hll_overlap`."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll|"), F.col(key).cast("string"))), 1, 15),
         16,
@@ -219,14 +217,23 @@ def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
         F.pmod(h, F.lit(HLL_M)).alias("j"),
         h.alias("_h"),
     ).select(group, "j", F.expr(f"_h DIV {HLL_M}").alias("w"))
+    return rows.select(
+        group,
+        "j",
+        F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.length(F.expr("bin(w & -w)")))
+        .alias("rho"),
+    )
+
+
+def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
+    """The (group, j, m_j) register relation of :func:`hll_distinct` —
+    exposed separately because registers are the MERGEABLE sketch
+    state: element-wise ``max`` of two register sets is the sketch of
+    the union of their streams, which is what lets pre-aggregated
+    per-partition/per-day sketches roll up without raw data."""
     return (
-        rows.select(
-            group,
-            "j",
-            F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1))
-            .otherwise(F.length(F.expr("bin(w & -w)")))
-            .alias("rho"),
-        )
+        _hll_rho_rows(df, key, group)
         .groupBy(group, "j")
         .agg(F.max("rho").alias("m_j"))
     )
@@ -269,67 +276,80 @@ def hll_overlap(
     """Distinct-key overlap between two groups via HLL REGISTER
     ALGEBRA: |A ∩ B| estimated as est(A) + est(B) - est(A ∪ B), where
     the union sketch is the element-wise ``max`` merge of A's and B's
-    register sets — no third pass over the data, the defining
-    mergeable-summary move (a COUNT(DISTINCT) intersection would
-    re-shuffle both groups' raw keys; the merge touches 2 x 256
+    register sets — ONE pass over the data builds both sketches, the
+    defining mergeable-summary move (a COUNT(DISTINCT) intersection
+    would re-shuffle both groups' raw keys; the merge touches 2 x 256
     register rows).  Returns one row
     (est_a, est_b, est_union, est_inter) with est_inter floored at 0
     (inclusion-exclusion over estimates can go negative on tiny
     overlaps)."""
-    regs = hll_registers(
+    # Single-pass pivot (r12 optimization): the previous composition
+    # filtered the register relation per group and full-outer-joined it
+    # with itself, so ONE logical stream was scanned and aggregated 4x
+    # (est_a, est_b, and both union sides) and three 1-row relations
+    # were re-attached by scalar-anchor crossJoins.  Pivoting the
+    # register max per group into one (j, m_a, m_b) row and finishing
+    # all three estimates inside ONE global aggregate computes the
+    # identical register sets and identical estimate arithmetic — same
+    # max per (group, j), same exact-int64 harmonic sums, same
+    # table-served LinearCounting — from a single scan, one register
+    # exchange and one 1-row exchange, no joins at all.  An empty group
+    # falls out naturally: zero pivot rows give v = m and the LC table
+    # serves round(m*ln(m/m)) = 0, exactly the zero row the old
+    # union-a-literal guard produced.
+    rows = _hll_rho_rows(
         df.filter(F.col(group).isin(a, b)).select(group, key), key, group
     )
-    ra = regs.filter(F.col(group) == a).select("j", F.col("m_j").alias("m_a"))
-    rb = regs.filter(F.col(group) == b).select("j", F.col("m_j").alias("m_b"))
-    ru = ra.join(rb, "j", "full_outer").select(
-        F.lit("u").alias("_g"),
-        "j",
-        F.greatest(F.coalesce("m_a", F.lit(0)), F.coalesce("m_b", F.lit(0))).alias(
-            "m_j"
-        ),
-    )
-    spark = df.sparkSession
-
-    def _est_or_zero(est: DataFrame, name: str) -> DataFrame:
-        # An EMPTY group has no register rows, so its estimate relation
-        # is 0-row — which would empty the whole crossJoin composition
-        # (r10 review; the docstring promises exactly one row).  Union
-        # a literal 0 and keep the larger: estimates are >= 0, so the
-        # real row wins whenever one exists.
-        zero = spark.range(1).select(F.lit(0).cast("bigint").alias(name))
-        return est.unionByName(zero).orderBy(F.col(name).desc()).limit(1)
-
-    ea = _est_or_zero(
-        hll_estimate(
-            regs.filter(F.col(group) == a).withColumn("_g", F.lit("a")), "_g"
-        ).select(F.col("hll_est").alias("est_a")),
-        "est_a",
-    )
-    eb = _est_or_zero(
-        hll_estimate(
-            regs.filter(F.col(group) == b).withColumn("_g", F.lit("b")), "_g"
-        ).select(F.col("hll_est").alias("est_b")),
-        "est_b",
-    )
-    eu = _est_or_zero(
-        hll_estimate(ru, "_g").select(F.col("hll_est").alias("est_union")),
-        "est_union",
-    )
-    # 1-row x 1-row composition: broadcast the right sides so the plan
-    # is the scalar-anchor BroadcastNestedLoopJoin, never a
-    # CartesianProduct (the global plan gate forbids the latter).
-    return (
-        ea.crossJoin(F.broadcast(eb))
-        .crossJoin(F.broadcast(eu))
-        .select(
-            "est_a",
-            "est_b",
-            "est_union",
-            F.greatest(
-                F.lit(0).cast("bigint"),
-                F.col("est_a") + F.col("est_b") - F.col("est_union"),
-            ).alias("est_inter"),
+    piv = (
+        rows.groupBy("j")
+        .agg(
+            F.max(F.when(F.col(group) == a, F.col("rho"))).alias("m_a"),
+            F.max(F.when(F.col(group) == b, F.col("rho"))).alias("m_b"),
         )
+        .withColumn(
+            "m_u",
+            F.greatest(F.coalesce("m_a", F.lit(0)), F.coalesce("m_b", F.lit(0))),
+        )
+    )
+
+    def _sp(col: str) -> F.Column:
+        # partial harmonic sum over the registers the side actually hit
+        return F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, 53 - {col})")), F.lit(0).cast("bigint")
+        ).alias(f"sp_{col[2:]}")
+
+    one = piv.agg(
+        _sp("m_a"),
+        F.count("m_a").alias("n_a"),
+        _sp("m_b"),
+        F.count("m_b").alias("n_b"),
+        _sp("m_u"),
+        F.count("m_u").alias("n_u"),
+    )
+    lc = F.array(*[F.lit(v) for v in _hll_lc_table()])
+
+    def _est(side: str) -> F.Column:
+        # s = present-register sum + 2^53 per empty register; v = empties
+        v = F.lit(HLL_M) - F.col(f"n_{side}")
+        s = F.col(f"sp_{side}") + v.cast("bigint") * F.lit(1 << 53)
+        raw = F.lit(HLL_ALPHA_NUM) / s.cast("double")
+        return (
+            F.when(
+                (raw <= F.lit(HLL_LC_THRESHOLD)) & (v > 0),
+                F.element_at(lc, v.cast("int")).cast("bigint"),
+            )
+            .otherwise(F.round(raw).cast("bigint"))
+            .alias(f"est_{side}" if side != "u" else "est_union")
+        )
+
+    return one.select(_est("a"), _est("b"), _est("u")).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ).alias("est_inter"),
     )
 
 

@@ -1050,12 +1050,18 @@ def ev_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
     est = hll_overlap(ev, "user_id", "event_type", HLL_OVL_A, HLL_OVL_B)
+    # Exact INTERSECT audit in one pass (r12): pivot per-user presence
+    # flags instead of scanning events twice and set-joining — same
+    # set semantics (distinct user_ids, NULL = NULL, exactly what
+    # INTERSECT computes), one scan + one shuffle on user_id.
     ex = (
-        ev.filter(F.col("event_type") == HLL_OVL_A)
-        .select("user_id")
-        .intersect(
-            ev.filter(F.col("event_type") == HLL_OVL_B).select("user_id")
+        ev.filter(F.col("event_type").isin(HLL_OVL_A, HLL_OVL_B))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == HLL_OVL_A, F.lit(1))).alias("_a"),
+            F.max(F.when(F.col("event_type") == HLL_OVL_B, F.lit(1))).alias("_b"),
         )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_inter"))
     )
     return est.crossJoin(F.broadcast(ex))
@@ -1254,31 +1260,34 @@ def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANALYZE-style collect (the PageRank-superstep pattern).  The
     corpus-total column multiplies per-word symbol counts by word
     frequency — corpus numbers without a second corpus pass."""
-    from functools import reduce as _reduce
-
     from ..operators.text import BPE_SEP
 
     def build() -> DataFrame:
-        parts = []
+        # Collect each round's 1-row symbol total from the training
+        # chain's persisted round relation and serve a LITERAL
+        # DataFrame (r12 optimization): the former lazy union of R
+        # 1-row aggregates embedded the whole fold chain's lineage, so
+        # every consumer execution re-paid Catalyst analysis over the
+        # R-round plan.  The totals are ANALYZE-pattern bounded
+        # scalars (R rows, one per round — the same driver-pacing the
+        # argmax collects already do); the values, types and order are
+        # byte-identical to what the union computed.
+        rows = []
         for rnd, x, y, n_pair, seq_df in _bpe_seqs(spark, sf_dir):
-            total = seq_df.agg(
-                F.sum(F.col("cnt") * F.size(F.split(F.col("seq"), BPE_SEP)))
-                .cast("bigint")
-                .alias("corpus_syms")
+            total = (
+                seq_df.agg(
+                    F.sum(F.col("cnt") * F.size(F.split(F.col("seq"), BPE_SEP)))
+                    .cast("bigint")
+                    .alias("corpus_syms")
+                ).collect()[0]["corpus_syms"]
             )
-            parts.append(
-                total.select(
-                    F.lit(rnd).cast("int").alias("rnd"),
-                    F.lit(x).alias("x"),
-                    F.lit(y).alias("y"),
-                    F.lit(n_pair).cast("bigint").alias("n_pair"),
-                    "corpus_syms",
-                )
-            )
-        return _reduce(lambda a, b: a.unionByName(b), parts).orderBy("rnd")
+            rows.append((int(rnd), x, y, int(n_pair), int(total)))
+        return spark.createDataFrame(
+            rows, "rnd int, x string, y string, n_pair bigint, corpus_syms bigint"
+        ).orderBy("rnd")
 
-    # Memoized per (session, sf_dir, table-set): the argmax collects
-    # run once; warm bench reps reuse the cached 6-row result.
+    # Memoized per (session, sf_dir, table-set): the per-round total
+    # collects run once; warm bench reps reuse the cached 6-row result.
     return _cached("bpe_encode", spark, sf_dir, build)
 
 
@@ -2175,31 +2184,56 @@ def _register_pca() -> None:
         # docstring)
         thr = int(_math2.floor(_emb_count(spark, sf_dir) * PCA_DRIFT_BASE_FRAC))
 
-        def means(df):
-            agg = df.groupBy("label").agg(
+        # ONE corpus pass (r12 optimization): the base slice's sums are
+        # conditional sums inside the same groupBy(label) aggregate —
+        # identical addends (base rows are a vec_id filter of the same
+        # scan), identical per-branch quantization, so the means are
+        # bit-equal to the former two-pass + join form while halving
+        # the corpus scans and dropping the label-key join/shuffle.
+        # NULL labels are filtered up front: the previous inner join on
+        # label dropped them after aggregating, so the group never
+        # survived anyway.  A base-empty label (n_b = 0) is dropped by
+        # the same filter that the inner join used to apply.
+        base = F.col("vec_id") < F.lit(thr)
+
+        def _mu(n_col: str, pre: str):
+            sums = F.array(*[F.col(f"{pre}{i}") for i in range(1, d + 1)])
+            return F.transform(
+                sums,
+                lambda x: F.floor(x / F.col(n_col) * F.lit(1e6) + F.lit(5e-1))
+                / F.lit(1e6),
+            )
+
+        agg = (
+            emb.filter(F.col("label").isNotNull())
+            .groupBy("label")
+            .agg(
                 F.count(F.lit(1)).cast("double").alias("n"),
+                F.count(F.when(base, F.lit(1))).cast("double").alias("n_b"),
                 *[
                     F.sum(
                         F.element_at(F.col("embedding"), i).cast("double")
                     ).alias(f"s{i}")
                     for i in range(1, d + 1)
                 ],
+                *[
+                    F.sum(
+                        F.when(
+                            base,
+                            F.element_at(F.col("embedding"), i).cast("double"),
+                        )
+                    ).alias(f"b{i}")
+                    for i in range(1, d + 1)
+                ],
             )
-            sums = F.array(*[F.col(f"s{i}") for i in range(1, d + 1)])
-            return agg.select(
-                "label",
-                "n",
-                F.transform(
-                    sums,
-                    lambda x: F.floor(x / F.col("n") * F.lit(1e6) + F.lit(5e-1))
-                    / F.lit(1e6),
-                ).alias("mu"),
-            )
-
-        mb = means(emb.filter(F.col("vec_id") < F.lit(thr))).select(
-            "label", F.col("n").alias("n_b"), F.col("mu").alias("mu_b")
         )
-        mf = means(emb)
+        mf = agg.filter(F.col("n_b") > 0).select(
+            "label",
+            "n",
+            "n_b",
+            _mu("n", "s").alias("mu"),
+            _mu("n_b", "b").alias("mu_b"),
+        )
         diff2 = F.aggregate(
             F.sequence(F.lit(1), F.lit(d)),
             F.lit(0.0),
@@ -2208,8 +2242,7 @@ def _register_pca() -> None:
             * (F.element_at("mu", i) - F.element_at("mu_b", i)),
         )
         return (
-            mf.join(mb, "label")
-            .select(
+            mf.select(
                 "label",
                 F.col("n_b").cast("long").alias("n_base"),
                 F.col("n").cast("long").alias("n_full"),

@@ -21,6 +21,7 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,6 +55,27 @@ def get_spark(app_name: str = "chinook-spark") -> SparkSession:
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing knobs, env-parameterised and MEASURED
+        # (r12, guide §2.2 / OPTIMIZATION_r12.md): parallelismFirst
+        # stays at Spark's default TRUE.  The byte-respecting variant
+        # (false + 64 MB advisory) was swept against it over 16
+        # representative queries at sf0.1: it wins nothing the default
+        # doesn't already coalesce (tiny shuffles hit the 1 MB floor
+        # and collapse either way) and costs 1.5-2.5x on CPU-dense,
+        # byte-light reduce stages (s04's rid-window self-join, q06's
+        # two-stage agg) by squeezing them to 1 task.  On a cluster
+        # whose shuffles are TB-sized the two settings converge
+        # (bytes/parallelism >> advisory), so the default is also the
+        # scale-correct choice; deployments with many small concurrent
+        # queries can flip it via env.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -79,10 +101,62 @@ def ensure_session_confs(spark: SparkSession) -> None:
         pass  # conf locked down (e.g. Spark Connect policy) — proceed
 
 
+#: (app id, table path) -> (file-stat signature, DataFrame).  Reader
+#: memo (r12): every query build calls ``spark.read.parquet`` per table
+#: it touches, and each call re-lists the path and re-reads the footer
+#: through py4j (~15-40 ms) — pure per-query fixed cost that the bench
+#: pays on EVERY rep of EVERY query.  The DataFrame is a lazy plan, not
+#: data, so reusing it is catalog-style plan reuse, not result caching:
+#: every action still scans the parquet files.  Staleness guard: the
+#: signature (size + mtime_ns of the file, or of every entry of a
+#: directory table) is re-checked on every lookup, so a rewritten
+#: table is a miss and reloads — the failure mode of identity-keyed
+#: caches that bit r11 cannot occur.  LRU-capped so long sessions
+#: touching many generated corpora don't accumulate dead plans.
+_READ_MEMO: OrderedDict = OrderedDict()
+_READ_MEMO_MAX = 256
+
+
+def _path_sig(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        entries = []
+        with os.scandir(path) as it:
+            for e in it:
+                s2 = e.stat()
+                entries.append((e.name, s2.st_size, s2.st_mtime_ns))
+        entries.sort()
+        return (st.st_mtime_ns, st.st_size, tuple(entries))
+    except OSError:
+        return None  # unreadable/odd layout -> never memoize
+
+
+def _app_id(spark: SparkSession) -> str:
+    sc = spark.sparkContext
+    app = getattr(sc, "_graft_app_id", None)
+    if app is None:
+        app = sc.applicationId
+        sc._graft_app_id = app
+    return app
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sig = _path_sig(path)
+    key = (_app_id(spark), path)
+    rec = _READ_MEMO.get(key)
+    if rec is not None and sig is not None and rec[0] == sig:
+        _READ_MEMO.move_to_end(key)
+        return rec[1]
+    df = spark.read.parquet(path)
     if name == "events":
         df = _normalize_event_ts(df)
+    if sig is not None:
+        _READ_MEMO[key] = (sig, df)
+        while len(_READ_MEMO) > _READ_MEMO_MAX:
+            _READ_MEMO.popitem(last=False)
     return df
 
 
