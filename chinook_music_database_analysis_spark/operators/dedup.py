@@ -155,11 +155,18 @@ def _candidate_intersections(
     + the join spine) and Spark re-executes unpersisted subtrees per
     reference.
     """
+    # Persisted (r12): this candidate-restricted relation is referenced
+    # THREE times downstream (sizes + both intersection sides) and
+    # Spark re-executes unpersisted subtrees per reference — the
+    # dd_ngram_jaccard profile measured the semi-join at 0.41 s of a
+    # 1.57 s query, paid 3x.  State is bounded by the candidate set
+    # (the function's own scale contract), so the cache is
+    # candidate-sized at any corpus size.
     sh_cand = sh.join(
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
         "doc_id",
         "leftsemi",
-    )
+    ).persist()
     # only candidate docs reach the score join, so set sizes come from
     # the semi-filtered relation, not a full-corpus aggregate
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -644,3 +644,40 @@ def test_table_set_seq_survives_dict_id_reuse():
     finally:
         TABLE_OVERRIDES.pop(h, None)
         table_set_seq(h)  # evict the record for the final mount too
+
+
+def test_reader_memo_reuses_and_detects_rewrite(spark, tmp_path):
+    """r12 reader memo: load_tables must serve the SAME lazy relation
+    for an unchanged table path (the per-build footer re-read was pure
+    fixed cost), and a REWRITTEN path — same name, new bytes — must be
+    a signature miss that reloads, serving the new rows (the stale-
+    cache failure mode the stat signature exists to prevent)."""
+    import shutil
+
+    from chinook_music_database_analysis_spark.sources import load_tables
+    from chinook_music_database_analysis_spark.sources.session import _READ_MEMO
+
+    d = tmp_path / "memo_sf"
+    d.mkdir()
+    for t in ("region", "nation"):
+        shutil.copy(f"{SF_TEST_DIR}/{t}.parquet", d / f"{t}.parquet")
+    sf = str(d)
+    df1 = load_tables(spark, sf)["region"]
+    df2 = load_tables(spark, sf)["region"]
+    assert df1 is df2, "unchanged path must hit the reader memo"
+    n_before = df1.count()
+
+    # rewrite the file with a 1-row slice (new size => new signature)
+    one = spark.read.parquet(f"{SF_TEST_DIR}/region.parquet").limit(1).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(one), d / "region.parquet")
+    df3 = load_tables(spark, sf)["region"]
+    assert df3 is not df1, "rewritten path must be a signature miss"
+    assert df3.count() == 1 and n_before > 1
+
+    # memo stays LRU-bounded
+    from chinook_music_database_analysis_spark.sources.session import _READ_MEMO_MAX
+
+    assert len(_READ_MEMO) <= _READ_MEMO_MAX
