@@ -19,6 +19,17 @@ uniformly ~1.45x slower).  A median with recorded spread lets the
 next round diff wall time without re-deriving the noise story from
 PERF.md narrative.
 
+Store/memo accounting (round-13, the r12 verdict's item 3): the
+on-disk index store for THIS corpus is wiped before the cold pass
+(SPARK_GRAFT_BENCH_WIPE_INDEX=0 keeps it), so cold numbers pay index
+training on every invocation; the JSON line carries
+``"index": {"wiped", "tr", "ld"}`` (store kinds trained in-run vs
+served pre-baked) plus ``memo_n``/``store_n`` — how many warm plans
+contain an InMemoryRelation (session-memoized relations) or scan the
+index store — with per-query flags and full lists in
+BENCH_DETAIL.json.  Cold totals are therefore not comparable to
+pre-r13 rounds (whose colds served pre-baked stores).
+
 Output discipline (round-3 fix): the capture that parses this line
 keeps only the LAST ~2000 bytes of stdout, so the final line must stay
 under that budget no matter how large the suite grows.  The final
@@ -82,6 +93,38 @@ def main() -> None:
 
     spark = get_spark("chinook-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # De-gamed store accounting (r13, r12 verdict item 3): the on-disk
+    # ANN/signature index store (`.index/`) survives between bench runs
+    # by design (it models a corpus-versioned index artifact), which
+    # meant the COLD pass never paid index training after the first
+    # run on a corpus.  The bench now wipes the store for its own
+    # corpus before the cold pass (default; SPARK_GRAFT_BENCH_WIPE_
+    # INDEX=0 keeps it, e.g. for quick re-runs), so cold_total includes
+    # training at least once per bench invocation, and the JSON line
+    # reports which store kinds were trained vs served pre-baked plus
+    # which warm numbers are memo-served (see store/memo fields below).
+    index_wiped = False
+    if os.environ.get("SPARK_GRAFT_BENCH_WIPE_INDEX", "1") != "0":
+        try:
+            import re as _re
+            import shutil as _shutil
+
+            from chinook_music_database_analysis_spark.plans.extensions import (
+                _INDEX_ROOT,
+            )
+
+            tag = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir).strip("_")
+            target = os.path.join(_INDEX_ROOT, tag)
+            if os.path.isdir(target):
+                _shutil.rmtree(target, ignore_errors=True)
+                index_wiped = True
+            print(
+                f"# index store wiped for cold pass: {index_wiped} ({target})",
+                file=sys.stderr,
+            )
+        except Exception as ex:
+            print(f"# index wipe: ERROR {type(ex).__name__}: {ex}"[:200], file=sys.stderr)
 
     try:
         names = sorted(QUERIES)
@@ -162,6 +205,52 @@ def main() -> None:
         total = round(sum(timings.values()), 3)
         cache_after_warm = _cache_state()
         reread = _reread_probe(spark, sf_dir)
+
+        # Machine-readable serving provenance (r13, verdict item 3):
+        # which warm medians time a memo-served relation (plan contains
+        # an InMemoryRelation — the session `_MEMO` caches) and which
+        # read the on-disk index store (a scan over `.index/`), plus
+        # the per-kind store events (trained in THIS run vs pre-baked
+        # load).  Untimed: plans are rendered once per query after the
+        # warm pass.
+        plan_flags: dict[str, dict] = {}
+        try:
+            from chinook_music_database_analysis_spark.plans.extensions import (
+                _INDEX_ROOT as _idx_root,
+            )
+        except Exception:
+            _idx_root = "/.index"
+        for name in names:
+            if name in errors:
+                continue
+            try:
+                qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+                txt = qe.optimizedPlan().toString() + qe.executedPlan().toString()
+                plan_flags[name] = {
+                    "memo": "InMemoryRelation" in txt,
+                    "store": _idx_root in txt,
+                }
+            except Exception:
+                pass
+        try:
+            from chinook_music_database_analysis_spark.plans.extensions import (
+                STORE_EVENTS,
+            )
+
+            store_events = dict(sorted(STORE_EVENTS.items()))
+        except Exception:
+            store_events = {}
+        memo_served = sorted(n for n, f in plan_flags.items() if f["memo"])
+        store_read = sorted(n for n, f in plan_flags.items() if f["store"])
+        store_trained = sorted(k for k, v in store_events.items() if v == "train")
+        print(
+            f"# store kinds trained this run: {len(store_trained)}; "
+            f"loaded pre-baked: "
+            f"{len([v for v in store_events.values() if v == 'load'])}; "
+            f"warm plans memo-served: {len(memo_served)}, "
+            f"store-reading: {len(store_read)}",
+            file=sys.stderr,
+        )
         print(
             f"# page cache (cached_kb before_cold/after_cold/after_warm): "
             f"{cache_before_cold.get('cached_kb')}/"
@@ -386,6 +475,11 @@ def main() -> None:
                 "after_warm": cache_after_warm,
                 "reread_probe_sec": reread,
             },
+            "index_wiped_before_cold": index_wiped,
+            "store_events": store_events,
+            "plan_flags": plan_flags,
+            "memo_served_queries": memo_served,
+            "store_read_queries": store_read,
         }
         if streaming_sec is not None:
             detail["streaming_stateful_sec"] = streaming_sec
@@ -427,6 +521,18 @@ def main() -> None:
             if spread
             else None,
             "detail": "BENCH_DETAIL.json",
+            # serving provenance (r13): counts here, full lists in the
+            # sidecar — `wiped` means the cold pass paid index training,
+            # `tr`/`ld` = store kinds trained this run vs pre-baked,
+            # `memo_n`/`store_n` = warm plans that are memo-served /
+            # read the index store.
+            "index": {
+                "wiped": index_wiped,
+                "tr": len(store_trained),
+                "ld": len([v for v in store_events.values() if v == "load"]),
+            },
+            "memo_n": len(memo_served),
+            "store_n": len(store_read),
         }
         if streaming_sec is not None:
             out["streaming_stateful_sec"] = streaming_sec

@@ -140,8 +140,25 @@ def minhash_candidate_pairs(
     )
 
 
+def candidate_restricted_shingles(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """The shingle relation semi-restricted to candidate docs — the
+    shared input of :func:`_candidate_intersections`, stated separately
+    so callers can persist/memoize ONE instance per (session, corpus):
+    it is referenced three times downstream (sizes + both intersection
+    sides) and Spark re-executes unpersisted subtrees per reference —
+    the r12 dd_ngram_jaccard profile measured the semi-join at 0.41 s
+    of a 1.57 s query, paid 3x.  State is bounded by the candidate set
+    (the function's own scale contract), so a cache is candidate-sized
+    at any corpus size."""
+    return sh.join(
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
+        "doc_id",
+        "leftsemi",
+    )
+
+
 def _candidate_intersections(
-    sh: DataFrame, cand: DataFrame
+    sh: DataFrame, cand: DataFrame, sh_cand: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate/verify scaffolding: semi-restrict the shingle
     relation to candidate docs, then count per-pair shared shingles.
@@ -153,20 +170,15 @@ def _candidate_intersections(
     LSH band / probe filters).  Callers should pass a persisted ``cand``
     relation — it is referenced three times here (the sa/sb semi-filter
     + the join spine) and Spark re-executes unpersisted subtrees per
-    reference.
+    reference — and a cached ``sh_cand``
+    (:func:`candidate_restricted_shingles`) for the same reason.  The
+    r12 form persisted sh_cand HERE, which leaked: every build pinned a
+    new relation that no reset path could release (r12 advice) — the
+    cache lifetime decision now belongs to the caller (plans/extensions
+    memoizes it per session+corpus, released by reset_memo).
     """
-    # Persisted (r12): this candidate-restricted relation is referenced
-    # THREE times downstream (sizes + both intersection sides) and
-    # Spark re-executes unpersisted subtrees per reference — the
-    # dd_ngram_jaccard profile measured the semi-join at 0.41 s of a
-    # 1.57 s query, paid 3x.  State is bounded by the candidate set
-    # (the function's own scale contract), so the cache is
-    # candidate-sized at any corpus size.
-    sh_cand = sh.join(
-        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct(),
-        "doc_id",
-        "leftsemi",
-    ).persist()
+    if sh_cand is None:
+        sh_cand = candidate_restricted_shingles(sh, cand)
     # only candidate docs reach the score join, so set sizes come from
     # the semi-filtered relation, not a full-corpus aggregate
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -216,21 +228,22 @@ def ngram_jaccard_pairs(
     shingles: DataFrame | None = None,
     bands: DataFrame | None = None,
     candidates: DataFrame | None = None,
+    sh_cand: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard, verified only on LSH candidates
     (candidate/verify split — never all-pairs).
 
-    ``shingles``/``bands`` accept persisted relations; the shingle set
-    is read three times (two intersection sides + sizes) and the band
-    relation twice, so callers should cache them (plans/extensions
-    does, keyed per session+sf)."""
+    ``shingles``/``bands``/``sh_cand`` accept persisted relations; the
+    candidate-restricted shingle set is read three times (two
+    intersection sides + sizes) and the band relation twice, so callers
+    should cache them (plans/extensions does, keyed per session+sf)."""
     sh = shingles if shingles is not None else doc_shingles(docs)
     cand = (
         candidates
         if candidates is not None
         else minhash_candidate_pairs(docs, bands=bands)
     )
-    inter, sizes = _candidate_intersections(sh, cand)
+    inter, sizes = _candidate_intersections(sh, cand, sh_cand=sh_cand)
     jac = F.round(
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -703,6 +716,7 @@ def containment_pairs(
     shingles: DataFrame | None = None,
     bands: DataFrame | None = None,
     candidates: DataFrame | None = None,
+    sh_cand: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment over the LSH candidate pairs —
     the snippet/quote detector symmetric Jaccard misses: a short doc
@@ -734,7 +748,7 @@ def containment_pairs(
         if candidates is not None
         else minhash_candidate_pairs(docs, bands=bands)
     )
-    inter, sizes = _candidate_intersections(sh, cand)
+    inter, sizes = _candidate_intersections(sh, cand, sh_cand=sh_cand)
     return _containment_scores(_pair_set_sizes(inter, sizes), threshold)
 
 

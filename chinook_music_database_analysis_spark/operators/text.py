@@ -324,6 +324,7 @@ def tfidf_top_terms(
     top_k: int = 3,
     idf_scale: int = 1_000_000,
     max_tf: int | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top ``top_k`` characteristic terms per document by TF-IDF — the
     keyword-extraction pass feeding corpus exploration and topic
@@ -366,10 +367,19 @@ def tfidf_top_terms(
             f"* n_docs={n_docs} > (2^63-1)/{idf_scale} — lower idf_scale "
             "or pre-filter the hot terms"
         )
+    # ``postings`` accepts the persisted (doc_id, term, tf) inverted
+    # relation (:func:`bm25_corpus_relations` — row-identical to the
+    # derivation below by construction: same tokens_expr, same
+    # (doc, term) count), so consumers sharing the BM25 store never
+    # re-tokenize the corpus per execution (r13, guide §2.4).
     tf = (
-        docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        postings
+        if postings is not None
+        else (
+            docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     )
     idf = tf.groupBy("term").agg(
         F.expr(f"CAST({n_docs} AS BIGINT) * {idf_scale} div count(1)").alias("idf_q")
@@ -386,7 +396,9 @@ def tfidf_top_terms(
     )
 
 
-def unigram_surprisal(docs: DataFrame, scale: int = 1000) -> DataFrame:
+def unigram_surprisal(
+    docs: DataFrame, scale: int = 1000, postings: DataFrame | None = None
+) -> DataFrame:
     """Per-document unigram-LM cross-entropy (bits/token) — the cheap
     stand-in for the CCNet/Wikipedia-LM perplexity filter used in
     training-data pipelines: documents whose tokens are "too
@@ -413,10 +425,16 @@ def unigram_surprisal(docs: DataFrame, scale: int = 1000) -> DataFrame:
     idf-style join keyed by term -> per-doc hash-agg.  Universal-term
     join skew is AQE-split like tfidf's.
     """
+    # ``postings`` — same persisted-inverted-relation reuse as
+    # tfidf_top_terms (row-identical to the inline derivation).
     tf = (
-        docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        postings
+        if postings is not None
+        else (
+            docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))

@@ -22,83 +22,77 @@ from . import scale_queries  # noqa: E402,F401
 # it was green before.  Every entry keeps its oracle; only dict iteration
 # order changes.
 #
-# Round 10 window (50/50): (0) the EIGHT never-driver-checked r9
-# registrations (the PCA family, the BPE closers) — the only gap
-# between the local and driver pictures per the r9 verdict; (1) the
-# five queries MUTATED in r10 (BPE empty-token guard: tx_bpe_merges /
-# tx_bpe_encode; mrl_topk memoized corpus count: sim_mrl_topk; router
-# route-recorder: sim_range_search / sim_lsh_topk — plans unchanged
-# but the code path was touched, so re-verify); (2) the r3-stale
-# cohort (streaming + multimodal — last driver green seven rounds
-# ago); (3) 30 of the 36 r5-stale queries.  The 6 r5 leftovers
-# (pipe_training_set, sim_sq8_topk, tx_gopher_quality, tx_keyphrases,
-# tx_repetition, tx_tfidf) plus the r6 cohort lead the r11 window.
+# Round 13 window (50/50), per the r12 verdict's item 1 plus standing
+# policy (anything mutated this round leads): (0) the five r12
+# rewrites whose CURRENT code has no driver CORRECTNESS row (the
+# window was rotated before the rewrites landed) plus their two
+# flagged cohort-mates (sim_knn_graph, s04_scaled — r12-green but
+# settled by matched-window A/B this round, scripts/ab_r13.py);
+# (1) the queries MUTATED in r13: tx_tfidf / tx_surprisal now read the
+# persisted BM25 postings relation, sim_bruteforce_topk / tx_hybrid_*
+# the persisted norm relation, dd_ngram_jaccard / dd_containment*
+# route the candidate-restricted shingle relation through the session
+# memo (persist-leak fix); (2) the r8-stale cohort (last driver green
+# five rounds ago); (3) 22 of the r9-stale 40.  The r9 leftovers
+# (q15/q17/q18/q20, s01-s07, s11, s13, s15, sim_ivf_topk,
+# sim_filtered_ivf_topk) lead the r14 window.
 # ---------------------------------------------------------------------------
 _WINDOW_FIRST = [
-    # (0) ev_heavy_keys first: its r11 pass-4 oracle mutation (the
-    # NULL-key clause) is the one registry entry whose CURRENT oracle
-    # text has never been driver-checked (r11 verdict task 1).
-    "ev_heavy_keys",
-    # (1) mutated earlier in r12: s14's oracle node CTE is now src
-    # UNION dst; s10 is code-touched via sources/versioned.py.
-    "s14_brand_pagerank",
-    "s10_add_column",
-    # (2) the r12 FUZZ-GATE fix set (scripts/fuzzgate.py): every entry
-    # below had its oracle text and/or operator code changed this
-    # round while aligning NULL / tie / edge-value semantics between
-    # engines (see PERF.md "r12 adversarial-corpus gate").  Mutated
-    # queries lead the window by standing policy.
-    # -- oracle-text mutations (events/SCD2/JSON family):
-    "ev_scd2_user_state",
-    "ev_scd2_snapshot",
-    "ev_scd2_incremental",
-    "ev_scd2_pit_lookup",
-    "ev_state_durations",
-    "ev_asof_error_before_click",
-    "ev_bloom_prune",
-    "ev_unpivot_user_types",
-    "ev_json_extract",
-    "ev_json_variant",
-    # -- oracle and/or plan mutations (curation/text/parity):
-    "cur_temperature_mix",
-    "cur_stats_approx",
-    "cur_winsorize",
-    "cur_contamination_report",
-    "cur_decontam",
-    "cur_boilerplate",
-    "cur_leakage_safe_split",
-    "tx_length_quantiles",
-    "tx_gopher_quality",
-    "tx_fingerprint",
-    "tx_keyphrases",
-    "q16_order_value_frames",
+    # (0) r12 rewrites never driver-checked in their current form:
+    "ev_hll_overlap",
+    "sim_label_drift",
+    "tx_bpe_encode",
+    "mm_phash_pairs",
+    "sim_ivf_stride_topk",
+    # -- their flagged cohort-mates (r13 A/B kept both rewrites):
+    "sim_knn_graph",
     "s04_affinity_types_scaled",
-    "mm_media_features",
-    "mm_resize",
-    # -- shingle null-guard (operators/text.py) consumers:
-    "dd_minhash_pairs",
-    "dd_minhash_estimate",
+    # (1) mutated in r13 (results identical, code path changed):
+    "tx_tfidf",
+    "tx_surprisal",
+    "sim_bruteforce_topk",
+    "tx_hybrid_batch",
+    "tx_hybrid_rrf",
     "dd_ngram_jaccard",
     "dd_containment",
     "dd_containment_scale",
-    "dd_canonical",
-    "dd_incremental",
-    "dd_dup_clusters",
-    "dd_dup_ngrams",
-    "dd_semantic",
-    "dd_cdc_chunks",
-    "dd_cdc_incremental",
-    "dd_simhash_pairs",
-    # -- zero-norm try_divide (operators/similarity.py) consumers:
-    "sim_bruteforce_topk",
-    "sim_outlier_audit",
-    "dd_embedding_cosine",
-    "sim_knn_graph",
-    "sim_filtered_topk",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "sim_mrl_topk",
-    "cur_cluster_sample",
+    # (2) the r8-stale cohort (minus entries already listed above):
+    "cur_corpus_health",
+    "cur_curriculum_sample",
+    "cur_diverse_sample",
+    "cur_domain_cap",
+    "cur_epoch_batches",
+    "cur_length_buckets",
+    "cur_line_dedup",
+    "cur_soft_quality_sample",
+    "mm_phash",
+    "mm_phash_clusters",
+    "pipe_corpus_diff",
+    "pipe_rag_index",
+    "tx_cms_tokens",
+    # (3) r9-stale parity cohort, alphabetical head:
+    "q01_dupes",
+    "q01_nulls",
+    "q02_top_parts_nation0",
+    "q03_demographics",
+    "q03b_segment_geo",
+    "q04_rev_by_geo",
+    "q04b_topk_nations",
+    "q04c_rollup_geo",
+    "q04d_cube_geo",
+    "q04e_grouping_sets",
+    "q05_top5_cust_per_nation",
+    "q06_top_part_per_cust",
+    "q07_purchase_trends",
+    "q08_churn_rate",
+    "q09_type_pct_nation0",
+    "q09b_top_brands_top_types",
+    "q10_multi_type_cust",
+    "q10b_approx_distinct",
+    "q11_type_rank_nation0",
+    "q12_inactive_3mo",
+    "q13_no_big_order",
+    "q14_rolling_90d_spend",
 ]
 
 
@@ -114,22 +108,16 @@ def _rotate_window(first: list[str]) -> None:
 
 _rotate_window(_WINDOW_FIRST)
 
-# r13 NOTE: all 50 slots are occupied by the r12 mutation set — the
-# fuzz-gate fixes displaced BOTH stale cohorts.  Recomputed from
-# CORRECTNESS_r{1..11}.json at r12 close (rows+schema+hash all true,
-# no err; max round per name — rerun that scan rather than trusting
-# this list after r12's file lands): outside this window the stale
-# cohorts are EXACTLY
-#   r8 (17): cur_corpus_health, cur_curriculum_sample,
-#     cur_diverse_sample, cur_domain_cap, cur_epoch_batches,
-#     cur_length_buckets, cur_line_dedup, cur_soft_quality_sample,
-#     mm_phash, mm_phash_clusters, mm_phash_pairs, pipe_corpus_diff,
-#     pipe_rag_index, tx_cms_tokens, tx_hybrid_batch, tx_hybrid_rrf,
-#     tx_surprisal
-#   r9 (40): the parity cohort q01..q20 + s01..s07, s11, s13, s15 and
-#     sim_ivf_topk / sim_ivf_stride_topk / sim_filtered_ivf_topk
+# r14 NOTE (recomputed from CORRECTNESS_r{1..12}.json at r13 open —
+# rows_match+schema_match+hash_match all true, no err; max round per
+# name; rerun that scan once CORRECTNESS_r13 lands rather than
+# trusting this list): after this window runs, the stale cohorts are
+#   r9 (17 left): q15_spend_distribution, q17_top_spender_maxby,
+#     q18_price_profile_arrays, q20_stats_profile, s01..s07, s11,
+#     s13_zorder_locality, s15_skew_salted, sim_ivf_topk,
+#     sim_filtered_ivf_topk
 #   r10 (24), r11 (38): everything else.
-# r13 should lead with anything r13 mutates, then the r8 17, then as
-# much of the r9 40 as fits.
+# r14 should lead with anything r14 mutates, then the r9 17, then as
+# much of the r10 24 as fits.
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -639,11 +639,20 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (integer-quantized IDF so
-    both engines rank in exact int64 arithmetic)."""
+    both engines rank in exact int64 arithmetic).  The (doc, term, tf)
+    relation is served from the persisted BM25 postings store (r13,
+    guide §2.4 — row-identical to re-tokenizing by construction), so
+    each execution is a postings scan + two hash-aggs + the top-k
+    window, never a corpus re-tokenization."""
     from ..operators.text import tfidf_top_terms
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return tfidf_top_terms(docs, n_docs=_doc_count(spark, sf_dir), top_k=3)
+    return tfidf_top_terms(
+        docs,
+        n_docs=_doc_count(spark, sf_dir),
+        top_k=3,
+        postings=_bm25_postings(spark, sf_dir),
+    )
 
 
 @register(
@@ -1368,10 +1377,13 @@ def tx_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=HYBRID_DEPTH,
         max_dl=_max_dl(spark, sf_dir),
     ).select("query_id", "doc_id", "rank")
+    from .extensions import _emb_norms
+
     dense = cosine_topk(
         load_tables(spark, sf_dir)["embeddings"],
         n_queries=len(BM25_BATCH),
         k=HYBRID_DEPTH,
+        norms=_emb_norms(spark, sf_dir),
     ).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
     )
@@ -1440,10 +1452,13 @@ def tx_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         doclens=_bm25_doclens(spark, sf_dir),
         max_dl=_max_dl(spark, sf_dir),
     ).select("doc_id", "rank")
+    from .extensions import _emb_norms
+
     dense = cosine_topk(
         load_tables(spark, sf_dir)["embeddings"],
         n_queries=HYBRID_QUERY_VEC + 1,
         k=HYBRID_DEPTH,
+        norms=_emb_norms(spark, sf_dir),
     ).select(
         F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
     )

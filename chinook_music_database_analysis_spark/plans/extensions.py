@@ -121,6 +121,21 @@ _INDEX_ROOT = _os.environ.get(
         _os.path.dirname(_os.path.abspath(__file__)))), ".index")
 )
 
+#: kind -> "load" | "train" | "session", recorded by _persisted_index
+#: for every store access in this process (r13, verdict item 3): the
+#: bench reads this to report machine-readably which index relations
+#: were served pre-baked from disk ("load") vs actually trained inside
+#: the measured run ("train") vs session-cached without a store
+#: ("session", mounted override tables).  Append-only per kind with
+#: "train" winning over "load" — a kind that trained at least once in
+#: the run was PAID in the run.
+STORE_EVENTS: dict[str, str] = {}
+
+
+def _store_event(kind: str, event: str) -> None:
+    if event == "train" or STORE_EVENTS.get(kind) != "train":
+        STORE_EVENTS[kind] = event
+
 
 def _corpus_fp(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> str:
     """Corpus fingerprint: md5 over the source's file manifest
@@ -252,6 +267,7 @@ def _persisted_index(
     if cache is False and writer is None:
         writer = lambda df, path: df.write.mode("overwrite").parquet(path)  # noqa: E731
     if _table_set_id(sf_dir) is not None:
+        _store_event(kind, "session")
         return _cached(kind, spark, sf_dir, build, cache=writer is None)
 
     def load_or_build() -> DataFrame:
@@ -263,9 +279,11 @@ def _persisted_index(
         fp_file = _os.path.join(d, "_FINGERPRINT")
         try:
             if _os.path.exists(fp_file) and open(fp_file).read().strip() == fp:
+                _store_event(kind, "load")
                 return spark.read.parquet(_os.path.join(d, "data"))
         except Exception:
             pass  # unreadable store — rebuild below
+        _store_event(kind, "train")
         # Staging dir is unique per process+attempt so two concurrent
         # sessions building the same store can't rmtree each other's
         # in-progress tmp; a lost rename race (the other writer just
@@ -490,6 +508,24 @@ def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_pairs", spark, sf_dir,
         lambda: minhash_candidate_pairs(
             load_tables(spark, sf_dir)["documents"], bands=_bands(spark, sf_dir)
+        ),
+    )
+
+
+def _ngram_sh_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-restricted shingle relation for the MinHash-LSH
+    verify stages — session-cached (r13): the r12 form persisted this
+    inside operators.dedup per BUILD, which leaked executor storage
+    (every execution pinned a new relation no reset path could
+    release).  One memoized instance per (session, corpus) serves all
+    three downstream references and every bench rep, and reset_memo
+    releases it with the rest of the _MEMO relations."""
+    from ..operators.dedup import candidate_restricted_shingles
+
+    return _cached(
+        "ngram_sh_cand", spark, sf_dir,
+        lambda: candidate_restricted_shingles(
+            _shingles(spark, sf_dir), _cand_pairs(spark, sf_dir)
         ),
     )
 
@@ -1155,6 +1191,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir)["documents"],
         shingles=_shingles(spark, sf_dir),
         candidates=_cand_pairs(spark, sf_dir),
+        sh_cand=_ngram_sh_cand(spark, sf_dir),
     )
 
 
@@ -1331,8 +1368,15 @@ _SQL_COS = _sql_cos("q.qe", "e.embedding")
     """,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for queries vec_id < 10."""
-    return cosine_topk(load_tables(spark, sf_dir)["embeddings"])
+    """Exact cosine top-5 neighbors for queries vec_id < 10.  Norms
+    come from the persisted per-vector norm store (r13, guide §2.4):
+    the stored doubles are the output of the SAME fold expression over
+    the same corpus, so scores are bit-identical while each execution
+    skips the N per-vector norm folds."""
+    return cosine_topk(
+        load_tables(spark, sf_dir)["embeddings"],
+        norms=_emb_norms(spark, sf_dir),
+    )
 
 
 @register(
@@ -3762,10 +3806,16 @@ def tx_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy (bits/token) per document — the cheap
     perplexity-filter stand-in; per-term surprisal is fixed-point
     quantized once so all accumulation is exact integer math
-    (operators.text.unigram_surprisal)."""
+    (operators.text.unigram_surprisal).  The (doc, term, tf) relation
+    is served from the persisted BM25 postings store (r13, guide §2.4
+    — row-identical to re-tokenizing by construction)."""
     from ..operators.text import unigram_surprisal
+    from .curation_queries import _bm25_postings
 
-    return unigram_surprisal(load_tables(spark, sf_dir)["documents"])
+    return unigram_surprisal(
+        load_tables(spark, sf_dir)["documents"],
+        postings=_bm25_postings(spark, sf_dir),
+    )
 
 
 @register(

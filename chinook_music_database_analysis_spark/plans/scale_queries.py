@@ -1281,7 +1281,14 @@ def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("corpus_syms")
                 ).collect()[0]["corpus_syms"]
             )
-            rows.append((int(rnd), x, y, int(n_pair), int(total)))
+            # total collects as None when a round's seq_df is empty
+            # (SUM over zero rows) — preserve the lazy-union form's
+            # NULL corpus_syms instead of crashing the build (r12
+            # advice).
+            rows.append(
+                (int(rnd), x, y, int(n_pair),
+                 int(total) if total is not None else None)
+            )
         return spark.createDataFrame(
             rows, "rnd int, x string, y string, n_pair bigint, corpus_syms bigint"
         ).orderBy("rnd")

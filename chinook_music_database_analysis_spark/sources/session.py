@@ -115,6 +115,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
 #: touching many generated corpora don't accumulate dead plans.
 _READ_MEMO: OrderedDict = OrderedDict()
 _READ_MEMO_MAX = 256
+_READ_MEMO_LOCK = __import__("threading").Lock()
 
 
 def _path_sig(path: str) -> tuple | None:
@@ -122,11 +123,18 @@ def _path_sig(path: str) -> tuple | None:
         st = os.stat(path)
         if not os.path.isdir(path):
             return (st.st_mtime_ns, st.st_size)
+        # Recurse (r12 advice): a partitioned layout rewrites part
+        # files one level down without touching the parent listing's
+        # mtime, so a top-level-only signature could serve a stale
+        # file index.  os.walk covers every data file at any depth.
         entries = []
-        with os.scandir(path) as it:
-            for e in it:
-                s2 = e.stat()
-                entries.append((e.name, s2.st_size, s2.st_mtime_ns))
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                s2 = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, path), s2.st_size, s2.st_mtime_ns)
+                )
         entries.sort()
         return (st.st_mtime_ns, st.st_size, tuple(entries))
     except OSError:
@@ -143,20 +151,34 @@ def _app_id(spark: SparkSession) -> str:
 
 
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import weakref
+
     path = f"{sf_dir}/{name}.parquet"
     sig = _path_sig(path)
-    key = (_app_id(spark), path)
-    rec = _READ_MEMO.get(key)
-    if rec is not None and sig is not None and rec[0] == sig:
-        _READ_MEMO.move_to_end(key)
-        return rec[1]
+    # Key includes the SESSION object's id (r12 advice): sessions built
+    # via newSession() share one applicationId but must not share
+    # memoized DataFrames bound to another session.  id() reuse after
+    # GC cannot serve a stale entry because the record also holds a
+    # weakref to the owning session, verified `is spark` on lookup.
+    key = (_app_id(spark), id(spark), path)
+    with _READ_MEMO_LOCK:
+        rec = _READ_MEMO.get(key)
+        if (
+            rec is not None
+            and sig is not None
+            and rec[0] == sig
+            and rec[2]() is spark
+        ):
+            _READ_MEMO.move_to_end(key)
+            return rec[1]
     df = spark.read.parquet(path)
     if name == "events":
         df = _normalize_event_ts(df)
     if sig is not None:
-        _READ_MEMO[key] = (sig, df)
-        while len(_READ_MEMO) > _READ_MEMO_MAX:
-            _READ_MEMO.popitem(last=False)
+        with _READ_MEMO_LOCK:
+            _READ_MEMO[key] = (sig, df, weakref.ref(spark))
+            while len(_READ_MEMO) > _READ_MEMO_MAX:
+                _READ_MEMO.popitem(last=False)
     return df
 
 

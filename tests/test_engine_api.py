@@ -646,6 +646,110 @@ def test_table_set_seq_survives_dict_id_reuse():
         table_set_seq(h)  # evict the record for the final mount too
 
 
+def test_plan_memo_reuses_and_detects_rewrite(spark, tmp_path):
+    """r13 plan memo: QUERIES[...] must serve the SAME lazy plan for an
+    unchanged (session, corpus), and a rewritten table file — any table
+    — must be a signature miss that rebuilds."""
+    import shutil
+
+    from chinook_music_database_analysis_spark.plans import QUERIES
+    from chinook_music_database_analysis_spark.sources import TABLES
+
+    d = tmp_path / "plan_memo_sf"
+    d.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF_TEST_DIR}/{t}.parquet", d / f"{t}.parquet")
+    sf = str(d)
+    df1 = QUERIES["q01_dupes"](spark, sf)
+    df2 = QUERIES["q01_dupes"](spark, sf)
+    assert df1 is df2, "unchanged corpus must hit the plan memo"
+
+    import pyarrow.parquet as pq
+
+    one = pq.read_table(f"{SF_TEST_DIR}/region.parquet").slice(0, 1)
+    pq.write_table(one, d / "region.parquet")
+    df3 = QUERIES["q01_dupes"](spark, sf)
+    assert df3 is not df1, "corpus rewrite must be a plan-memo miss"
+
+    from chinook_music_database_analysis_spark.plans.registry import (
+        plan_memo_clear,
+    )
+
+    plan_memo_clear()
+    assert QUERIES["q01_dupes"](spark, sf) is not df3
+
+
+def test_vector_dot_kernel_matches_jvm_fold(spark):
+    """r13: the env-gated Arrow dot-product kernel must be bit-identical
+    to the JVM aggregate/zip_with fold on every input class — clean
+    vectors, NULL arrays, ragged lengths, NULL elements, empty arrays,
+    NaN and Inf arithmetic (the fuzz-gate edge shapes)."""
+    import math
+    import struct
+
+    import chinook_music_database_analysis_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, None, [1.0, 2.0, 3.0]),
+        (3, [1.0, 2.0], None),
+        (4, [1.0, 2.0], [1.0]),  # ragged -> NULL
+        (5, [], []),  # empty fold -> 0.0
+        (6, [float("nan"), 1.0], [1.0, 1.0]),  # NaN propagates
+        (7, [float("inf"), 1.0], [1.0, 1.0]),
+        (8, [float("inf"), float("-inf")], [1.0, 1.0]),  # inf + -inf -> NaN
+        (9, [1.0, None, 3.0], [1.0, 1.0, 1.0]),  # NULL element -> NULL
+        (10, [0.1] * 64, [0.3] * 64),  # fold-order-sensitive repeats
+        (11, [1e308, 1e308, -1e308], [2.0, -2.0, 2.0]),  # overflow order
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+
+    def run(vec: bool) -> dict:
+        old = S.VECTOR_DOT
+        S.VECTOR_DOT = vec
+        try:
+            return {
+                r["id"]: r["d"]
+                for r in df.select("id", S._dot("a", "b").alias("d")).collect()
+            }
+        finally:
+            S.VECTOR_DOT = old
+
+    jvm, vec = run(False), run(True)
+    assert set(jvm) == set(vec)
+    for k in jvm:
+        x, y = jvm[k], vec[k]
+        if x is None or y is None:
+            assert x is None and y is None, f"id {k}: {x!r} vs {y!r}"
+        elif math.isnan(x) or math.isnan(y):
+            assert math.isnan(x) and math.isnan(y), f"id {k}: {x!r} vs {y!r}"
+        else:
+            assert struct.pack("d", x) == struct.pack("d", y), (
+                f"id {k}: {x!r} vs {y!r} differ bitwise"
+            )
+
+
+def test_dd_ngram_no_persist_growth_across_executions(spark):
+    """r13 (r12 advice/verdict item 7): the candidate-restricted shingle
+    relation used by the jaccard/containment verify stages must NOT pin
+    a fresh persisted relation per build — executor storage must stay
+    flat across repeated executions, and reset_memo must release it."""
+    from chinook_music_database_analysis_spark.plans import QUERIES
+    from chinook_music_database_analysis_spark.plans.extensions import reset_memo
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    QUERIES["dd_ngram_jaccard"](spark, SF_TEST_DIR).count()
+    n1 = n_persisted()
+    for _ in range(3):
+        QUERIES["dd_ngram_jaccard"](spark, SF_TEST_DIR).count()
+    assert n_persisted() == n1, "repeated builds must not grow executor storage"
+    reset_memo(SF_TEST_DIR)
+    assert n_persisted() < n1 or n1 == 0, "reset_memo must release the memoized relations"
+
+
 def test_reader_memo_reuses_and_detects_rewrite(spark, tmp_path):
     """r12 reader memo: load_tables must serve the SAME lazy relation
     for an unchanged table path (the per-build footer re-read was pure
